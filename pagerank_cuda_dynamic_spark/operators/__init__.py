@@ -1,0 +1,19 @@
+from pagerank_cuda_dynamic_spark.operators.graph import (  # noqa: F401
+    add_self_loops,
+    transpose,
+    symmetrize,
+    out_degrees,
+    self_loop_count,
+    tidy_batch,
+    apply_batch,
+    bfs_reachable,
+)
+from pagerank_cuda_dynamic_spark.operators.pagerank import (  # noqa: F401
+    PagerankOptions,
+    PagerankResult,
+    pagerank_static,
+    pagerank_naive_dynamic,
+    pagerank_dynamic_traversal,
+    pagerank_dynamic_frontier,
+    pagerank_dynamic_frontier_prune,
+)

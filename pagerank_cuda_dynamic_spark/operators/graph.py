@@ -1,0 +1,110 @@
+"""Graph-structural operators (SURVEY.md §2.6) as DataFrame plans.
+
+Edge tables are dense-id (src:long, dst:long[, extra]) DataFrames, deduped.
+Each operator returns a new DataFrame — graph mutation is snapshotting
+(duplicate.hxx:86–101 ≡ DataFrame immutability).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def transpose(edges: DataFrame) -> DataFrame:
+    """Reverse all edges (transpose.hxx:16–65).  A projection — no shuffle
+    until a downstream op repartitions on the new key."""
+    others = [c for c in edges.columns if c not in ("src", "dst")]
+    return edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *others
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: edges ∪ reverse, deduped (symmetrize.hxx:14–82).
+    Basis for CC / LPA / triangle counting."""
+    e = edges.select("src", "dst")
+    return e.unionByName(transpose(e)).distinct()
+
+
+def add_self_loops(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Self-loop on EVERY vertex — the reference's dead-end elimination
+    (selfLoop.hxx:33–79, invoked for all vertices at main.cu:169).  Turns
+    the per-iteration global dangling-mass reduction into a one-time graph
+    transform; the semantic cornerstone of the rank update (SURVEY §4.2).
+
+    `vertices` must have column v."""
+    loops = vertices.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+    return edges.select("src", "dst").unionByName(loops).distinct()
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(v, outdeg) — the vertex value of the transposed graph
+    (transposeWithDegree, transpose.hxx:79–100): the divisor of the pull
+    update.  Computed once per graph snapshot, then broadcast."""
+    return edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+
+
+def self_loop_count(edges: DataFrame) -> DataFrame:
+    """Count of (u,u) edges (selfLoop.hxx:15–19)."""
+    return edges.where(F.col("src") == F.col("dst")).agg(
+        F.count(F.lit(1)).alias("n_self_loops")
+    )
+
+
+def tidy_batch(
+    edges: DataFrame, deletions: DataFrame, insertions: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Batch hygiene (tidyBatchUpdateU, batch.hxx:201–208):
+    keep deletions that EXIST in the graph (semi join ≡ hasEdge probe,
+    batch.hxx:153–160), insertions that DON'T (anti join), both deduped.
+    Sorting (O1) is unnecessary in the set-semantics DataFrame world — kept
+    only at materialization for deterministic output."""
+    on = ["src", "dst"]
+    dels = deletions.select(on).join(edges.select(on), on, "left_semi").dropDuplicates(on)
+    ins = insertions.select(on).join(edges.select(on), on, "left_anti").dropDuplicates(on)
+    return dels, ins
+
+
+def apply_batch(
+    edges: DataFrame, deletions: DataFrame, insertions: DataFrame
+) -> DataFrame:
+    """applyBatchUpdateU (batch.hxx:222–247): remove deletions, add
+    insertions.  Deletion side is an anti join (deletions are a small DF —
+    Catalyst broadcasts it); insertions appended + dedup."""
+    on = ["src", "dst"]
+    kept = edges.join(F.broadcast(deletions.select(on)), on, "left_anti")
+    return kept.select(on).unionByName(insertions.select(on)).distinct()
+
+
+def bfs_reachable(edges: DataFrame, seeds: DataFrame, max_rounds: int = 10**9) -> DataFrame:
+    """Multi-source level-synchronous BFS closure (bfs.hxx:22–55; the
+    Dynamic-Traversal marking loop shape, pagerankCuda.hxx:439–456):
+    visited ∪= frontier ⋈ edges until the visited count reaches fixpoint
+    (countValuesInplaceCuW analog = .count()).
+
+    Returns distinct visited vertex ids (column v) including the seeds.
+    Each round localCheckpoints to truncate lineage (iterative plans grow
+    exponentially otherwise)."""
+    visited = seeds.select("v").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    n = visited.count()
+    rounds = 0
+    while rounds < max_rounds:
+        nxt = (
+            frontier.join(edges, frontier.v == edges.src)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        n += n_new
+        rounds += 1
+    return visited

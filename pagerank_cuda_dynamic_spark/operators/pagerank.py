@@ -1,0 +1,466 @@
+"""PageRank operator family (SURVEY.md §2.7) — Static, Naive-Dynamic (ND),
+Dynamic-Traversal (DT), Dynamic-Frontier (DF), DF-with-Pruning (DF-P).
+
+Semantics transliterated from the reference (NOT its execution strategy):
+  * pull update  a[v] = C0 + P·Σ_{u∈in(v)} r[u]/outdeg(u), C0=(1−P)/N
+    (pagerank.hxx:132–141; C0 at :388)
+  * DF-P corrected update a[v] = (C0 + P·(Σ − r[v]/d_v)) / (1 − P/d_v)
+    (pagerankPrune.hxx:30–41)
+  * sync iteration: full-vector L∞ between consecutive ranks < tolerance,
+    max 500 iterations (pagerank.hxx:387–394); unaffected vertices carry
+    rank forward (CUDA semantics, pagerankCuda.hxx:94–97 — canonical here)
+  * DF marking: out-neighbors of deletion srcs in OLD graph, insertion srcs
+    in NEW graph (pagerank.hxx:645–676); per-iteration expansion marks
+    out-neighbors of vertices whose relative change > frontierTolerance
+    (pagerank.hxx:700)
+  * DF-P: prune vaff[v] when rel-change ≤ pruneTolerance; expansion skips
+    self (v!=u) (pagerankPrune.hxx:57–67)
+  * DT marking: BFS closure in the NEW graph from out-neighbors (old graph
+    for deletions, new for insertions) of changed-edge sources
+    (pagerank.hxx:543–578)
+
+Two physical strategies:
+  * mode="csr"    — the north-star path: edge partitions hash(dst)-local,
+    per-partition vectorized gather (np.bincount ≡ CSR np.add.reduceat)
+    inside mapInPandas with a broadcast rank array; one narrow Spark job +
+    one scalar-sized collect per superstep — the Spark analog of the
+    reference's one-D2H-scalar-per-iteration loop (pagerankCuda.hxx:676–692).
+    Assumes |V| fits driver/executor memory (exactly the reference's
+    single-GPU assumption).
+  * mode="joinagg" — pure DataFrame join/agg supersteps; nothing ever
+    collected but the L∞ scalar; the 10^12-vertex scale-out path and the
+    cross-checking oracle for the csr kernel.
+
+Dangling vertices: default dangling="selfloop" assumes the graph snapshot
+already self-loops every vertex (main.cu:169).  dangling="redistribute"
+implements the broadcast dangling-mass correction instead:
+a[v] += P·(Σ_{outdeg(u)=0} r[u])/N per superstep.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # avoid plans ↔ operators circular import at runtime
+    from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
+
+
+@dataclass
+class PagerankOptions:
+    """Defaults per reference pagerank.hxx:52 (code wins over doc comment)."""
+
+    damping: float = 0.85
+    tolerance: float = 1e-10
+    frontier_tolerance: float = 1e-6
+    prune_tolerance: float = 1e-6
+    max_iterations: int = 500
+    mode: str = "csr"  # "csr" | "joinagg"
+    dangling: str = "selfloop"  # "selfloop" | "redistribute"
+
+
+@dataclass
+class PagerankResult:
+    """PagerankResult analog (pagerank.hxx:65–113)."""
+
+    ranks: np.ndarray
+    iterations: int
+    time: float
+    marking_time: float = 0.0
+    affected_initial: int = 0
+    superstep_seconds: list = field(default_factory=list)
+
+    def ranks_df(self, spark) -> DataFrame:
+        pdf = pd.DataFrame({"v": np.arange(len(self.ranks), dtype=np.int64),
+                            "rank": self.ranks})
+        return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# CSR-kernel path (mapInPandas + broadcast rank array)
+# ---------------------------------------------------------------------------
+
+def _loop_csr(
+    graph: "GraphSnapshot",
+    r: np.ndarray,
+    vaff: np.ndarray | None,
+    opts: PagerankOptions,
+    corrected: bool = False,
+    expand: bool = False,
+    prune: bool = False,
+    movers0: np.ndarray | None = None,
+) -> tuple[np.ndarray, int, list]:
+    """Shared superstep loop.  vaff=None ⇒ all vertices affected (static/ND).
+
+    Per superstep: broadcast (r/outdeg, vaff, movers) → narrow mapInPandas
+    job over the dst-partitioned cached edges → per-partition vectorized
+    gather → collect ≤|V| (v, contrib, marked) rows → driver assembles new
+    rank vector, L∞, frontier bookkeeping.  movers_i mark out-neighbors in
+    superstep i+1 (two-phase naff/vaff, pagerankCuda.hxx:681–687)."""
+    spark = graph.edges.sparkSession
+    sc = spark.sparkContext
+    N = graph.n
+    P = opts.damping
+    E = opts.tolerance
+    D = opts.frontier_tolerance
+    C = opts.prune_tolerance
+    C0 = (1.0 - P) / N
+    outdeg = graph.outdeg_array()
+    safe_deg = np.maximum(outdeg, 1.0)
+    dangling_mask = outdeg == 0 if opts.dangling == "redistribute" else None
+    dynamic = vaff is not None
+    movers = movers0 if movers0 is not None else np.zeros(N, dtype=bool)
+    edges = graph.edges
+    iters = 0
+    step_secs: list = []
+
+    while iters < opts.max_iterations:
+        t0 = time.time()
+        payload = {"rdiv": r / safe_deg}
+        if dynamic:
+            payload["vaff"] = vaff
+            payload["movers"] = movers
+        bc = sc.broadcast(payload)
+        do_expand = expand
+        do_prune = prune
+        n_cap = N
+        dyn = dynamic
+
+        def kernel(batches):
+            d = bc.value
+            rdiv = d["rdiv"]
+            vaff_b = d.get("vaff")
+            movers_b = d.get("movers")
+            contrib = np.zeros(n_cap, dtype=np.float64)
+            present = np.zeros(n_cap, dtype=bool)
+            ext = np.zeros(n_cap, dtype=bool) if do_expand else None
+            seen = False
+            for pdf in batches:
+                src = pdf["src"].to_numpy()
+                dst = pdf["dst"].to_numpy()
+                if src.size == 0:
+                    continue
+                seen = True
+                contrib += np.bincount(dst, weights=rdiv[src], minlength=n_cap)
+                present |= np.bincount(dst, minlength=n_cap).astype(bool)
+                if do_expand:
+                    m = movers_b[src]
+                    if do_prune:
+                        m &= src != dst  # DF-P skips self (pagerankPrune.hxx:65)
+                    if m.any():
+                        ext |= np.bincount(dst[m], minlength=n_cap).astype(bool)
+            if not seen:
+                return
+            if dyn:
+                aff_local = vaff_b.copy()
+                if do_expand:
+                    aff_local |= ext
+                aff_local &= present
+                idx = np.flatnonzero(aff_local)
+                marked = ext[idx] if do_expand else np.zeros(idx.size, dtype=bool)
+            else:
+                idx = np.flatnonzero(present)
+                marked = np.zeros(idx.size, dtype=bool)
+            yield pd.DataFrame(
+                {"v": idx.astype(np.int64), "contrib": contrib[idx], "marked": marked}
+            )
+
+        pdf = edges.mapInPandas(kernel, "v long, contrib double, marked boolean").toPandas()
+        bc.destroy()
+
+        vs = pdf["v"].to_numpy()
+        cs = pdf["contrib"].to_numpy()
+        dshare = (
+            P * float(r[dangling_mask].sum()) / N if dangling_mask is not None else 0.0
+        )
+        if dynamic:
+            vaff = vaff.copy()
+            newly = pdf["marked"].to_numpy()
+            if newly.any():
+                vaff[vs[newly]] = True
+        # assemble new ranks: every affected vertex gets the teleport (+
+        # dangling share) base; vertices with in-edges add the gathered sum.
+        # Vertices affected but without in-edges exist only in redistribute
+        # mode (self-loops guarantee an in-edge otherwise).
+        if corrected:
+            # DF-P corrected update assumes universal self-loops (d_v ≥ 1);
+            # affected ≡ collected rows there.
+            a = r.copy()
+            if vs.size:
+                dv = outdeg[vs].astype(np.float64)
+                a[vs] = (C0 + P * (cs - r[vs] / dv)) / (1.0 - P / dv)
+            upd = vs
+        elif dynamic:
+            a = r.copy()
+            upd = np.flatnonzero(vaff)
+            a[upd] = C0 + dshare
+            a[vs] += P * cs
+        else:
+            a = np.full(N, C0 + dshare)
+            a[vs] += P * cs
+            upd = None  # all vertices
+        if upd is None:
+            eu_all = np.abs(a - r)
+            el = float(eu_all.max()) if N else 0.0
+        else:
+            eu = np.abs(r[upd] - a[upd]) if upd.size else np.empty(0)
+            if expand or prune:
+                denom = np.maximum(np.maximum(r[upd], a[upd]), 1e-300)
+                rel = eu / denom
+                movers = np.zeros(N, dtype=bool)
+                if expand:
+                    movers[upd[rel > D]] = True
+                if prune:
+                    vaff[upd[rel <= C]] = False
+            el = float(eu.max()) if upd.size else 0.0
+        r = a
+        iters += 1
+        step_secs.append(time.time() - t0)
+        if el < E:
+            break
+    return r, iters, step_secs
+
+
+# ---------------------------------------------------------------------------
+# join/agg path (pure DataFrame supersteps; scale-out / oracle)
+# ---------------------------------------------------------------------------
+
+def _loop_joinagg(
+    graph: "GraphSnapshot", r0: np.ndarray | None, opts: PagerankOptions
+) -> tuple[np.ndarray, int, list]:
+    """Static/ND supersteps as declarative plans.  Per superstep:
+    edges ⋈ ranks (hash on src/v) → groupBy(dst).sum → left join onto the
+    vertex range → L∞ agg scalar.  Ranks stay distributed; localCheckpoint
+    truncates the iterative lineage."""
+    spark = graph.edges.sparkSession
+    N = graph.n
+    P = opts.damping
+    C0 = (1.0 - P) / N
+    # weight each edge once with 1/outdeg(src) — J2, broadcast small dim
+    ew = (
+        graph.edges.join(
+            F.broadcast(graph.degrees.withColumnRenamed("v", "src")), "src"
+        )
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .persist()
+    )
+    ew.count()
+    vertices = spark.range(N).select(F.col("id").alias("v"))
+    if r0 is None:
+        ranks = vertices.select("v", F.lit(1.0 / N).alias("rank"))
+    else:
+        ranks = spark.createDataFrame(
+            pd.DataFrame({"v": np.arange(N, dtype=np.int64), "rank": r0})
+        )
+    ranks = ranks.localCheckpoint(eager=True)
+    iters = 0
+    step_secs: list = []
+    while iters < opts.max_iterations:
+        t0 = time.time()
+        contrib = (
+            ew.join(ranks.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        new_ranks = (
+            vertices.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
+            .select(
+                "v",
+                (F.lit(C0) + F.lit(P) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        el = (
+            new_ranks.withColumnRenamed("rank", "new_rank")
+            .join(ranks, "v")
+            .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))).alias("el"))
+            .collect()[0]["el"]
+        )
+        ranks = new_ranks
+        iters += 1
+        step_secs.append(time.time() - t0)
+        if el < opts.tolerance:
+            break
+    pdf = ranks.toPandas()
+    ew.unpersist()
+    out = np.zeros(N, dtype=np.float64)
+    out[pdf["v"].to_numpy()] = pdf["rank"].to_numpy()
+    return out, iters, step_secs
+
+
+# ---------------------------------------------------------------------------
+# marking helpers (dynamic family)
+# ---------------------------------------------------------------------------
+
+def _out_neighbors(edges: DataFrame, srcs: DataFrame) -> np.ndarray:
+    """dst ids of edges whose src ∈ srcs (one-hop, distinct)."""
+    pdf = (
+        edges.join(srcs.select("src").distinct(), "src", "left_semi")
+        .select("dst")
+        .distinct()
+        .toPandas()
+    )
+    return pdf["dst"].to_numpy()
+
+
+def _frontier_marks(
+    old: "GraphSnapshot", new: "GraphSnapshot", deletions: DataFrame, insertions: DataFrame
+) -> np.ndarray:
+    """DF initial vaff (pagerankAffectedFrontierW, pagerank.hxx:645–652):
+    out-neighbors of deletion srcs in OLD graph ∪ insertion srcs in NEW."""
+    vaff = np.zeros(new.n, dtype=bool)
+    if deletions is not None:
+        ids = _out_neighbors(old.edges, deletions)
+        if ids.size:
+            vaff[ids] = True
+    if insertions is not None:
+        ids = _out_neighbors(new.edges, insertions)
+        if ids.size:
+            vaff[ids] = True
+    return vaff
+
+
+def _traversal_marks(
+    old: "GraphSnapshot", new: "GraphSnapshot", deletions: DataFrame, insertions: DataFrame
+) -> np.ndarray:
+    """DT vaff (pagerankAffectedTraversalW, pagerank.hxx:543–550): BFS in the
+    NEW graph from every out-neighbor (old graph for deletions, new for
+    insertions) of changed-edge sources."""
+    from pagerank_cuda_dynamic_spark.operators.graph import bfs_reachable
+
+    spark = new.edges.sparkSession
+    seeds = np.concatenate(
+        [
+            _out_neighbors(old.edges, deletions) if deletions is not None else np.empty(0, np.int64),
+            _out_neighbors(new.edges, insertions) if insertions is not None else np.empty(0, np.int64),
+        ]
+    )
+    vaff = np.zeros(new.n, dtype=bool)
+    if seeds.size == 0:
+        return vaff
+    seeds_df = spark.createDataFrame(
+        pd.DataFrame({"v": np.unique(seeds).astype(np.int64)})
+    )
+    visited = bfs_reachable(new.edges, seeds_df).toPandas()["v"].to_numpy()
+    vaff[visited] = True
+    return vaff
+
+
+def _mover_seeds(deletions: DataFrame | None, insertions: DataFrame | None, n: int) -> np.ndarray:
+    """Not used for DF init (marking is direct), kept for extensions."""
+    m = np.zeros(n, dtype=bool)
+    for df in (deletions, insertions):
+        if df is not None:
+            ids = df.select("src").distinct().toPandas()["src"].to_numpy()
+            if ids.size:
+                m[ids] = True
+    return m
+
+
+# ---------------------------------------------------------------------------
+# public entry points (pagerank.hxx:455–482, 498–526, 595–628, 680–735;
+# pagerankPrune.hxx:284–311)
+# ---------------------------------------------------------------------------
+
+def pagerank_static(graph: "GraphSnapshot", opts: PagerankOptions | None = None) -> PagerankResult:
+    opts = opts or PagerankOptions()
+    t0 = time.time()
+    r0 = np.full(graph.n, 1.0 / graph.n, dtype=np.float64)
+    if opts.mode == "joinagg":
+        r, it, steps = _loop_joinagg(graph, None, opts)
+    else:
+        r, it, steps = _loop_csr(graph, r0, None, opts)
+    return PagerankResult(r, it, time.time() - t0, superstep_seconds=steps)
+
+
+def pagerank_naive_dynamic(
+    graph: "GraphSnapshot", q: np.ndarray, opts: PagerankOptions | None = None
+) -> PagerankResult:
+    """Warm start from prior ranks q; all vertices affected."""
+    opts = opts or PagerankOptions()
+    t0 = time.time()
+    q = _adjust_warm_start(q, graph.n)
+    if opts.mode == "joinagg":
+        r, it, steps = _loop_joinagg(graph, q, opts)
+    else:
+        r, it, steps = _loop_csr(graph, q.copy(), None, opts)
+    return PagerankResult(r, it, time.time() - t0, superstep_seconds=steps)
+
+
+def pagerank_dynamic_traversal(
+    old: "GraphSnapshot",
+    new: "GraphSnapshot",
+    deletions: DataFrame | None,
+    insertions: DataFrame | None,
+    q: np.ndarray,
+    opts: PagerankOptions | None = None,
+) -> PagerankResult:
+    opts = opts or PagerankOptions()
+    t0 = time.time()
+    vaff = _traversal_marks(old, new, deletions, insertions)
+    tm = time.time() - t0
+    q = _adjust_warm_start(q, new.n)
+    r, it, steps = _loop_csr(new, q.copy(), vaff, opts)
+    return PagerankResult(
+        r, it, time.time() - t0, marking_time=tm,
+        affected_initial=int(vaff.sum()), superstep_seconds=steps,
+    )
+
+
+def pagerank_dynamic_frontier(
+    old: "GraphSnapshot",
+    new: "GraphSnapshot",
+    deletions: DataFrame | None,
+    insertions: DataFrame | None,
+    q: np.ndarray,
+    opts: PagerankOptions | None = None,
+) -> PagerankResult:
+    opts = opts or PagerankOptions()
+    t0 = time.time()
+    vaff = _frontier_marks(old, new, deletions, insertions)
+    tm = time.time() - t0
+    q = _adjust_warm_start(q, new.n)
+    r, it, steps = _loop_csr(new, q.copy(), vaff, opts, expand=True)
+    return PagerankResult(
+        r, it, time.time() - t0, marking_time=tm,
+        affected_initial=int(vaff.sum()), superstep_seconds=steps,
+    )
+
+
+def pagerank_dynamic_frontier_prune(
+    old: "GraphSnapshot",
+    new: "GraphSnapshot",
+    deletions: DataFrame | None,
+    insertions: DataFrame | None,
+    q: np.ndarray,
+    opts: PagerankOptions | None = None,
+) -> PagerankResult:
+    opts = opts or PagerankOptions()
+    t0 = time.time()
+    vaff = _frontier_marks(old, new, deletions, insertions)
+    tm = time.time() - t0
+    q = _adjust_warm_start(q, new.n)
+    r, it, steps = _loop_csr(
+        new, q.copy(), vaff, opts, corrected=True, expand=True, prune=True
+    )
+    return PagerankResult(
+        r, it, time.time() - t0, marking_time=tm,
+        affected_initial=int(vaff.sum()), superstep_seconds=steps,
+    )
+
+
+def _adjust_warm_start(q: np.ndarray, n: int) -> np.ndarray:
+    """Resize prior ranks to the new vertex span; new vertices start at 0
+    (pagerankInitializeRanksFrom semantics: absent→0, pagerank.hxx:290)."""
+    q = np.asarray(q, dtype=np.float64)
+    if q.size == n:
+        return q
+    out = np.zeros(n, dtype=np.float64)
+    out[: min(q.size, n)] = q[: min(q.size, n)]
+    return out

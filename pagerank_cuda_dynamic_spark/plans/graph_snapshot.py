@@ -1,0 +1,90 @@
+"""GraphSnapshot — an immutable dense-id graph version.
+
+The reference snapshots graphs by copy-construction before each batch
+(duplicate.hxx:86–101, main.cu:80).  DataFrames are immutable, so a snapshot
+is just: the deduped self-looped edge DF (cached, hash-partitioned by dst —
+the gather key of the pull update), the vertex count, and the out-degree
+side table (transposeWithDegree's vertex value, transpose.hxx:79–100).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pagerank_cuda_dynamic_spark.operators.graph import (
+    add_self_loops,
+    apply_batch,
+    out_degrees,
+)
+
+
+@dataclass
+class GraphSnapshot:
+    """edges: (src:long, dst:long), deduped, self-loop on every vertex,
+    repartitioned by dst and cached.  Dense id space [0, n)."""
+
+    edges: DataFrame
+    n: int
+    degrees: DataFrame
+    _outdeg_np: np.ndarray | None = field(default=None, repr=False)
+
+    @classmethod
+    def build(
+        cls,
+        edges: DataFrame,
+        n: int | None = None,
+        self_loops: bool = True,
+        partitions: int | None = None,
+    ) -> "GraphSnapshot":
+        """edges: dense-id (src,dst).  n: vertex-space size; derived from
+        max id if absent (one pass).  self_loops: the reference's universal
+        dead-end elimination (main.cu:169)."""
+        spark = edges.sparkSession
+        if n is None:
+            row = edges.agg(
+                F.greatest(F.max("src"), F.max("dst")).alias("m")
+            ).collect()[0]
+            n = int(row["m"]) + 1 if row["m"] is not None else 0
+        e = edges.select("src", "dst")
+        if self_loops:
+            vertices = spark.range(n).select(F.col("id").alias("v"))
+            e = add_self_loops(e, vertices)
+        else:
+            e = e.distinct()
+        p = partitions or spark.sparkContext.defaultParallelism
+        e = e.repartition(p, "dst").persist()
+        e.count()  # materialize
+        deg = out_degrees(e).persist()
+        return cls(edges=e, n=n, degrees=deg)
+
+    def outdeg_array(self) -> np.ndarray:
+        """Dense float64 out-degree array (divisor of the pull update).
+        Collected once per snapshot — the CSR fast path assumes |V| fits the
+        driver, exactly as the reference assumes it fits one GPU
+        (pagerankCuda.hxx:798–805); the join/agg path has no such limit."""
+        if self._outdeg_np is None:
+            pdf = self.degrees.toPandas()
+            arr = np.zeros(self.n, dtype=np.float64)
+            arr[pdf["v"].to_numpy()] = pdf["outdeg"].to_numpy()
+            self._outdeg_np = arr
+        return self._outdeg_np
+
+    def with_batch(
+        self, deletions: DataFrame, insertions: DataFrame, n: int | None = None
+    ) -> "GraphSnapshot":
+        """New snapshot with the batch applied (batch.hxx:222–247).  Self
+        loops are preserved by construction: deletions of (v,v) are the
+        caller's responsibility to avoid (the reference never deletes the
+        loops it injected)."""
+        new_edges = apply_batch(self.edges, deletions, insertions)
+        return GraphSnapshot.build(
+            new_edges, n=n or self.n, self_loops=True
+        )
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        self.degrees.unpersist()

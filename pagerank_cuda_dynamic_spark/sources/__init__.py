@@ -1,0 +1,11 @@
+from pagerank_cuda_dynamic_spark.sources.transcripts import (  # noqa: F401
+    synthesize_transcripts,
+    write_transcripts,
+    read_transcripts,
+    TRANSCRIPT_SCHEMA,
+)
+from pagerank_cuda_dynamic_spark.sources.edges import (  # noqa: F401
+    derive_edges_from_transcripts,
+    derive_entity_edges,
+    edges_from_events,
+)
