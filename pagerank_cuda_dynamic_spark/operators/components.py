@@ -1,0 +1,189 @@
+"""Companion graph algorithms the north star requires: connected components,
+label propagation, triangle count, modularity (anchored by the reference's
+community helpers, properties.hxx:123–401).
+
+Same physical split as PageRank: a broadcast-label vectorized kernel
+(mapInPandas over dst-partitioned edges — fast path, |V| fits memory) and
+pure DataFrame loops (scale-out path), both converging on exact ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pagerank_cuda_dynamic_spark.operators.graph import symmetrize
+
+
+def _gather_min_labels(edges: DataFrame, labels: np.ndarray, n: int) -> np.ndarray:
+    """One round: for every dst, min label over in-edge srcs (vectorized)."""
+    sc = edges.sparkSession.sparkContext
+    bc = sc.broadcast(labels)
+
+    def kernel(batches):
+        lab = bc.value
+        best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            src = pdf["src"].to_numpy()
+            dst = pdf["dst"].to_numpy()
+            if src.size == 0:
+                continue
+            seen = True
+            np.minimum.at(best, dst, lab[src])
+        if not seen:
+            return
+        idx = np.flatnonzero(best != np.iinfo(np.int64).max)
+        yield pd.DataFrame({"v": idx.astype(np.int64), "lab": best[idx]})
+
+    pdf = edges.mapInPandas(kernel, "v long, lab long").toPandas()
+    bc.destroy()
+    out = labels.copy()
+    if len(pdf):
+        vs = pdf["v"].to_numpy()
+        np.minimum.at(out, vs, pdf["lab"].to_numpy())
+    return out
+
+
+def connected_components_np(
+    edges: DataFrame, n: int, presymmetrized: bool = False
+) -> np.ndarray:
+    """Min-label propagation to fixpoint (G11/properties.hxx:379–401 shape).
+    Returns component id per vertex = min vertex id in the component (exact,
+    deterministic).  edges: dense-id (src,dst)."""
+    und = edges if presymmetrized else symmetrize(edges)
+    und = und.persist()
+    und.count()
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        new = _gather_min_labels(und, labels, n)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    if not presymmetrized:
+        und.unpersist()
+    return labels
+
+
+def connected_components(edges: DataFrame, n: int) -> DataFrame:
+    """DataFrame result (v, component)."""
+    labels = connected_components_np(edges, n)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame({"v": np.arange(n, dtype=np.int64), "component": labels})
+    )
+
+
+def label_propagation_np(
+    edges: DataFrame, n: int, max_rounds: int = 20, presymmetrized: bool = False
+) -> np.ndarray:
+    """Synchronous LPA, deterministic: each round every vertex adopts the
+    most frequent label among its (undirected) neighbors, ties broken by the
+    SMALLEST label (properties.hxx community-membership helpers anchor the
+    aggregates).  Stops at fixpoint or max_rounds (sync LPA can 2-cycle on
+    bipartite structures — the cap is part of the defined semantics).
+
+    Edges MUST be hash-partitioned by dst for the per-partition winner pick
+    to be complete — enforced here (one shuffle, reused every round)."""
+    und = edges if presymmetrized else symmetrize(edges)
+    und = und.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, "dst"
+    ).persist()
+    und.count()
+    sc = edges.sparkSession.sparkContext
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_rounds):
+        bc = sc.broadcast(labels)
+
+        def kernel(batches):
+            lab = bc.value
+            # accumulate (dst, neighbor-label) counts across batches
+            acc: dict = {}
+            frames = []
+            for pdf in batches:
+                src = pdf["src"].to_numpy()
+                dst = pdf["dst"].to_numpy()
+                if src.size:
+                    frames.append(
+                        pd.DataFrame({"v": dst, "lab": lab[src]})
+                    )
+            if not frames:
+                return
+            allp = pd.concat(frames, ignore_index=True)
+            counts = (
+                allp.groupby(["v", "lab"], sort=False).size().reset_index(name="c")
+            )
+            # winner per v: max count, then min label — deterministic
+            counts = counts.sort_values(
+                ["v", "c", "lab"], ascending=[True, False, True]
+            )
+            win = counts.drop_duplicates("v", keep="first")
+            yield pd.DataFrame(
+                {"v": win["v"].to_numpy().astype(np.int64),
+                 "lab": win["lab"].to_numpy().astype(np.int64)}
+            )
+
+        pdf = und.mapInPandas(kernel, "v long, lab long").toPandas()
+        bc.destroy()
+        new = labels.copy()
+        if len(pdf):
+            new[pdf["v"].to_numpy()] = pdf["lab"].to_numpy()
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    und.unpersist()
+    return labels
+
+
+def label_propagation(edges: DataFrame, n: int, max_rounds: int = 20) -> DataFrame:
+    labels = label_propagation_np(edges, n, max_rounds)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame({"v": np.arange(n, dtype=np.int64), "label": labels})
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count via ordered wedge closure: canonical undirected
+    edges (src<dst); count a<b<c with (a,b),(b,c),(a,c) present.  Pure
+    joins — Catalyst picks the strategy; at scale the smaller join side
+    should be the degree-ordered wedge list (AQE handles skew).  Excludes
+    self-loops by construction."""
+    e = (
+        symmetrize(edges)
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .persist()
+    )
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = ab.join(bc, "b")
+    tri = wedges.join(ac, ["a", "c"], "left_semi")
+    out = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return out
+
+
+def modularity(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Undirected modularity Q = Σ_c [ m_c/m − (K_c/(2m))² ]
+    (properties.hxx:123–364 per-community weight aggregates).
+    membership: (v, community).  Unweighted (w=1)."""
+    und = symmetrize(edges).where(F.col("src") != F.col("dst"))
+    mm = F.broadcast(membership)
+    lab = (
+        und.join(mm.withColumnRenamed("v", "src").withColumnRenamed("community", "c_src"), "src")
+        .join(mm.withColumnRenamed("v", "dst").withColumnRenamed("community", "c_dst"), "dst")
+    )
+    two_m = lab.count()  # each undirected edge counted twice
+    per_c = lab.groupBy("c_src").agg(
+        F.count(F.lit(1)).alias("deg_sum"),
+        F.sum((F.col("c_src") == F.col("c_dst")).cast("long")).alias("internal"),
+    )
+    return per_c.agg(
+        F.sum(
+            F.col("internal") / F.lit(float(two_m))
+            - F.pow(F.col("deg_sum") / F.lit(float(two_m)), 2)
+        ).alias("modularity")
+    )

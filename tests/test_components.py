@@ -1,0 +1,99 @@
+"""CC / LPA / triangle / modularity correctness on golden micro-graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pagerank_cuda_dynamic_spark.operators.components import (
+    connected_components_np,
+    label_propagation_np,
+    modularity,
+    triangle_count,
+)
+
+from .conftest import MICRO_GRAPHS, edges_df
+
+
+def test_cc_two_islands(spark):
+    n, src, dst = MICRO_GRAPHS["two_islands"]
+    comp = connected_components_np(edges_df(spark, src, dst), n)
+    assert comp.tolist() == [0, 0, 0, 3, 3, 3]
+
+
+def test_cc_line(spark):
+    n, src, dst = MICRO_GRAPHS["line5"]
+    comp = connected_components_np(edges_df(spark, src, dst), n)
+    assert comp.tolist() == [0] * 5
+
+
+def test_cc_isolated_vertex(spark):
+    # vertex 3 isolated (n=4, edges only among 0-2)
+    comp = connected_components_np(edges_df(spark, [0, 1], [1, 2]), 4)
+    assert comp.tolist() == [0, 0, 0, 3]
+
+
+def test_cc_oracle_random(spark):
+    rng = np.random.default_rng(11)
+    n, m = 60, 80
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    comp = connected_components_np(edges_df(spark, src, dst), n)
+    # union-find oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(src, dst):
+        a, b = find(int(s)), find(int(d))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = np.array([find(v) for v in range(n)])
+    # normalize both to min-id representative per component
+    rep = {}
+    for v in range(n):
+        rep.setdefault(want[v], v)
+    want_min = np.array([rep[want[v]] for v in range(n)])
+    assert comp.tolist() == want_min.tolist()
+
+
+def test_triangles(spark):
+    # two triangles sharing edge (0,1): {0,1,2} and {0,1,3}
+    e = edges_df(spark, [0, 1, 2, 0, 1, 3], [1, 2, 0, 3, 3, 0])
+    got = triangle_count(e).collect()[0]["n_triangles"]
+    assert got == 2
+
+
+def test_triangles_none(spark):
+    n, src, dst = MICRO_GRAPHS["line5"]
+    got = triangle_count(edges_df(spark, src, dst)).collect()[0]["n_triangles"]
+    assert got == 0
+
+
+def test_lpa_two_cliques(spark):
+    # two 4-cliques joined by one edge → LPA should find 2 communities
+    import itertools
+
+    cl1 = list(itertools.permutations(range(4), 2))
+    cl2 = list(itertools.permutations(range(4, 8), 2))
+    src = [a for a, b in cl1 + cl2] + [3]
+    dst = [b for a, b in cl1 + cl2] + [4]
+    labels = label_propagation_np(edges_df(spark, src, dst), 8)
+    assert len(set(labels[:4])) == 1
+    assert len(set(labels[4:])) == 1
+
+
+def test_modularity_perfect_split(spark):
+    # two disconnected triangles, membership = component → Q = 0.5
+    src = [0, 1, 2, 3, 4, 5]
+    dst = [1, 2, 0, 4, 5, 3]
+    e = edges_df(spark, src, dst)
+    memb = spark.createDataFrame(
+        pd.DataFrame({"v": range(6), "community": [0, 0, 0, 1, 1, 1]})
+    )
+    q = modularity(e, memb).collect()[0]["modularity"]
+    assert abs(q - 0.5) < 1e-9
