@@ -1,0 +1,264 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each expressed Spark-first (built-in JVM expressions in the
+hot path; Arrow kernels only where bit manipulation demands it):
+  exact         — hash-groupBy on raw text
+  fingerprint   — normalized sorted-token key groups (OpenRefine-style)
+  ngram-jaccard — exact Jaccard over token shingles for candidate pairs
+  minhash-LSH   — shingle → k minhashes (xxhash64) → banded bucket join
+  simhash       — 64-bit sign-of-weighted-bit-sums, hamming-banded
+
+Scale posture: every family reduces to groupBy/join on a derived key —
+shuffle-by-key, no cross join, no driver collection.  The LSH band join is
+the classic near-dup-at-petabyte shape (band buckets are the salted keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (keeper_id, n_copies) per duplicated
+    text.  keeper = min id (deterministic)."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("keeper_id", "n_copies")
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (min id wins)."""
+    keep = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return docs.join(keep, [text_col, id_col], "left_semi")
+
+
+def fingerprint_key(text_col: str = "text") -> F.Column:
+    """Normalization fingerprint: sorted distinct lowercase tokens joined by
+    a single space — catches token-order / whitespace / casing variants."""
+    return F.array_join(F.array_sort(F.array_distinct(_tokens(text_col))), " ")
+
+
+def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return (
+        docs.select(id_col, fingerprint_key(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("keeper_id", "n_copies")
+    )
+
+
+def _shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Word k-gram shingles as strings (JVM-side, no UDF)."""
+    toks = _tokens(text_col)
+    return F.when(F.size(toks) < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index shape: explode shingles → self-join on shingle →
+    per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|.  No cross join:
+    only docs sharing ≥1 shingle ever meet.  Output (id_a, id_b, jaccard),
+    id_a < id_b."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, k)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig: array<long>) — sig[j] = min over shingles of
+    xxhash64(shingle, seed=j).  Entirely JVM-side expressions."""
+    sh = F.col("_sh")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), _shingles(text_col, k).alias("_sh")
+    ).select("id", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: signature split into `bands` bands of
+    num_hashes/bands rows; docs colliding in ANY band are candidates.
+    (id_a < id_b, distinct.)  Band bucket = (band_idx, hash(band slice)) —
+    the shuffle key; at 100 TB this is the only join, and its key space is
+    wide (bands × 2^64)."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, id_col, text_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup: LSH candidates verified by exact shingle
+    Jaccard ≥ threshold (candidate set is small; verification is the same
+    inverted-index computation restricted by semi-join)."""
+    cands = minhash_lsh_candidates(docs, num_hashes, bands, k, id_col, text_col)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+    subset = docs.join(cand_ids, id_col, "left_semi")
+    exact = ngram_jaccard_pairs(subset, threshold, k, id_col, text_col)
+    return exact.join(cands, ["id_a", "id_b"], "left_semi")
+
+
+def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc via an Arrow-vectorized kernel (bit unpacking
+    is genuinely awkward in SQL expressions).  Deterministic: token hash =
+    xxhash64 computed JVM-side first; the kernel only does popcount math."""
+    tok_hashes = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(_tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out_ids, out_sh = [], []
+            for i, hs in zip(pdf["id"], pdf["th"]):
+                arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                if arr.size == 0:
+                    out_ids.append(i)
+                    out_sh.append(0)
+                    continue
+                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sh = np.uint64(0)
+                for b in np.flatnonzero(votes > 0):
+                    sh |= np.uint64(1) << np.uint64(b)
+                out_ids.append(i)
+                out_sh.append(np.int64(sh.view(np.int64)))
+            yield pd.DataFrame({"id": out_ids, "simhash": out_sh})
+
+    return tok_hashes.mapInPandas(kernel, "id long, simhash long")
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by banding
+    the 64-bit hash into 4 16-bit chunks (pigeonhole: ≤3 differing bits ⇒
+    ≥1 identical chunk) and verifying with bit_count."""
+    sh = simhash_64(docs, id_col, text_col).persist()
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.ckey")
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey")
+    pairs = (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

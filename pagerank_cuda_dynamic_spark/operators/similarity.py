@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — vectorized matrix multiply per
+partition against a broadcast query matrix (never a crossJoin).
+Scale path: LSH bucketing (random hyperplane signatures) so only
+bucket-colliding vectors meet, or IVF-style coarse quantization.
+
+Also a pure-SQL pairwise cosine (F.aggregate/zip_with) for oracle parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    """cos(a,b) with built-in higher-order functions (JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors for every query vector (default: self top-k,
+    excluding identity).  queries are broadcast as a dense float32 matrix;
+    each partition computes a local GEMM + argpartition — the distributed
+    baseline every ANN variant is validated against.
+
+    Output: (query_id, neighbor_id, cosine), k rows per query."""
+    queries = queries if queries is not None else embeddings
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float32)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, qm))
+    kk = k
+
+    def kernel(batches):
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            # sims: (n_local, n_query); emit per-query partial top-k
+            sims = m @ mat_q.T
+            sims[ids[:, None] == ids_q[None, :]] = -np.inf  # drop identity
+            kloc = min(kk, sims.shape[0])
+            part = np.argpartition(-sims, kloc - 1, axis=0)[:kloc]
+            qi = np.repeat(np.arange(sims.shape[1]), kloc)
+            li = part.T.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[qi],
+                    "neighbor_id": ids[li],
+                    "cosine": sims[li, qi].astype(np.float64),
+                }
+            )
+
+    partial = embeddings.mapInPandas(
+        kernel, "query_id long, neighbor_id long, cosine double"
+    )
+    # global top-k per query over the per-partition partials
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = (
+        partial.where(F.col("cosine") > float("-inf"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+    return out
+
+
+def hyperplane_signature(
+    vec_col: str, dim: int, bits: int = 16, seed: int = 42
+) -> F.Column:
+    """Random-hyperplane LSH signature (bits-wide int) computed JVM-side:
+    bit b = sign(v · h_b) where h_b is a deterministic ±1 hyperplane derived
+    from xxhash-free seeded pattern (literal array baked into the plan)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        coeff = F.array(*[F.lit(float(c)) for c in planes[b]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), coeff, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    bits: int = 12,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane signature, brute-force within
+    bucket (plus the bucket's 1-bit neighbors would raise recall; v1 uses
+    exact-bucket only).  The scale path: the GEMM never exceeds a bucket."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    sig = hyperplane_signature(vec_col, dim, bits, seed)
+    tagged = embeddings.select(id_col, vec_col, sig.alias("bucket")).persist()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        kloc = min(k, len(pdf) - 1)
+        part = np.argpartition(-sims, kloc - 1, axis=1)[:, :kloc]
+        qi = np.repeat(np.arange(len(pdf)), kloc)
+        ni = part.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": ids[qi],
+                "neighbor_id": ids[ni],
+                "cosine": sims[qi, ni].astype(np.float64),
+            }
+        )
+
+    out = tagged.groupBy("bucket").applyInPandas(
+        kernel, "query_id long, neighbor_id long, cosine double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def pairwise_cosine_sql(
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    id_limit: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold via pure SQL expressions (the
+    oracle-parity formulation; quadratic — gate with id_limit)."""
+    e = embeddings.select(id_col, vec_col)
+    if id_limit is not None:
+        e = e.where(F.col(id_col) < id_limit)
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,149 @@
+"""Dedup / similarity / text / multimodal operator tests (small, hermetic)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pagerank_cuda_dynamic_spark.operators.dedup import (
+    exact_duplicates,
+    dedup_exact,
+    fingerprint_duplicates,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from pagerank_cuda_dynamic_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    pairwise_cosine_sql,
+)
+from pagerank_cuda_dynamic_spark.operators.text import (
+    language_id,
+    quality_score,
+    token_stats,
+)
+from pagerank_cuda_dynamic_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base + " extra"),                        # near dup of 0
+        (3, "completely different text about spark engines and shuffles"),
+        (4, "Fox quick the brown: dog lazy the over jumps today away far runs and"),  # fingerprint dup-ish
+        (5, "der hund und die katze ist nicht mit dem ball zu spielen"),
+        (6, base.upper()),                           # case variant
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(spark, docs):
+    got = {r["keeper_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert got == {0: 2}
+    assert dedup_exact(docs).count() == 6
+
+
+def test_fingerprint_duplicates(spark, docs):
+    got = {r["keeper_id"]: r["n_copies"] for r in fingerprint_duplicates(docs).collect()}
+    # 0,1,4,6 share the same sorted-token fingerprint
+    assert got == {0: 4}
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs        # identical
+    assert (0, 2) in pairs        # near dup
+    assert (0, 3) not in pairs    # unrelated
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in cands
+    verified = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in verified
+    assert all(a < b for a, b in verified)
+
+
+def test_simhash_near_duplicates(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_duplicates(docs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0  # identical text → identical simhash
+    assert (0, 6) in pairs          # case variant → same tokens after lower()
+
+
+def _embeddings_df(spark, n=40, dim=8, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    m[1] = m[0] + 0.01 * rng.standard_normal(dim).astype(np.float32)  # near dup pair
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m)})
+    return spark.createDataFrame(pdf), m
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, m = _embeddings_df(spark)
+    got = brute_force_topk(df, k=3).toPandas()
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(len(m)):
+        want = set(np.argsort(-sims[q])[:3])
+        have = set(got[got.query_id == q].neighbor_id)
+        assert have == want, q
+    # the engineered near-dup is each other's top-1
+    top1 = got[(got.query_id == 0)].sort_values("cosine", ascending=False).iloc[0]
+    assert top1.neighbor_id == 1
+
+
+def test_lsh_topk_recovers_near_dup(spark):
+    df, _ = _embeddings_df(spark)
+    got = lsh_topk(df, k=3, bits=4).toPandas()
+    n0 = got[got.query_id == 0]
+    assert 1 in set(n0.neighbor_id)  # near-identical vectors collide in LSH
+
+
+def test_pairwise_cosine_sql(spark):
+    df, m = _embeddings_df(spark)
+    got = pairwise_cosine_sql(df, min_cosine=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[0] == "en" and got[3] == "en"
+    assert got[5] == "de"
+
+
+def test_token_stats_and_quality(spark, docs):
+    ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert ts[0]["n_ws_tokens"] == 14
+    assert ts[0]["n_bpe_tokens"] == 14
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[0] > q[5]  # English stopword-rich beats German text on en-quality
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30 and all(len(f) == 64 for f in feats.features)
+    # deterministic: same content → same features
+    feats2 = extract_features(media).toPandas()
+    assert np.allclose(
+        np.stack(feats.sort_values("media_id").features.to_numpy()),
+        np.stack(feats2.sort_values("media_id").features.to_numpy()),
+    )
+    resized = resize_images(media, 32, 32).toPandas()
+    assert (resized.width == 32).all() and len(resized) == 10
+    frames = sample_frames(media, every_ms=250).toPandas()
+    assert len(frames) == 10 * 4  # 1000ms / 250ms per video
