@@ -1,38 +1,600 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: static PageRank over the entity graph derived
+                from the sf0.001 tables; returns top-ranked entities.
+queries()     — one entry per implemented operator (SURVEY.md §2), each
+                (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-runnable ANSI SQL equivalents (same column names,
+                aggregates aliased identically).  Iterative/graph-kernel
+                ops that SQL can't express are present in queries() only
+                (driver records rows-only checks for those).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pagerank_cuda_dynamic_spark.sources.edges import (
+    ENTITY_EDGES_SQL,
+    derive_entity_edges,
+    edges_from_events,
+)
+from pagerank_cuda_dynamic_spark.plans.dictionary import build_vertex_dictionary, encode_edges
+from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
+from pagerank_cuda_dynamic_spark.operators.graph import tidy_batch as _tidy
+from pagerank_cuda_dynamic_spark.operators.pagerank import (
+    PagerankOptions,
+    pagerank_static,
+)
+from pagerank_cuda_dynamic_spark.operators.components import (
+    connected_components_np,
+    label_propagation_np,
+    triangle_count as _tri,
+)
+from pagerank_cuda_dynamic_spark.operators.dedup import (
+    TOKEN_RE,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from pagerank_cuda_dynamic_spark.operators.similarity import (
+    brute_force_topk,
+    pairwise_cosine_sql,
+)
+from pagerank_cuda_dynamic_spark.operators.text import (
+    BPE_ISH_RE,
+    STOPWORDS,
+    fingerprints,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+DAMPING = 0.85
+
+
+# ---------------------------------------------------------------------------
+# shared plan builders
+# ---------------------------------------------------------------------------
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def _entity_graph(spark: SparkSession, sf_dir: str):
+    """Entity edges (strings) → dense snapshot + dictionary."""
+    e = derive_entity_edges(spark, sf_dir)
+    d = build_vertex_dictionary(e, src="src", dst="dst").persist()
+    n = d.count()
+    g = GraphSnapshot.build(encode_edges(e, d, src="src", dst="dst"), n=n)
+    return g, d, n
+
+
+def _ranks_as_entities(spark, g, d, ranks: np.ndarray) -> DataFrame:
+    pdf = pd.DataFrame({"v": np.arange(len(ranks), dtype=np.int64), "rank": ranks})
+    rdf = spark.createDataFrame(pdf)
+    return rdf.join(d, "v").select(F.col("entity"), F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_k(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    g, d, n = _entity_graph(spark, sf_dir)
+    opts = PagerankOptions(tolerance=0.0, max_iterations=k)
+    res = pagerank_static(g, opts)
+    out = _ranks_as_entities(spark, g, d, res.ranks)
+    return out
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: converged static PageRank (α=0.85, L∞<1e-10, universal
+    self-loops) over the sf0.001 entity graph; top 50 entities by rank."""
+    sf_dir = "/root/testdata/sf0.001"
+    g, d, n = _entity_graph(spark, sf_dir)
+    res = pagerank_static(g, PagerankOptions())
+    out = (
+        _ranks_as_entities(spark, g, d, res.ranks)
+        .orderBy(F.desc("rank"), F.asc("entity"))
+        .limit(50)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_entity_edges(spark, sf_dir):
+    return derive_entity_edges(spark, sf_dir)
+
+
+def q_temporal_edges(spark, sf_dir):
+    return edges_from_events(spark, sf_dir).select("src", "dst", "seq")
+
+
+def q_out_degrees(spark, sf_dir):
+    e = derive_entity_edges(spark, sf_dir)
+    return e.groupBy(F.col("src").alias("entity")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+
+
+def q_in_degrees(spark, sf_dir):
+    e = derive_entity_edges(spark, sf_dir)
+    return e.groupBy(F.col("dst").alias("entity")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+
+
+def q_graph_summary(spark, sf_dir):
+    """(n_vertices, n_edges_raw, n_edges_selflooped, n_selfloops)."""
+    e = derive_entity_edges(spark, sf_dir)
+    verts = e.select(F.col("src").alias("v")).unionByName(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    loops = verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+    sl = e.unionByName(loops).distinct()
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "n_vertices": [verts.count()],
+                "n_edges_raw": [e.count()],
+                "n_edges_selflooped": [sl.count()],
+                "n_selfloops": [sl.where(F.col("src") == F.col("dst")).count()],
+            }
+        )
+    )
+
+
+def q_transpose(spark, sf_dir):
+    e = derive_entity_edges(spark, sf_dir)
+    from pagerank_cuda_dynamic_spark.operators.graph import transpose
+
+    return transpose(e)
+
+
+def q_symmetrize(spark, sf_dir):
+    e = derive_entity_edges(spark, sf_dir)
+    from pagerank_cuda_dynamic_spark.operators.graph import symmetrize
+
+    return symmetrize(e)
+
+
+def q_tidy_batch(spark, sf_dir):
+    """Temporal split: first 90% of transitions = base graph; rest =
+    insertion batch; deletions = base rows with seq%13==0 (deterministic).
+    Output (op, src, dst) after tidy (semi/anti existence filters)."""
+    et = edges_from_events(spark, sf_dir)
+    total = et.count()
+    cut = int(0.9 * total)
+    base = et.where(F.col("seq") < cut).select("src", "dst").distinct()
+    ins_raw = et.where(F.col("seq") >= cut).select("src", "dst").distinct()
+    del_raw = et.where((F.col("seq") < cut) & (F.col("seq") % 13 == 0)).select(
+        "src", "dst"
+    ).distinct()
+    dels, ins = _tidy(base, del_raw, ins_raw)
+    return dels.withColumn("op", F.lit("del")).unionByName(
+        ins.withColumn("op", F.lit("ins"))
+    ).select("op", "src", "dst")
+
+
+def q_apply_batch_count(spark, sf_dir):
+    et = edges_from_events(spark, sf_dir)
+    total = et.count()
+    cut = int(0.9 * total)
+    base = et.where(F.col("seq") < cut).select("src", "dst").distinct()
+    ins_raw = et.where(F.col("seq") >= cut).select("src", "dst").distinct()
+    del_raw = et.where((F.col("seq") < cut) & (F.col("seq") % 13 == 0)).select(
+        "src", "dst"
+    ).distinct()
+    dels, ins = _tidy(base, del_raw, ins_raw)
+    from pagerank_cuda_dynamic_spark.operators.graph import apply_batch
+
+    after = apply_batch(base, dels, ins)
+    return after.agg(F.count(F.lit(1)).alias("n_edges_after"))
+
+
+def q_pagerank_1iter(spark, sf_dir):
+    return _pagerank_k(spark, sf_dir, 1)
+
+
+def q_pagerank_20iters(spark, sf_dir):
+    return _pagerank_k(spark, sf_dir, 20)
+
+
+def q_pagerank_top20(spark, sf_dir):
+    return (
+        _pagerank_k(spark, sf_dir, 20)
+        .orderBy(F.desc("rank"), F.asc("entity"))
+        .limit(20)
+    )
+
+
+def q_pagerank_converged(spark, sf_dir):
+    """Full static PR to 1e-10 L∞ (iterative — no SQL oracle; validated by
+    pytest NumPy oracle instead)."""
+    g, d, n = _entity_graph(spark, sf_dir)
+    res = pagerank_static(g, PagerankOptions())
+    return _ranks_as_entities(spark, g, d, res.ranks)
+
+
+def q_triangles(spark, sf_dir):
+    e = derive_entity_edges(spark, sf_dir)
+    d = build_vertex_dictionary(e, src="src", dst="dst")
+    enc = encode_edges(e, d, src="src", dst="dst")
+    return _tri(enc)
+
+
+def q_connected_components(spark, sf_dir):
+    """CC over the temporal transition graph (entity-string labeled:
+    component = lexicographically smallest member entity)."""
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    d = build_vertex_dictionary(et, src="src", dst="dst").persist()
+    n = d.count()
+    enc = encode_edges(et, d, src="src", dst="dst")
+    # dense ids are sorted-entity ranks → min dense id ≡ min entity string
+    comp = connected_components_np(enc, n)
+    pdf = pd.DataFrame({"v": np.arange(n, dtype=np.int64), "cid": comp})
+    cdf = spark.createDataFrame(pdf)
+    return (
+        cdf.join(d, "v")
+        .join(
+            d.withColumnRenamed("v", "cid").withColumnRenamed("entity", "component"),
+            "cid",
+        )
+        .select(F.col("entity").alias("v"), "component")
+    )
+
+
+def q_cc_sizes(spark, sf_dir):
+    return (
+        q_connected_components(spark, sf_dir)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+
+
+def q_lpa(spark, sf_dir):
+    """Label propagation communities (iterative kernel — rows-only check)."""
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    d = build_vertex_dictionary(et, src="src", dst="dst").persist()
+    n = d.count()
+    enc = encode_edges(et, d, src="src", dst="dst")
+    lab = label_propagation_np(enc, n)
+    pdf = pd.DataFrame({"v": np.arange(n, dtype=np.int64), "lid": lab})
+    cdf = spark.createDataFrame(pdf)
+    return (
+        cdf.join(d, "v")
+        .join(d.withColumnRenamed("v", "lid").withColumnRenamed("entity", "label"), "lid")
+        .select(F.col("entity").alias("v"), "label")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b", "jaccard")
+
+
+def q_minhash_candidates(spark, sf_dir):
+    """MinHash LSH candidates (xxhash64-based — rows-only check; verified
+    pairs are asserted against exact Jaccard in pytest)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    return minhash_lsh_candidates(docs)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    return simhash_near_duplicates(docs, max_hamming=8)
+
+
+def q_cosine_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pairwise_cosine_sql(emb, min_cosine=0.35, id_limit=400).select(
+        "id_a", "id_b"
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 (float32 GEMM — rows-only; numeric parity
+    with a float64 oracle is asserted in pytest instead)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 500
+    )
+    return brute_force_topk(emb, k=5).select("query_id", "neighbor_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "entity_edges": q_entity_edges,
+        "temporal_edges": q_temporal_edges,
+        "out_degrees": q_out_degrees,
+        "in_degrees": q_in_degrees,
+        "graph_summary": q_graph_summary,
+        "transpose": q_transpose,
+        "symmetrize": q_symmetrize,
+        "tidy_batch": q_tidy_batch,
+        "apply_batch_count": q_apply_batch_count,
+        "pagerank_1iter": q_pagerank_1iter,
+        "pagerank_20iters": q_pagerank_20iters,
+        "pagerank_top20": q_pagerank_top20,
+        "pagerank_converged": q_pagerank_converged,
+        "triangles": q_triangles,
+        "connected_components": q_connected_components,
+        "cc_sizes": q_cc_sizes,
+        "lpa": q_lpa,
+        "dedup_exact": q_dedup_exact,
+        "fingerprints": q_fingerprints,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "language_id": q_language_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_pairs": q_cosine_pairs,
+        "embedding_topk": q_embedding_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+# ---------------------------------------------------------------------------
+
+_EVENT_EDGES = """
+WITH trans AS (
+  SELECT 'u' || (user_id % 16) || ':' || event_type AS dst,
+         LAG('u' || (user_id % 16) || ':' || event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         ts, event_id
+    FROM events
+)
+SELECT src, dst, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS seq
+  FROM trans WHERE src IS NOT NULL
+"""
+
+_GRAPH_CTES = f"""
+base_edges AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+verts AS MATERIALIZED (SELECT src AS v FROM base_edges UNION SELECT dst FROM base_edges),
+edges AS MATERIALIZED (SELECT src, dst FROM base_edges UNION SELECT v, v FROM verts),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS outdeg FROM edges GROUP BY src),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+ew AS MATERIALIZED (
+  SELECT edges.src, edges.dst, 1.0 / deg.outdeg AS w
+  FROM edges JOIN deg ON deg.v = edges.src)
+"""
+
+
+def _pr_sql(k: int) -> str:
+    """Unrolled k-iteration PageRank as chained CTEs (sync pull update,
+    C0=(1-P)/N, universal self-loops)."""
+    ctes = [f"WITH {_GRAPH_CTES.strip()}"]
+    ctes.append(
+        "r0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nn) AS rank FROM verts)"
+    )
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT verts.v,
+         (1-{DAMPING})/(SELECT n FROM nn)
+           + {DAMPING} * coalesce(sum(r{i-1}.rank * ew.w), 0) AS rank
+  FROM verts LEFT JOIN ew ON ew.dst = verts.v
+  LEFT JOIN r{i-1} ON r{i-1}.v = ew.src
+  GROUP BY verts.v
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT v AS entity, round(rank, 6) AS rank FROM r{k}"
+    )
+
+
+_SHINGLES = """
+SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 1) + 1),
+    i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i+2), ' ')
+))) AS s
+FROM documents WHERE doc_id < 200
+"""
+
+
+def _lang_sql() -> str:
+    langs = sorted(STOPWORDS)
+    hit_cols = []
+    for lg in langs:
+        pat = r"(?i)\b(" + "|".join(STOPWORDS[lg]) + r")\b"
+        hit_cols.append(f"len(regexp_extract_all(text, '{pat}')) AS h_{lg}")
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {best} > 0 AND h_{lg} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
+SELECT doc_id, {case} AS lang_pred FROM hits
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_pat = r"(?i)\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+    return {
+        "entity_edges": ENTITY_EDGES_SQL,
+        "temporal_edges": _EVENT_EDGES,
+        "out_degrees": f"SELECT src AS entity, count(*) AS outdeg FROM ({ENTITY_EDGES_SQL}) GROUP BY src",
+        "in_degrees": f"SELECT dst AS entity, count(*) AS indeg FROM ({ENTITY_EDGES_SQL}) GROUP BY dst",
+        "graph_summary": f"""
+WITH {_GRAPH_CTES.strip()}
+SELECT (SELECT n FROM nn) AS n_vertices,
+       (SELECT count(*) FROM base_edges) AS n_edges_raw,
+       (SELECT count(*) FROM edges) AS n_edges_selflooped,
+       (SELECT count(*) FROM edges WHERE src = dst) AS n_selfloops
+""",
+        "transpose": f"SELECT dst AS src, src AS dst FROM ({ENTITY_EDGES_SQL})",
+        "symmetrize": f"""
+WITH e AS ({ENTITY_EDGES_SQL})
+SELECT src, dst FROM e UNION SELECT dst, src FROM e
+""",
+        "tidy_batch": f"""
+WITH et AS ({_EVENT_EDGES}),
+cut AS (SELECT cast(floor(0.9 * count(*)) AS bigint) AS c FROM et),
+base AS (SELECT DISTINCT src, dst FROM et WHERE seq < (SELECT c FROM cut)),
+ins_raw AS (SELECT DISTINCT src, dst FROM et WHERE seq >= (SELECT c FROM cut)),
+del_raw AS (SELECT DISTINCT src, dst FROM et
+            WHERE seq < (SELECT c FROM cut) AND seq % 13 = 0)
+SELECT 'del' AS op, src, dst FROM del_raw
+ WHERE (src, dst) IN (SELECT (src, dst) FROM base)
+UNION ALL
+SELECT 'ins' AS op, src, dst FROM ins_raw
+ WHERE (src, dst) NOT IN (SELECT (src, dst) FROM base)
+""",
+        "apply_batch_count": f"""
+WITH et AS ({_EVENT_EDGES}),
+cut AS (SELECT cast(floor(0.9 * count(*)) AS bigint) AS c FROM et),
+base AS (SELECT DISTINCT src, dst FROM et WHERE seq < (SELECT c FROM cut)),
+ins_raw AS (SELECT DISTINCT src, dst FROM et WHERE seq >= (SELECT c FROM cut)),
+del_raw AS (SELECT DISTINCT src, dst FROM et
+            WHERE seq < (SELECT c FROM cut) AND seq % 13 = 0),
+dels AS (SELECT src, dst FROM del_raw WHERE (src, dst) IN (SELECT (src, dst) FROM base)),
+ins AS (SELECT src, dst FROM ins_raw WHERE (src, dst) NOT IN (SELECT (src, dst) FROM base)),
+after AS (
+  SELECT src, dst FROM base WHERE (src, dst) NOT IN (SELECT (src, dst) FROM dels)
+  UNION
+  SELECT src, dst FROM ins
+)
+SELECT count(*) AS n_edges_after FROM after
+""",
+        "pagerank_1iter": _pr_sql(1),
+        "pagerank_20iters": _pr_sql(20),
+        "pagerank_top20": _pr_sql(20) + " ORDER BY round(rank, 6) DESC, v ASC LIMIT 20",
+        "triangles": f"""
+WITH e0 AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+e AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)
+SELECT count(*) AS n_triangles
+FROM e ab JOIN e bc ON ab.dst = bc.src
+WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.src = ab.src AND ac.dst = bc.dst)
+""",
+        "connected_components": f"""
+WITH RECURSIVE et AS ({_EVENT_EDGES}),
+edges AS (SELECT DISTINCT src, dst FROM et),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS v FROM und),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.v
+)
+SELECT v, min(r) AS component FROM reach GROUP BY v
+""",
+        "cc_sizes": f"""
+WITH RECURSIVE et AS ({_EVENT_EDGES}),
+edges AS (SELECT DISTINCT src, dst FROM et),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS v FROM und),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.v
+),
+comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+SELECT component, count(*) AS size FROM comp GROUP BY component
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY text HAVING count(*) > 1
+""",
+        "fingerprints": """
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(
+           regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ') AS fingerprint
+FROM documents
+""",
+        "token_stats": rf"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS n_bpe_tokens
+FROM documents
+""",
+        "quality_score": rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tok,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '{en_pat}')) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+           + 0.3 * least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0)
+           + 0.3 * (1.0 - least((n_punct * 1.0 / greatest(n_chars, 1)) * 4.0, 1.0)),
+           6) AS quality
+FROM t
+""",
+        "language_id": _lang_sql(),
+        "ngram_jaccard": f"""
+WITH sh AS ({_SHINGLES}),
+sizes AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+""",
+        "cosine_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 400 AND b.vec_id < 400
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+""",
+    }
+
+
+if __name__ == "__main__":
+    from pagerank_cuda_dynamic_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    df = entry(spark)
+    df.show(10, truncate=False)

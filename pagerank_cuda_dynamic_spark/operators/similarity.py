@@ -17,14 +17,17 @@ from pyspark.sql import DataFrame
 
 
 def cosine_expr(a: str, b: str) -> F.Column:
-    """cos(a,b) with built-in higher-order functions (JVM-side)."""
+    """cos(a,b) with built-in higher-order functions (JVM-side), computed
+    in float64 regardless of the array element type (oracle parity)."""
+    ca = F.transform(F.col(a), lambda x: x.cast("double"))
+    cb = F.transform(F.col(b), lambda x: x.cast("double"))
     dot = F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.zip_with(ca, cb, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, x: acc + x * x))
+    na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, x: acc + x * x))
     return dot / (na * nb)
 
 

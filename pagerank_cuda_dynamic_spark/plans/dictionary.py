@@ -60,9 +60,16 @@ def encode_edges(
     the edge table; at true scale where |V| exceeds broadcast limits these
     become shuffle joins on the entity key — same plan, Catalyst picks).
     """
-    d = F.broadcast(dictionary)
-    out = (
-        edges.join(d.withColumnRenamed("entity", src).withColumnRenamed("v", "src"), src)
-        .join(d.withColumnRenamed("entity", dst).withColumnRenamed("v", "dst"), dst)
+    src_map = dictionary.select(
+        F.col("entity").alias("__src_ent"), F.col("v").alias("__src_id")
     )
-    return out.select("src", "dst", *keep)
+    dst_map = dictionary.select(
+        F.col("entity").alias("__dst_ent"), F.col("v").alias("__dst_id")
+    )
+    out = (
+        edges.join(F.broadcast(src_map), F.col(src) == F.col("__src_ent"))
+        .join(F.broadcast(dst_map), F.col(dst) == F.col("__dst_ent"))
+    )
+    return out.select(
+        F.col("__src_id").alias("src"), F.col("__dst_id").alias("dst"), *keep
+    )
