@@ -120,6 +120,8 @@ def _loop_csr(
     iters = 0
     step_secs: list = []
 
+    packed = graph.packed()
+
     while iters < opts.max_iterations:
         t0 = time.time()
         payload = {"rdiv": r / safe_deg}
@@ -137,53 +139,72 @@ def _loop_csr(
             rdiv = d["rdiv"]
             vaff_b = d.get("vaff")
             movers_b = d.get("movers")
-            contrib = np.zeros(n_cap, dtype=np.float64)
-            present = np.zeros(n_cap, dtype=bool)
-            ext = np.zeros(n_cap, dtype=bool) if do_expand else None
-            seen = False
             for pdf in batches:
-                src = pdf["src"].to_numpy()
-                dst = pdf["dst"].to_numpy()
-                if src.size == 0:
-                    continue
-                seen = True
-                contrib += np.bincount(dst, weights=rdiv[src], minlength=n_cap)
-                present |= np.bincount(dst, minlength=n_cap).astype(bool)
-                if do_expand:
-                    m = movers_b[src]
-                    if do_prune:
-                        m &= src != dst  # DF-P skips self (pagerankPrune.hxx:65)
-                    if m.any():
-                        ext |= np.bincount(dst[m], minlength=n_cap).astype(bool)
-            if not seen:
-                return
-            if dyn:
-                aff_local = vaff_b.copy()
-                if do_expand:
-                    aff_local |= ext
-                aff_local &= present
-                idx = np.flatnonzero(aff_local)
-                marked = ext[idx] if do_expand else np.zeros(idx.size, dtype=bool)
-            else:
-                idx = np.flatnonzero(present)
-                marked = np.zeros(idx.size, dtype=bool)
-            yield pd.DataFrame(
-                {"v": idx.astype(np.int64), "contrib": contrib[idx], "marked": marked}
-            )
+                for j in range(len(pdf)):
+                    src = np.frombuffer(pdf["src_bin"].iloc[j], dtype=np.int64)
+                    dst = np.frombuffer(pdf["dst_bin"].iloc[j], dtype=np.int64)
+                    if src.size == 0:
+                        continue
+                    contrib = np.bincount(dst, weights=rdiv[src], minlength=n_cap)
+                    present = np.bincount(dst, minlength=n_cap).astype(bool)
+                    if do_expand:
+                        m = movers_b[src]
+                        if do_prune:
+                            m &= src != dst  # DF-P skips self (pagerankPrune.hxx:65)
+                        ext = np.zeros(n_cap, dtype=bool)
+                        if m.any():
+                            ext |= np.bincount(dst[m], minlength=n_cap).astype(bool)
+                    else:
+                        ext = None
+                    if dyn:
+                        aff_local = vaff_b.copy()
+                        if do_expand:
+                            aff_local |= ext
+                        aff_local &= present
+                        idx = np.flatnonzero(aff_local)
+                        marked = (
+                            ext[idx]
+                            if do_expand
+                            else np.zeros(idx.size, dtype=bool)
+                        )
+                    else:
+                        idx = np.flatnonzero(present)
+                        marked = np.zeros(idx.size, dtype=bool)
+                    yield pd.DataFrame(
+                        {
+                            "vs_bin": [idx.astype(np.int64).tobytes()],
+                            "contrib_bin": [contrib[idx].tobytes()],
+                            "marked_bin": [np.packbits(marked).tobytes()],
+                            "n_out": [idx.size],
+                        }
+                    )
 
-        pdf = edges.mapInPandas(kernel, "v long, contrib double, marked boolean").toPandas()
+        pdf = packed.mapInPandas(
+            kernel, "vs_bin binary, contrib_bin binary, marked_bin binary, n_out long"
+        ).toPandas()
         bc.destroy()
 
-        vs = pdf["v"].to_numpy()
-        cs = pdf["contrib"].to_numpy()
+        vs_parts, cs_parts, mk_parts = [], [], []
+        for j in range(len(pdf)):
+            n_out = int(pdf["n_out"].iloc[j])
+            vs_parts.append(np.frombuffer(pdf["vs_bin"].iloc[j], dtype=np.int64))
+            cs_parts.append(np.frombuffer(pdf["contrib_bin"].iloc[j], dtype=np.float64))
+            mk_parts.append(
+                np.unpackbits(
+                    np.frombuffer(pdf["marked_bin"].iloc[j], dtype=np.uint8),
+                    count=n_out,
+                ).astype(bool)
+            )
+        vs = np.concatenate(vs_parts) if vs_parts else np.empty(0, np.int64)
+        cs = np.concatenate(cs_parts) if cs_parts else np.empty(0, np.float64)
+        mk = np.concatenate(mk_parts) if mk_parts else np.empty(0, bool)
         dshare = (
             P * float(r[dangling_mask].sum()) / N if dangling_mask is not None else 0.0
         )
         if dynamic:
             vaff = vaff.copy()
-            newly = pdf["marked"].to_numpy()
-            if newly.any():
-                vaff[vs[newly]] = True
+            if mk.any():
+                vaff[vs[mk]] = True
         # assemble new ranks: every affected vertex gets the teleport (+
         # dangling share) base; vertices with in-edges add the gathered sum.
         # Vertices affected but without in-edges exist only in redistribute

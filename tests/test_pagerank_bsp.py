@@ -1,0 +1,54 @@
+"""BSP-mode PageRank parity with the per-superstep csr path + NumPy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pagerank_cuda_dynamic_spark.operators.pagerank import (
+    PagerankOptions,
+    pagerank_static,
+)
+from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import pagerank_static_bsp
+from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
+
+from .conftest import MICRO_GRAPHS, edges_df
+from .oracle import add_self_loops_np, pagerank_numpy
+
+
+@pytest.mark.parametrize("name", ["line5", "star_hub", "two_islands", "diamond"])
+def test_bsp_matches_oracle(spark, name):
+    n, src, dst = MICRO_GRAPHS[name]
+    g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
+    res = pagerank_static_bsp(g, PagerankOptions())
+    s, d = add_self_loops_np(n, np.array(src), np.array(dst))
+    want, _ = pagerank_numpy(n, s, d)
+    assert np.allclose(res.ranks, want, atol=1e-6), name
+    assert abs(res.ranks.sum() - 1.0) < 1e-8
+    g.unpersist()
+
+
+def test_bsp_matches_csr_medium(spark):
+    rng = np.random.default_rng(17)
+    n, m = 3000, 20000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
+    a = pagerank_static_bsp(g, PagerankOptions())
+    b = pagerank_static(g, PagerankOptions(mode="csr"))
+    assert np.allclose(a.ranks, b.ranks, atol=1e-10)
+    assert a.iterations == b.iterations
+    g.unpersist()
+
+
+def test_bsp_warm_start(spark):
+    rng = np.random.default_rng(23)
+    n, m = 500, 3000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
+    base = pagerank_static_bsp(g)
+    warm = pagerank_static_bsp(g, q=base.ranks)
+    assert warm.iterations <= 2  # already converged
+    assert np.allclose(warm.ranks, base.ranks, atol=1e-9)
+    g.unpersist()
