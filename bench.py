@@ -1,0 +1,254 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Sections:
+  scaling   — BSP static PageRank on a ~25M-edge dense transcript-topology
+              graph at local[cpus/4] THEN local[cpus] (fresh session each):
+              median superstep, edges/s, N→4N efficiency (BASELINE.json rule)
+  dynamic   — ND (BSP warm start), DF, DF-P per insert-batch vs static
+              recompute on the updated graph (README.md:21 regime)
+  ops       — operator suite over the sf tables: entity-edge derivation,
+              converged PageRank, CC, triangles, minhash dedup, ANN top-k,
+              token stats
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "200000"))
+HOPS = int(os.environ.get("SPARK_GRAFT_BENCH_HOPS", "8"))
+SEED = 42
+
+
+def _mk_spark(cpus: int, name: str):
+    from pagerank_cuda_dynamic_spark.session import get_spark
+
+    s = get_spark(
+        app_name=name,
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _median_steady(steps: list[float]) -> float:
+    """Steady-state superstep seconds: median (drops memmap warm-up and GC
+    stragglers that pollute the mean)."""
+    return float(np.median(np.asarray(steps))) if steps else float("nan")
+
+
+def bsp_static_run(spark, n_conv: int, hops: int):
+    from pagerank_cuda_dynamic_spark.sources.bench_graph import dense_transcript_graph
+    from pagerank_cuda_dynamic_spark.plans import GraphSnapshot
+    from pagerank_cuda_dynamic_spark.operators.pagerank import PagerankOptions
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import pagerank_static_bsp
+
+    e, n = dense_transcript_graph(spark, n_conv, adjacency_hops=hops, seed=SEED)
+    g = GraphSnapshot.build(e, n=n, partitions=spark.sparkContext.defaultParallelism)
+    m = g.edges.count()
+    res = pagerank_static_bsp(g, PagerankOptions())
+    return g, m, res
+
+
+def section_scaling(results: dict) -> None:
+    lo_cpus = max(CPUS // 4, 1)
+    stats = {}
+    for cpus in (lo_cpus, CPUS):
+        t0 = time.time()
+        spark = _mk_spark(cpus, f"bench-scale-{cpus}")
+        g, m, res = bsp_static_run(spark, BENCH_CONVS, HOPS)
+        med = _median_steady(res.superstep_seconds)
+        stats[cpus] = {
+            "edges": m,
+            "vertices": g.n,
+            "iterations": res.iterations,
+            "median_superstep_sec": round(med, 4),
+            "mean_superstep_sec": round(float(np.mean(res.superstep_seconds)), 4),
+            "edges_per_sec_per_superstep": round(m / med, 0),
+            "loop_wall_sec": round(res.time, 1),
+        }
+        results["queries"][f"pagerank_bsp_static_local{cpus}"] = round(res.time, 2)
+        g.unpersist()
+        spark.stop()
+        print(f"# scaling local[{cpus}]: {stats[cpus]}", file=sys.stderr)
+    eff = (
+        stats[lo_cpus]["median_superstep_sec"] / stats[CPUS]["median_superstep_sec"]
+    ) / (CPUS / lo_cpus)
+    results["scaling"] = {
+        "n_cores": lo_cpus,
+        "n4_cores": CPUS,
+        "stats": stats,
+        "efficiency_median_superstep": round(eff, 3),
+    }
+    results["edges_per_sec_per_superstep"] = stats[CPUS]["edges_per_sec_per_superstep"]
+
+
+def section_dynamic(spark, results: dict) -> None:
+    import pyspark.sql.functions as F
+
+    from pagerank_cuda_dynamic_spark.sources.bench_graph import dense_transcript_graph
+    from pagerank_cuda_dynamic_spark.plans import GraphSnapshot
+    from pagerank_cuda_dynamic_spark.operators.graph import tidy_batch
+    from pagerank_cuda_dynamic_spark.operators.pagerank import PagerankOptions
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
+        pagerank_dynamic_frontier_bsp,
+        pagerank_dynamic_frontier_prune_bsp,
+        pagerank_static_bsp,
+    )
+
+    n_conv = max(BENCH_CONVS // 4, 1000)
+    e, n = dense_transcript_graph(spark, n_conv, adjacency_hops=2, seed=SEED)
+    g = GraphSnapshot.build(e, n=n)
+    m = g.edges.count()
+    base = pagerank_static_bsp(g, PagerankOptions())
+    results["queries"]["dyn_base_static"] = round(base.time, 2)
+
+    # insert-only batch ≈ 1e-4·|E| seeded random turn→turn pairs (tidied)
+    k = max(int(1e-4 * m), 10)
+    rng = np.random.default_rng(SEED)
+    import pandas as pd
+
+    ins_pdf = pd.DataFrame(
+        {
+            "src": rng.integers(0, n, k).astype(np.int64),
+            "dst": rng.integers(0, n, k).astype(np.int64),
+        }
+    )
+    ins_raw = spark.createDataFrame(ins_pdf)
+    empty = spark.createDataFrame(
+        pd.DataFrame({"src": [], "dst": []}).astype("int64"),
+        schema="src long, dst long",
+    )
+    dels, ins = tidy_batch(g.edges, empty, ins_raw)
+    g2 = g.with_batch(dels, ins)
+
+    t0 = time.time()
+    s2 = pagerank_static_bsp(g2, PagerankOptions())
+    t_static = time.time() - t0
+    results["queries"]["dyn_static_recompute"] = round(t_static, 2)
+
+    t0 = time.time()
+    nd = pagerank_static_bsp(g2, PagerankOptions(), q=base.ranks)
+    results["queries"]["dyn_nd"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    df_res = pagerank_dynamic_frontier_bsp(g, g2, dels, ins, base.ranks)
+    t_df = time.time() - t0
+    results["queries"]["dyn_df"] = round(t_df, 2)
+
+    t0 = time.time()
+    dfp_res = pagerank_dynamic_frontier_prune_bsp(g, g2, dels, ins, base.ranks)
+    t_dfp = time.time() - t0
+    results["queries"]["dyn_dfp"] = round(t_dfp, 2)
+
+    results["dynamic"] = {
+        "edges": m,
+        "batch_size": int(ins.count()),
+        "static_loop_sec": round(sum(s2.superstep_seconds), 3),
+        "nd_loop_sec": round(sum(nd.superstep_seconds), 3),
+        "df_loop_sec": round(sum(df_res.superstep_seconds), 3),
+        "dfp_loop_sec": round(sum(dfp_res.superstep_seconds), 3),
+        "nd_err_linf": float(np.abs(nd.ranks - s2.ranks).max()),
+        "df_err_linf": float(np.abs(df_res.ranks - s2.ranks).max()),
+        "dfp_err_linf": float(np.abs(dfp_res.ranks - s2.ranks).max()),
+        "df_iterations": df_res.iterations,
+        "df_affected_initial": df_res.affected_initial,
+        "df_speedup_vs_static_loop": round(
+            sum(s2.superstep_seconds) / max(sum(df_res.superstep_seconds), 1e-9), 2
+        ),
+        "dfp_speedup_vs_static_loop": round(
+            sum(s2.superstep_seconds) / max(sum(dfp_res.superstep_seconds), 1e-9), 2
+        ),
+    }
+    g.unpersist()
+    g2.unpersist()
+
+
+def section_ops(spark, results: dict) -> None:
+    import pyspark.sql.functions as F
+
+    from pagerank_cuda_dynamic_spark.sources.edges import derive_entity_edges, edges_from_events
+    from pagerank_cuda_dynamic_spark.plans import build_vertex_dictionary, encode_edges, GraphSnapshot
+    from pagerank_cuda_dynamic_spark.operators.pagerank import PagerankOptions, pagerank_static
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import pagerank_static_bsp
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        connected_components_np,
+        triangle_count,
+    )
+    from pagerank_cuda_dynamic_spark.operators.dedup import minhash_dedup_pairs
+    from pagerank_cuda_dynamic_spark.operators.similarity import brute_force_topk
+    from pagerank_cuda_dynamic_spark.operators.text import token_stats
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        results["queries"][name] = round(time.time() - t0, 2)
+        return out
+
+    def build_graph():
+        e = derive_entity_edges(spark, SF_DIR)
+        d = build_vertex_dictionary(e, src="src", dst="dst").persist()
+        n = d.count()
+        return GraphSnapshot.build(encode_edges(e, d, src="src", dst="dst"), n=n)
+
+    g = timed("entity_graph_build", build_graph)
+    timed("pagerank_converged_bsp", lambda: pagerank_static_bsp(g, PagerankOptions()))
+    timed("triangles", lambda: triangle_count(g.edges.where(F.col("src") != F.col("dst"))).collect())
+
+    def cc():
+        et = edges_from_events(spark, SF_DIR).select("src", "dst").distinct()
+        d = build_vertex_dictionary(et, src="src", dst="dst")
+        n = d.count()
+        return connected_components_np(encode_edges(et, d, src="src", dst="dst"), n)
+
+    timed("connected_components", cc)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("minhash_dedup", lambda: minhash_dedup_pairs(docs, threshold=0.5).count())
+    timed("token_stats", lambda: token_stats(docs).agg(F.sum("n_bpe_tokens")).collect())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("ann_topk", lambda: brute_force_topk(emb, k=10).count())
+    g.unpersist()
+
+
+def main() -> None:
+    t_all = time.time()
+    results: dict = {"queries": {}}
+    section_scaling(results)
+    spark = _mk_spark(CPUS, "bench-main")
+    try:
+        section_dynamic(spark, results)
+        section_ops(spark, results)
+    finally:
+        spark.stop()
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(time.time() - t_all, 1),
+        "unit": "sec",
+        "queries": results["queries"],
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "edges_per_sec_per_superstep": results.get("edges_per_sec_per_superstep"),
+        "scaling": results.get("scaling"),
+        "dynamic": results.get("dynamic"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,16 +75,15 @@ def bsp_pack(graph, p: int | None = None):
     sc = spark.sparkContext
     bc_bounds = sc.broadcast(bounds)
 
-    def assign(batches):
-        b = bc_bounds.value
-        for pdf in batches:
-            dst = pdf["dst"].to_numpy()
-            stripe = np.searchsorted(b, dst, side="right") - 1
-            out = pdf[["src", "dst"]].copy()
-            out["stripe"] = stripe.astype(np.int32)
-            yield out
-
-    with_stripe = graph.edges.mapInPandas(assign, "src long, dst long, stripe int")
+    # stripe id via JVM expression (count of interior boundaries ≤ dst) —
+    # keeps the assignment inside whole-stage codegen, no Python pass
+    interior = F.array(*[F.lit(int(b)) for b in bounds[1:-1]])
+    stripe_col = F.aggregate(
+        interior,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("dst") >= b, 1).otherwise(0),
+    ).cast("int")
+    with_stripe = graph.edges.select("src", "dst", stripe_col.alias("stripe"))
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         """Per-stripe CSR block: src ids (int32 when they fit) sorted by
@@ -129,38 +128,48 @@ def bsp_pack(graph, p: int | None = None):
     return packed, bounds, n_stripes
 
 
-def _spin_wait(path_fmt: str, count: int, deadline: float) -> None:
-    while True:
-        ready = sum(
-            1 for i in range(count) if os.path.exists(path_fmt.format(i=i))
-        )
-        if ready >= count:
-            return
-        if time.time() > deadline:
-            raise TimeoutError(f"BSP sync timeout waiting for {path_fmt} ({ready}/{count})")
-        time.sleep(0.0008)
+def _ragged_take(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized concatenation of ranges [starts[i], starts[i]+lens[i]).
+    starts/lens must have lens > 0."""
+    tot = int(lens.sum())
+    out = np.ones(tot, dtype=np.int64)
+    out[0] = starts[0]
+    pos = np.cumsum(lens)[:-1]
+    out[pos] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(out)
 
 
-def pagerank_static_bsp(
-    graph, opts: PagerankOptions | None = None, q: np.ndarray | None = None
+def _bsp_loop(
+    graph,
+    opts: PagerankOptions,
+    q: np.ndarray | None = None,
+    vaff0: np.ndarray | None = None,
+    corrected: bool = False,
+    expand: bool = False,
+    prune: bool = False,
 ) -> PagerankResult:
-    """Static (q=None) or warm-start (ND) PageRank via the BSP loop.
-    Requires the self-looped snapshot (dangling='selfloop' semantics).
+    """Generalized BSP convergence loop (static/ND/DT/DF/DF-P).
 
-    Exchange design: double-buffered shared memmaps (rank/rdiv for even/odd
-    iterations) written in disjoint dst-stripe slices by their owners;
-    per-iteration sync is a flag-array spin in shared memory (x86 TSO store
-    visibility), so one iteration costs gather + slice write + spin — no
-    job launch, no file churn, no redundant assembly."""
-    opts = opts or PagerankOptions()
+    Exchange: double-buffered shared memmaps (rank, rdiv, movers) written in
+    disjoint dst-stripe slices by their owners; per-iteration sync is a
+    flag-array spin in shared memory (BarrierTaskContext.barrier() polls at
+    1 Hz — far too coarse).  vaff is task-local: a stripe's affected flags
+    are only ever read/written by the stripe owner; only the mover set
+    (frontier-expansion sources, pagerankCuda.hxx:681–687 naff analog)
+    crosses stripes.  Affected-only gathers use CSR row slicing so DF/DF-P
+    supersteps cost O(affected in-edges), the reference's sub-linear claim
+    (README.md:21)."""
     t_all = time.time()
     N = graph.n
     P_DAMP = opts.damping
     TOL = opts.tolerance
     MAXIT = opts.max_iterations
     C0 = (1.0 - P_DAMP) / N
+    dynamic = vaff0 is not None
+    if corrected or dynamic:
+        assert opts.dangling == "selfloop", "BSP dynamic modes assume self-looped graphs"
 
-    packed, bounds, n_stripes = bsp_pack(graph)
+    packed, bounds, n_stripes = graph.bsp_packed()
     outdeg = graph.outdeg_array()
     safe_deg = np.maximum(outdeg, 1.0)
     workdir = _scratch_dir()
@@ -182,13 +191,21 @@ def pagerank_static_bsp(
     mm("rdiv_0.npy", (N,), np.float64, r0 / safe_deg)
     mm("rdiv_1.npy", (N,), np.float64, 0.0)
     mm("el.npy", (MAXIT + 2, n_stripes), np.float64, 0.0)
+    if dynamic:
+        mm("vaff.npy", (N,), np.uint8, vaff0.astype(np.uint8))
+        mm("movers_0.npy", (N,), np.uint8, 0)
+        mm("movers_1.npy", (N,), np.uint8, 0)
     flags = mm("flags.npy", (MAXIT + 2, n_stripes), np.uint8, 0)
     flags[0, :] = 1
     flags.flush()
 
-    n_bounds = bounds
     wd = workdir
-    n_s = n_stripes
+    dyn = dynamic
+    do_expand = expand
+    do_prune = prune
+    do_corr = corrected
+    D_TOL = opts.frontier_tolerance
+    C_TOL = opts.prune_tolerance
 
     def loop(it):
         import numpy as _np
@@ -199,10 +216,18 @@ def pagerank_static_bsp(
                 row["src_bin"], dtype=_np.int32 if row["src32"] else _np.int64
             )
             offsets = _np.frombuffer(row["offsets_bin"], dtype=_np.int64)
-            idx = _np.minimum(offsets[:-1], max(src.size - 1, 0))
-            empty = offsets[1:] == offsets[:-1]
+            counts = (offsets[1:] - offsets[:-1]).astype(_np.int64)
+            ridx = _np.minimum(offsets[:-1], max(src.size - 1, 0))
+            empty = counts == 0
+            lo, hi = int(row["lo"]), int(row["hi"])
+            selfmask = None
+            if do_prune and src.size:
+                rowid = _np.repeat(
+                    _np.arange(hi - lo, dtype=_np.int64) + lo, counts
+                )
+                selfmask = src == rowid
             stripes.append(
-                (int(row["stripe"]), int(row["lo"]), int(row["hi"]), src, idx, empty)
+                (int(row["stripe"]), lo, hi, src, offsets, counts, ridx, empty, selfmask)
             )
         deg = _np.load(os.path.join(wd, "deg.npy"), mmap_mode="r")
         ranks = [
@@ -215,12 +240,19 @@ def pagerank_static_bsp(
         ]
         el_mm = _np.load(os.path.join(wd, "el.npy"), mmap_mode="r+")
         flag_mm = _np.load(os.path.join(wd, "flags.npy"), mmap_mode="r+")
+        if dyn:
+            movers_bufs = [
+                _np.load(os.path.join(wd, "movers_0.npy"), mmap_mode="r+"),
+                _np.load(os.path.join(wd, "movers_1.npy"), mmap_mode="r+"),
+            ]
+            vaff_mm = _np.load(os.path.join(wd, "vaff.npy"), mmap_mode="r")
+            # vaff is task-local per stripe: materialize own slices
+            vaffs = {st[0]: _np.array(vaff_mm[st[1]: st[2]], dtype=bool) for st in stripes}
         deadline = time.time() + 3600
         step_times = []
         l = 0
         while True:
             t0 = time.time()
-            # wait for iteration-l stripes (flag spin in shared memory)
             while not flag_mm[l, :].all():
                 if time.time() > deadline:
                     raise TimeoutError(f"BSP flag sync timeout at iter {l}")
@@ -231,17 +263,76 @@ def pagerank_static_bsp(
                 break
             cur, nxt = l % 2, (l + 1) % 2
             rdiv = rdivs[cur]
-            for s, lo, hi, src, idx, empty in stripes:
-                if src.size:
-                    w = rdiv[src]
-                    contrib = _np.add.reduceat(w, idx)
-                    contrib[empty] = 0.0
+            mov = movers_bufs[cur] if (dyn and do_expand) else None
+            for s, lo, hi, src, offsets, counts, ridx, empty, selfmask in stripes:
+                width = hi - lo
+                r_slice = _np.array(ranks[cur][lo:hi])
+                if not dyn:
+                    if src.size:
+                        w = rdiv[src]
+                        sums = _np.add.reduceat(w, ridx)
+                        sums[empty] = 0.0
+                    else:
+                        sums = _np.zeros(width)
+                    a = C0 + P_DAMP * sums
+                    eu = _np.abs(a - r_slice)
+                    el = float(eu.max()) if width else 0.0
                 else:
-                    contrib = _np.zeros(hi - lo)
-                a = C0 + P_DAMP * contrib
-                el = float(_np.abs(a - ranks[cur][lo:hi]).max()) if hi > lo else 0.0
+                    vaff_s = vaffs[s]
+                    if do_expand and src.size:
+                        msrc = mov[src]
+                        if selfmask is not None:
+                            msrc = msrc & ~selfmask
+                        extc = _np.add.reduceat(msrc.astype(_np.float64), ridx)
+                        extc[empty] = 0.0
+                        vaff_s |= extc > 0
+                    A = _np.flatnonzero(vaff_s)
+                    a = r_slice.copy()
+                    el = 0.0
+                    movers_next = _np.zeros(width, dtype=_np.uint8)
+                    if A.size:
+                        lens = counts[A]
+                        nz = lens > 0
+                        sums = _np.zeros(A.size)
+                        if nz.any():
+                            tot = int(lens[nz].sum())
+                            if tot >= 0.6 * src.size:
+                                w = rdiv[src]
+                                full = _np.add.reduceat(w, ridx)
+                                full[empty] = 0.0
+                                sums = full[A]
+                            else:
+                                eidx = _ragged_take(offsets[A][nz], lens[nz])
+                                w = rdiv[src[eidx]]
+                                loc = _np.concatenate(
+                                    [[0], _np.cumsum(lens[nz])[:-1]]
+                                ).astype(_np.int64)
+                                sums_nz = _np.add.reduceat(w, loc)
+                                sums[nz] = sums_nz
+                        if do_corr:
+                            dv = _np.asarray(deg[lo:hi])[A]
+                            a_vals = (C0 + P_DAMP * (sums - r_slice[A] / dv)) / (
+                                1.0 - P_DAMP / dv
+                            )
+                        else:
+                            a_vals = C0 + P_DAMP * sums
+                        a[A] = a_vals
+                        eu = _np.abs(r_slice[A] - a_vals)
+                        el = float(eu.max())
+                        if do_expand or do_prune:
+                            denom = _np.maximum(
+                                _np.maximum(r_slice[A], a_vals), 1e-300
+                            )
+                            rel = eu / denom
+                            if do_expand:
+                                movers_next[A[rel > D_TOL]] = 1
+                            if do_prune:
+                                vaff_s[A[rel <= C_TOL]] = False
+                    if do_expand:
+                        movers_bufs[nxt][lo:hi] = movers_next
+                a_div = a / _np.asarray(deg[lo:hi])
                 ranks[nxt][lo:hi] = a
-                rdivs[nxt][lo:hi] = a / deg[lo:hi]
+                rdivs[nxt][lo:hi] = a_div
                 el_mm[l + 1, s] = el
                 flag_mm[l + 1, s] = 1
             step_times.append(time.time() - t0)
@@ -257,7 +348,66 @@ def pagerank_static_bsp(
         np.load(os.path.join(workdir, f"rank_{iters % 2}.npy"), mmap_mode="r")
     )
     shutil.rmtree(workdir, ignore_errors=True)
-    packed.unpersist()
     return PagerankResult(
-        r, iters, time.time() - t_all, superstep_seconds=step_times
+        r,
+        iters,
+        time.time() - t_all,
+        affected_initial=int(vaff0.sum()) if dynamic else 0,
+        superstep_seconds=step_times,
+    )
+
+
+def pagerank_static_bsp(
+    graph, opts: PagerankOptions | None = None, q: np.ndarray | None = None
+) -> PagerankResult:
+    """Static (q=None) or warm-start/Naive-Dynamic PageRank via BSP."""
+    return _bsp_loop(graph, opts or PagerankOptions(), q=q)
+
+
+def pagerank_dynamic_traversal_bsp(
+    old, new, deletions, insertions, q: np.ndarray, opts: PagerankOptions | None = None
+) -> PagerankResult:
+    from pagerank_cuda_dynamic_spark.operators.pagerank import (
+        _adjust_warm_start,
+        _traversal_marks,
+    )
+
+    opts = opts or PagerankOptions()
+    vaff = _traversal_marks(old, new, deletions, insertions)
+    return _bsp_loop(new, opts, q=_adjust_warm_start(q, new.n), vaff0=vaff)
+
+
+def pagerank_dynamic_frontier_bsp(
+    old, new, deletions, insertions, q: np.ndarray, opts: PagerankOptions | None = None
+) -> PagerankResult:
+    from pagerank_cuda_dynamic_spark.operators.pagerank import (
+        _adjust_warm_start,
+        _frontier_marks,
+    )
+
+    opts = opts or PagerankOptions()
+    vaff = _frontier_marks(old, new, deletions, insertions)
+    return _bsp_loop(
+        new, opts, q=_adjust_warm_start(q, new.n), vaff0=vaff, expand=True
+    )
+
+
+def pagerank_dynamic_frontier_prune_bsp(
+    old, new, deletions, insertions, q: np.ndarray, opts: PagerankOptions | None = None
+) -> PagerankResult:
+    from pagerank_cuda_dynamic_spark.operators.pagerank import (
+        _adjust_warm_start,
+        _frontier_marks,
+    )
+
+    opts = opts or PagerankOptions()
+    vaff = _frontier_marks(old, new, deletions, insertions)
+    return _bsp_loop(
+        new,
+        opts,
+        q=_adjust_warm_start(q, new.n),
+        vaff0=vaff,
+        corrected=True,
+        expand=True,
+        prune=True,
     )

@@ -32,6 +32,16 @@ class GraphSnapshot:
     degrees: DataFrame
     _outdeg_np: np.ndarray | None = field(default=None, repr=False)
     _packed: DataFrame | None = field(default=None, repr=False)
+    _bsp_packed: tuple | None = field(default=None, repr=False)
+
+    def bsp_packed(self, p: int | None = None) -> tuple:
+        """Cached (packed, bounds, n_stripes) stripe-CSR build for the BSP
+        loop — built once per snapshot like the reference's device CSR."""
+        if self._bsp_packed is None:
+            from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import bsp_pack
+
+            self._bsp_packed = bsp_pack(self, p)
+        return self._bsp_packed
 
     def packed(self) -> DataFrame:
         """Partition-packed CSR blocks: ONE row per dst-hash partition with
@@ -127,3 +137,6 @@ class GraphSnapshot:
         if self._packed is not None:
             self._packed.unpersist()
             self._packed = None
+        if self._bsp_packed is not None:
+            self._bsp_packed[0].unpersist()
+            self._bsp_packed = None
