@@ -75,6 +75,9 @@ class PagerankResult:
     marking_time: float = 0.0
     affected_initial: int = 0
     superstep_seconds: list = field(default_factory=list)
+    # loop-carried state for segmented/checkpointed runs:
+    # {"vaff": ndarray|None, "movers": ndarray|None, "converged": bool}
+    state: dict = field(default_factory=dict)
 
     def ranks_df(self, spark) -> DataFrame:
         pdf = pd.DataFrame({"v": np.arange(len(self.ranks), dtype=np.int64),

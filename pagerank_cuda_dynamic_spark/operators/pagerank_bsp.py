@@ -147,6 +147,7 @@ def _bsp_loop(
     corrected: bool = False,
     expand: bool = False,
     prune: bool = False,
+    movers0: np.ndarray | None = None,
 ) -> PagerankResult:
     """Generalized BSP convergence loop (static/ND/DT/DF/DF-P).
 
@@ -193,7 +194,8 @@ def _bsp_loop(
     mm("el.npy", (MAXIT + 2, n_stripes), np.float64, 0.0)
     if dynamic:
         mm("vaff.npy", (N,), np.uint8, vaff0.astype(np.uint8))
-        mm("movers_0.npy", (N,), np.uint8, 0)
+        mm("movers_0.npy", (N,), np.uint8,
+           movers0.astype(np.uint8) if movers0 is not None else 0)
         mm("movers_1.npy", (N,), np.uint8, 0)
     flags = mm("flags.npy", (MAXIT + 2, n_stripes), np.uint8, 0)
     flags[0, :] = 1
@@ -245,7 +247,7 @@ def _bsp_loop(
                 _np.load(os.path.join(wd, "movers_0.npy"), mmap_mode="r+"),
                 _np.load(os.path.join(wd, "movers_1.npy"), mmap_mode="r+"),
             ]
-            vaff_mm = _np.load(os.path.join(wd, "vaff.npy"), mmap_mode="r")
+            vaff_mm = _np.load(os.path.join(wd, "vaff.npy"), mmap_mode="r+")
             # vaff is task-local per stripe: materialize own slices
             vaffs = {st[0]: _np.array(vaff_mm[st[1]: st[2]], dtype=bool) for st in stripes}
         deadline = time.time() + 3600
@@ -337,6 +339,9 @@ def _bsp_loop(
                 flag_mm[l + 1, s] = 1
             step_times.append(time.time() - t0)
             l += 1
+        if dyn:  # publish final frontier state for segmented/checkpointed runs
+            for st in stripes:
+                vaff_mm[st[1]: st[2]] = vaffs[st[0]].astype(_np.uint8)
         if any(st[0] == 0 for st in stripes):
             yield (l, step_times)
         else:
@@ -347,6 +352,15 @@ def _bsp_loop(
     r = np.array(
         np.load(os.path.join(workdir, f"rank_{iters % 2}.npy"), mmap_mode="r")
     )
+    el_final = float(np.load(os.path.join(workdir, "el.npy"), mmap_mode="r")[iters, :].max())
+    state = {"converged": el_final < TOL, "el": el_final, "bounds": bounds}
+    if dynamic:
+        state["vaff"] = np.array(
+            np.load(os.path.join(workdir, "vaff.npy"), mmap_mode="r")
+        ).astype(bool)
+        state["movers"] = np.array(
+            np.load(os.path.join(workdir, f"movers_{iters % 2}.npy"), mmap_mode="r")
+        ).astype(bool)
     shutil.rmtree(workdir, ignore_errors=True)
     return PagerankResult(
         r,
@@ -354,6 +368,7 @@ def _bsp_loop(
         time.time() - t_all,
         affected_initial=int(vaff0.sum()) if dynamic else 0,
         superstep_seconds=step_times,
+        state=state,
     )
 
 

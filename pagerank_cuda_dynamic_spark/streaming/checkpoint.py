@@ -1,0 +1,111 @@
+"""Superstep checkpointing + resume (north rule: every superstep persists
+the rank vector and affected-frontier bitmap with per-partition lineage and
+iteration metrics, so a killed job resumes mid-convergence).
+
+Storage: Parquet snapshot directories (`<root>/iter=<l>/`) — the Iceberg
+table contract (immutable snapshot per commit, latest wins) without needing
+Iceberg jars in this sandbox; writing through a real Iceberg catalog is a
+one-line `.writeTo(...)` swap, noted inline.
+
+Layout per checkpoint:
+  ranks/     (v:long, rank:double, part:int)   — part = dst-stripe id (lineage)
+  frontier/  (v:long)                          — affected bitmap, sparse
+  metrics.json                                 — iteration, l∞ residual,
+                                                 superstep seconds, counts
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, root: str, every: int = 1):
+        self.spark = spark
+        self.root = root
+        self.every = max(every, 1)
+        os.makedirs(root, exist_ok=True)
+
+    def _iter_dir(self, l: int) -> str:
+        return os.path.join(self.root, f"iter={l:06d}")
+
+    def save(
+        self,
+        l: int,
+        ranks: np.ndarray,
+        vaff: np.ndarray | None,
+        el: float,
+        step_seconds: float,
+        bounds: np.ndarray | None = None,
+        extra: dict | None = None,
+    ) -> None:
+        if l % self.every:
+            return
+        d = self._iter_dir(l)
+        tmp = d + ".tmp"
+        n = len(ranks)
+        if bounds is None:
+            bounds = np.array([0, n], dtype=np.int64)
+        part = np.searchsorted(bounds, np.arange(n), side="right") - 1
+        pdf = pd.DataFrame(
+            {"v": np.arange(n, dtype=np.int64), "rank": ranks, "part": part.astype(np.int32)}
+        )
+        # Iceberg swap point: df.writeTo(table).overwritePartitions()
+        self.spark.createDataFrame(pdf).repartition(1, "part").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "ranks"))
+        if vaff is not None and vaff.any():
+            fr = pd.DataFrame({"v": np.flatnonzero(vaff).astype(np.int64)})
+            self.spark.createDataFrame(fr).write.mode("overwrite").parquet(
+                os.path.join(tmp, "frontier")
+            )
+        meta = {
+            "iteration": l,
+            "linf_residual": el,
+            "superstep_seconds": step_seconds,
+            "n_vertices": n,
+            "n_affected": int(vaff.sum()) if vaff is not None else n,
+            "wall_time": time.time(),
+            "n_partitions": len(bounds) - 1,
+        }
+        meta.update(extra or {})
+        with open(os.path.join(tmp, "metrics.json"), "w") as fh:
+            json.dump(meta, fh)
+        os.rename(tmp, d)  # atomic publish (snapshot commit)
+
+    def latest(self) -> int | None:
+        if not os.path.isdir(self.root):
+            return None
+        its = [
+            int(x.split("=")[1])
+            for x in os.listdir(self.root)
+            if x.startswith("iter=") and not x.endswith(".tmp")
+        ]
+        return max(its) if its else None
+
+    def load(self, l: int | None = None):
+        """Returns (iteration, ranks, vaff or None, metrics)."""
+        if l is None:
+            l = self.latest()
+        if l is None:
+            return None
+        d = self._iter_dir(l)
+        pdf = self.spark.read.parquet(os.path.join(d, "ranks")).toPandas()
+        meta = json.load(open(os.path.join(d, "metrics.json")))
+        n = meta["n_vertices"]
+        ranks = np.zeros(n, dtype=np.float64)
+        ranks[pdf["v"].to_numpy()] = pdf["rank"].to_numpy()
+        vaff = None
+        fdir = os.path.join(d, "frontier")
+        if os.path.isdir(fdir):
+            fr = self.spark.read.parquet(fdir).toPandas()
+            vaff = np.zeros(n, dtype=bool)
+            vaff[fr["v"].to_numpy()] = True
+        return l, ranks, vaff, meta
