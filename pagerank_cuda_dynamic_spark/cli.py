@@ -1,0 +1,119 @@
+"""spark-submit entry point (north rule: `spark-submit --py-files` run).
+
+Usage:
+  spark-submit --py-files pagerank_cuda_dynamic_spark.zip \
+      pagerank_cuda_dynamic_spark/cli.py \
+      --transcripts /path/to/transcripts_parquet \
+      --technique dfp --out /path/to/ranks_out \
+      --checkpoint-dir /path/to/ckpt [--batches 5]
+
+Or synthesize input: --synthesize 10000 (conversations, seed 42).
+Reads the transcript table, derives the entity link graph, runs the chosen
+PageRank technique over temporal batches with checkpointing, writes the
+final (entity, rank) table as parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", help="parquet path of the transcript table")
+    ap.add_argument("--synthesize", type=int, default=0, help="synthesize N conversations instead")
+    ap.add_argument("--technique", default="static",
+                    choices=["static", "nd", "dt", "df", "dfp"])
+    ap.add_argument("--batches", type=int, default=0,
+                    help="temporal batches after a 90%% base prefix (0 = single static run)")
+    ap.add_argument("--out", required=True, help="output parquet path for (entity, rank)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--tolerance", type=float, default=1e-10)
+    ap.add_argument("--max-iterations", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession, Window
+
+    from pagerank_cuda_dynamic_spark.sources.transcripts import (
+        read_transcripts,
+        synthesize_transcripts,
+    )
+    from pagerank_cuda_dynamic_spark.sources.edges import derive_edges_from_transcripts
+    from pagerank_cuda_dynamic_spark.plans.dictionary import (
+        build_vertex_dictionary,
+        encode_edges,
+    )
+    from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
+    from pagerank_cuda_dynamic_spark.operators.pagerank import PagerankOptions
+    from pagerank_cuda_dynamic_spark.streaming.checkpoint import CheckpointManager
+    from pagerank_cuda_dynamic_spark.streaming.driver import (
+        pagerank_checkpointed,
+        run_temporal_batches,
+    )
+
+    spark = SparkSession.builder.getOrCreate()  # configured by spark-submit
+    t0 = time.time()
+    if args.synthesize:
+        t = synthesize_transcripts(spark, n_conversations=args.synthesize, seed=args.seed)
+    elif args.transcripts:
+        t = read_transcripts(spark, args.transcripts)
+    else:
+        ap.error("one of --transcripts / --synthesize required")
+
+    ent = derive_edges_from_transcripts(t)
+    d = build_vertex_dictionary(ent).persist()
+    n = d.count()
+    enc = encode_edges(ent, d, keep=("ts",))
+    opts = PagerankOptions(
+        damping=args.damping, tolerance=args.tolerance, max_iterations=args.max_iterations
+    )
+
+    if args.batches > 0:
+        w = Window.orderBy("ts", "src", "dst")
+        edges_seq = enc.select(
+            "src", "dst", (F.row_number().over(w) - 1).alias("seq")
+        )
+        ranks, metrics = run_temporal_batches(
+            spark,
+            edges_seq,
+            n_batches=args.batches,
+            technique=args.technique,
+            opts=opts,
+            ckpt_root=args.checkpoint_dir,
+        )
+        for m in metrics:
+            print(json.dumps(m.__dict__), file=sys.stderr)
+    else:
+        g = GraphSnapshot.build(enc.select("src", "dst"), n=n)
+        if args.checkpoint_dir:
+            ckpt = CheckpointManager(spark, args.checkpoint_dir)
+            res = pagerank_checkpointed(g, ckpt, opts)
+        else:
+            from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
+                pagerank_static_bsp,
+            )
+
+            res = pagerank_static_bsp(g, opts)
+        ranks = res.ranks
+        print(
+            json.dumps({"iterations": res.iterations, "seconds": res.time}),
+            file=sys.stderr,
+        )
+
+    pdf = pd.DataFrame({"v": np.arange(len(ranks), dtype=np.int64), "rank": ranks})
+    out = spark.createDataFrame(pdf).join(d, "v").select("entity", "rank")
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"total_seconds": round(time.time() - t0, 1), "out": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
