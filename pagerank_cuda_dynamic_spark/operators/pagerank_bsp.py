@@ -10,17 +10,24 @@ device and each iteration is one kernel + one scalar D2H sync
 Spark: ONE barrier-scheduled job runs the whole convergence loop; edge
 stripes stay resident in the Python workers; iterations synchronize through
 a shared scratch directory (/dev/shm locally; any shared FS on a cluster)
-with file-marker spin barriers (BarrierTaskContext.barrier() itself polls
-at 1 Hz — too coarse).
+with flag-array spin barriers (BarrierTaskContext.barrier() itself polls at
+1 Hz — too coarse).
 
 Partitioning: contiguous dst stripes with boundaries chosen by cumulative
 in-degree (each stripe owns ~E/P in-edges), so every vertex's pull sum is
 complete within one stripe and the per-iteration exchange is exactly the
-rank vector, written once, read mmap'd.  Hub vertices concentrate in their
-owner stripe (documented skew; salted hub splitting is the planned v2).
+rank vector, written once, read mmap'd.
+
+Skew (north rule "salted high-degree hubs"): vertices whose in-degree
+exceeds hub_factor·E/P are SALTED — their in-edges are spread across
+stripes by src hash, each stripe computes a partial sum per hub per
+iteration (phase A), and the hub's home stripe combines the partials
+(phase B).  This is the degree-partitioned kernel split of the reference
+(thread- vs block-per-vertex at degree 64, pagerankCuda.hxx:470–481)
+re-expressed as a two-phase BSP exchange.
 
 Semantics identical to operators.pagerank mode="csr" (sync pull update,
-L∞ convergence, universal self-loops); cross-checked in tests to 1e-12.
+L∞ convergence, universal self-loops); cross-checked in tests to 1e-9.
 """
 
 from __future__ import annotations
@@ -46,63 +53,102 @@ def _scratch_dir() -> str:
     return os.path.join(base, f"pr_bsp_{uuid.uuid4().hex[:12]}")
 
 
-def _stripe_boundaries(graph, p: int) -> np.ndarray:
-    """Contiguous dst-stripe boundaries balancing in-edge counts."""
-    indeg_pdf = (
+def _indegrees(graph) -> np.ndarray:
+    pdf = (
         graph.edges.groupBy(F.col("dst").alias("v"))
         .agg(F.count(F.lit(1)).alias("indeg"))
         .toPandas()
     )
     indeg = np.zeros(graph.n, dtype=np.int64)
-    indeg[indeg_pdf["v"].to_numpy()] = indeg_pdf["indeg"].to_numpy()
-    cum = np.cumsum(indeg)
-    total = cum[-1] if len(cum) else 0
-    targets = np.arange(1, p) * (total / p)
-    cuts = np.searchsorted(cum, targets)
-    bounds = np.concatenate([[0], cuts, [graph.n]]).astype(np.int64)
-    return np.unique(bounds)  # dedupe in case of tiny graphs
+    indeg[pdf["v"].to_numpy()] = pdf["indeg"].to_numpy()
+    return indeg
 
 
-def bsp_pack(graph, p: int | None = None):
-    """Stripe-packed blobs: one row per dst stripe with (stripe, lo, hi,
-    src_bin, dstoff_bin), repartitioned so each stripe is whole in one task.
-    Cached on the snapshot (parallel one-time build ≡ host CSR build)."""
+def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
+    """Stripe-packed CSR blobs + salted hub blocks, one row per dst stripe,
+    repartitioned so each stripe is whole in one task.  Returns
+    (packed_df, bounds, n_stripes, hubs).
+
+    hubs: dst ids with indeg > hub_factor·E/p.  Their in-edges are assigned
+    to stripes by pmod(src) (the salt) and packed as per-stripe hub CSR
+    blocks over the full hub list; everything else is the regular
+    contiguous-stripe CSR (csr.hxx:107–286 analog), built once."""
     spark = graph.edges.sparkSession
     if p is None:
         p = spark.sparkContext.defaultParallelism
-    bounds = _stripe_boundaries(graph, p)
+    indeg = _indegrees(graph)
+    total = int(indeg.sum())
+    hub_cut = max(hub_factor * total / max(p, 1), 64)
+    hubs = np.flatnonzero(indeg > hub_cut).astype(np.int64)
+    # balance boundaries over NON-hub in-edges (hub edges are salted away)
+    bal = indeg.copy()
+    if hubs.size:
+        bal[hubs] = 0
+    cum = np.cumsum(bal)
+    tot_bal = cum[-1] if len(cum) else 0
+    targets = np.arange(1, p) * (tot_bal / max(p, 1))
+    cuts = np.searchsorted(cum, targets)
+    bounds = np.unique(
+        np.concatenate([[0], cuts, [graph.n]]).astype(np.int64)
+    )
     n_stripes = len(bounds) - 1
     sc = spark.sparkContext
     bc_bounds = sc.broadcast(bounds)
+    bc_hubs = sc.broadcast(hubs)
 
-    # stripe id via JVM expression (count of interior boundaries ≤ dst) —
-    # keeps the assignment inside whole-stage codegen, no Python pass
     interior = F.array(*[F.lit(int(b)) for b in bounds[1:-1]])
-    stripe_col = F.aggregate(
+    range_stripe = F.aggregate(
         interior,
         F.lit(0),
         lambda acc, b: acc + F.when(F.col("dst") >= b, 1).otherwise(0),
     ).cast("int")
+    if hubs.size:
+        hub_set = F.array(*[F.lit(int(h)) for h in hubs])
+        is_hub = F.array_contains(hub_set, F.col("dst"))
+        stripe_col = F.when(
+            is_hub, F.pmod(F.col("src"), F.lit(n_stripes)).cast("int")
+        ).otherwise(range_stripe)
+    else:
+        stripe_col = range_stripe
     with_stripe = graph.edges.select("src", "dst", stripe_col.alias("stripe"))
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        """Per-stripe CSR block: src ids (int32 when they fit) sorted by
-        dst, plus reduceat offsets over the stripe's dst range — the true
-        CSR build (csr.hxx:107–286 analog), done once."""
         b = bc_bounds.value
+        hub_ids = bc_hubs.value
         s = int(key[0])
         lo, hi = int(b[s]), int(b[s + 1])
-        src = pdf["src"].to_numpy(dtype=np.int64)
-        dstoff = pdf["dst"].to_numpy(dtype=np.int64) - lo
+        src_all = pdf["src"].to_numpy(dtype=np.int64)
+        dst_all = pdf["dst"].to_numpy(dtype=np.int64)
+        if hub_ids.size:
+            hub_col = np.searchsorted(hub_ids, dst_all)
+            hub_col = np.where(
+                (hub_col < hub_ids.size) & (hub_ids[np.minimum(hub_col, hub_ids.size - 1)] == dst_all),
+                hub_col,
+                -1,
+            )
+            is_h = hub_col >= 0
+        else:
+            is_h = np.zeros(src_all.size, dtype=bool)
+        # regular rows → contiguous-stripe CSR
+        src = src_all[~is_h]
+        dstoff = dst_all[~is_h] - lo
         order = np.argsort(dstoff, kind="stable")
         src = src[order]
         dstoff = dstoff[order]
-        # CSR offsets: counts per local dst (self-loops guarantee ≥1 in-edge
-        # per existing vertex; padding vertices get empty rows)
         counts = np.bincount(dstoff, minlength=hi - lo)
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         if src.size and src.max() < 2**31:
             src = src.astype(np.int32)
+        # hub rows → hub-block CSR over the full hub list
+        hsrc = src_all[is_h]
+        hcol = hub_col[is_h] if hub_ids.size else np.empty(0, np.int64)
+        horder = np.argsort(hcol, kind="stable")
+        hsrc = hsrc[horder]
+        hcol = hcol[horder]
+        hcounts = np.bincount(hcol, minlength=hub_ids.size)
+        hoffsets = np.concatenate([[0], np.cumsum(hcounts)]).astype(np.int64)
+        if hsrc.size and hsrc.max() < 2**31:
+            hsrc = hsrc.astype(np.int32)
         return pd.DataFrame(
             {
                 "stripe": [s],
@@ -111,6 +157,9 @@ def bsp_pack(graph, p: int | None = None):
                 "src_bin": [src.tobytes()],
                 "src32": [src.dtype == np.int32],
                 "offsets_bin": [offsets.tobytes()],
+                "hub_src_bin": [hsrc.tobytes()],
+                "hub_src32": [hsrc.dtype == np.int32],
+                "hub_offsets_bin": [hoffsets.tobytes()],
             }
         )
 
@@ -119,13 +168,15 @@ def bsp_pack(graph, p: int | None = None):
         .groupBy("stripe")
         .applyInPandas(
             pack,
-            "stripe int, lo long, hi long, src_bin binary, src32 boolean, offsets_bin binary",
+            "stripe int, lo long, hi long, src_bin binary, src32 boolean, "
+            "offsets_bin binary, hub_src_bin binary, hub_src32 boolean, "
+            "hub_offsets_bin binary",
         )
         .repartition(min(n_stripes, p))
         .persist()
     )
     packed.count()
-    return packed, bounds, n_stripes
+    return packed, bounds, n_stripes, hubs
 
 
 def _ragged_take(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -151,15 +202,13 @@ def _bsp_loop(
 ) -> PagerankResult:
     """Generalized BSP convergence loop (static/ND/DT/DF/DF-P).
 
-    Exchange: double-buffered shared memmaps (rank, rdiv, movers) written in
-    disjoint dst-stripe slices by their owners; per-iteration sync is a
-    flag-array spin in shared memory (BarrierTaskContext.barrier() polls at
-    1 Hz — far too coarse).  vaff is task-local: a stripe's affected flags
-    are only ever read/written by the stripe owner; only the mover set
-    (frontier-expansion sources, pagerankCuda.hxx:681–687 naff analog)
-    crosses stripes.  Affected-only gathers use CSR row slicing so DF/DF-P
-    supersteps cost O(affected in-edges), the reference's sub-linear claim
-    (README.md:21)."""
+    Per iteration: [phase A: every stripe computes partial sums (and mover
+    marks) for salted hubs from its src-local hub edges] → flagA sync →
+    [phase B: each stripe gathers its regular CSR rows, combines hub
+    partials for hubs homed in it, applies the rank update (affected-only
+    CSR row slices for DF/DF-P), writes its rank/rdiv slice] → flag sync.
+    vaff is task-local (a stripe's flags are only touched by its owner);
+    the mover set and hub partials are the only cross-stripe state."""
     t_all = time.time()
     N = graph.n
     P_DAMP = opts.damping
@@ -170,7 +219,8 @@ def _bsp_loop(
     if corrected or dynamic:
         assert opts.dangling == "selfloop", "BSP dynamic modes assume self-looped graphs"
 
-    packed, bounds, n_stripes = graph.bsp_packed()
+    packed, bounds, n_stripes, hubs = graph.bsp_packed()
+    n_hubs = int(hubs.size)
     outdeg = graph.outdeg_array()
     safe_deg = np.maximum(outdeg, 1.0)
     workdir = _scratch_dir()
@@ -187,11 +237,19 @@ def _bsp_loop(
         return arr
 
     mm("deg.npy", (N,), np.float64, safe_deg)
+    mm("hubs.npy", (max(n_hubs, 1),), np.int64, hubs if n_hubs else 0)
     mm("rank_0.npy", (N,), np.float64, r0)
     mm("rank_1.npy", (N,), np.float64, 0.0)
     mm("rdiv_0.npy", (N,), np.float64, r0 / safe_deg)
     mm("rdiv_1.npy", (N,), np.float64, 0.0)
     mm("el.npy", (MAXIT + 2, n_stripes), np.float64, 0.0)
+    if n_hubs:
+        mm("hubpart_0.npy", (n_stripes, n_hubs), np.float64, 0.0)
+        mm("hubpart_1.npy", (n_stripes, n_hubs), np.float64, 0.0)
+        mm("flagsA.npy", (MAXIT + 2, n_stripes), np.uint8, 0)
+        if dynamic and expand:
+            mm("hubext_0.npy", (n_stripes, n_hubs), np.uint8, 0)
+            mm("hubext_1.npy", (n_stripes, n_hubs), np.uint8, 0)
     if dynamic:
         mm("vaff.npy", (N,), np.uint8, vaff0.astype(np.uint8))
         mm("movers_0.npy", (N,), np.uint8,
@@ -208,10 +266,12 @@ def _bsp_loop(
     do_corr = corrected
     D_TOL = opts.frontier_tolerance
     C_TOL = opts.prune_tolerance
+    NH = n_hubs
 
     def loop(it):
         import numpy as _np
 
+        hub_ids = _np.load(os.path.join(wd, "hubs.npy"), mmap_mode="r") if NH else None
         stripes = []
         for row in it:
             src = _np.frombuffer(
@@ -228,8 +288,34 @@ def _bsp_loop(
                     _np.arange(hi - lo, dtype=_np.int64) + lo, counts
                 )
                 selfmask = src == rowid
+            # hub block (salted in-edges this stripe holds, over all hubs)
+            hsrc = _np.frombuffer(
+                row["hub_src_bin"],
+                dtype=_np.int32 if row["hub_src32"] else _np.int64,
+            )
+            hoff = (
+                _np.frombuffer(row["hub_offsets_bin"], dtype=_np.int64)
+                if NH
+                else _np.zeros(1, _np.int64)
+            )
+            hcounts = (hoff[1:] - hoff[:-1]).astype(_np.int64) if NH else None
+            hridx = _np.minimum(hoff[:-1], max(hsrc.size - 1, 0)) if NH else None
+            hempty = hcounts == 0 if NH else None
+            hselfmask = None
+            if do_prune and NH and hsrc.size:
+                hub_per_edge = _np.repeat(_np.asarray(hub_ids), hcounts)
+                hselfmask = hsrc == hub_per_edge
+            # hubs homed in this stripe (owner combines partials)
+            own_cols = (
+                _np.flatnonzero((hub_ids >= lo) & (hub_ids < hi)) if NH else None
+            )
+            own_offs = _np.asarray(hub_ids)[own_cols] - lo if NH else None
             stripes.append(
-                (int(row["stripe"]), lo, hi, src, offsets, counts, ridx, empty, selfmask)
+                (
+                    int(row["stripe"]), lo, hi, src, offsets, counts, ridx,
+                    empty, selfmask, hsrc, hridx, hempty, hselfmask,
+                    own_cols, own_offs,
+                )
             )
         deg = _np.load(os.path.join(wd, "deg.npy"), mmap_mode="r")
         ranks = [
@@ -242,23 +328,37 @@ def _bsp_loop(
         ]
         el_mm = _np.load(os.path.join(wd, "el.npy"), mmap_mode="r+")
         flag_mm = _np.load(os.path.join(wd, "flags.npy"), mmap_mode="r+")
+        if NH:
+            hubparts = [
+                _np.load(os.path.join(wd, "hubpart_0.npy"), mmap_mode="r+"),
+                _np.load(os.path.join(wd, "hubpart_1.npy"), mmap_mode="r+"),
+            ]
+            flagA_mm = _np.load(os.path.join(wd, "flagsA.npy"), mmap_mode="r+")
+            if dyn and do_expand:
+                hubexts = [
+                    _np.load(os.path.join(wd, "hubext_0.npy"), mmap_mode="r+"),
+                    _np.load(os.path.join(wd, "hubext_1.npy"), mmap_mode="r+"),
+                ]
         if dyn:
             movers_bufs = [
                 _np.load(os.path.join(wd, "movers_0.npy"), mmap_mode="r+"),
                 _np.load(os.path.join(wd, "movers_1.npy"), mmap_mode="r+"),
             ]
             vaff_mm = _np.load(os.path.join(wd, "vaff.npy"), mmap_mode="r+")
-            # vaff is task-local per stripe: materialize own slices
             vaffs = {st[0]: _np.array(vaff_mm[st[1]: st[2]], dtype=bool) for st in stripes}
         deadline = time.time() + 3600
         step_times = []
         l = 0
+
+        def spin(arr, row_i):
+            while not arr[row_i, :].all():
+                if time.time() > deadline:
+                    raise TimeoutError(f"BSP flag sync timeout at iter {row_i}")
+                time.sleep(0.0002)
+
         while True:
             t0 = time.time()
-            while not flag_mm[l, :].all():
-                if time.time() > deadline:
-                    raise TimeoutError(f"BSP flag sync timeout at iter {l}")
-                time.sleep(0.0002)
+            spin(flag_mm, l)
             if l > 0 and (float(el_mm[l, :].max()) < TOL or l >= MAXIT):
                 break
             if MAXIT == 0:
@@ -266,9 +366,39 @@ def _bsp_loop(
             cur, nxt = l % 2, (l + 1) % 2
             rdiv = rdivs[cur]
             mov = movers_bufs[cur] if (dyn and do_expand) else None
-            for s, lo, hi, src, offsets, counts, ridx, empty, selfmask in stripes:
+            # ---- phase A: salted hub partials (and hub mover marks) ----
+            if NH:
+                for st in stripes:
+                    (s, lo, hi, _src, _offs, _cnts, _ridx, _empty, _sm,
+                     hsrc, hridx, hempty, hselfmask, _oc, _oo) = st
+                    if hsrc.size:
+                        w = rdiv[hsrc]
+                        part = _np.add.reduceat(w, hridx)
+                        part[hempty] = 0.0
+                    else:
+                        part = _np.zeros(NH)
+                    hubparts[cur][s, :] = part
+                    if dyn and do_expand:
+                        if hsrc.size:
+                            ms = mov[hsrc]
+                            if hselfmask is not None:
+                                ms = ms & ~hselfmask
+                            ext = _np.add.reduceat(ms.astype(_np.float64), hridx)
+                            ext[hempty] = 0.0
+                            hubexts[cur][s, :] = (ext > 0).astype(_np.uint8)
+                        else:
+                            hubexts[cur][s, :] = 0
+                    flagA_mm[l + 1, s] = 1
+                spin(flagA_mm, l + 1)
+            # ---- phase B: rank update per owned stripe ----
+            for st in stripes:
+                (s, lo, hi, src, offsets, counts, ridx, empty, selfmask,
+                 _hs, _hr, _he, _hsm, own_cols, own_offs) = st
                 width = hi - lo
                 r_slice = _np.array(ranks[cur][lo:hi])
+                hub_tot = None
+                if NH and own_cols is not None and own_cols.size:
+                    hub_tot = hubparts[cur][:, own_cols].sum(axis=0)
                 if not dyn:
                     if src.size:
                         w = rdiv[src]
@@ -276,6 +406,8 @@ def _bsp_loop(
                         sums[empty] = 0.0
                     else:
                         sums = _np.zeros(width)
+                    if hub_tot is not None:
+                        sums[own_offs] += hub_tot
                     a = C0 + P_DAMP * sums
                     eu = _np.abs(a - r_slice)
                     el = float(eu.max()) if width else 0.0
@@ -288,6 +420,9 @@ def _bsp_loop(
                         extc = _np.add.reduceat(msrc.astype(_np.float64), ridx)
                         extc[empty] = 0.0
                         vaff_s |= extc > 0
+                    if do_expand and NH and own_cols is not None and own_cols.size:
+                        hub_marked = hubexts[cur][:, own_cols].any(axis=0)
+                        vaff_s[own_offs[hub_marked]] = True
                     A = _np.flatnonzero(vaff_s)
                     a = r_slice.copy()
                     el = 0.0
@@ -311,6 +446,10 @@ def _bsp_loop(
                                 ).astype(_np.int64)
                                 sums_nz = _np.add.reduceat(w, loc)
                                 sums[nz] = sums_nz
+                        if hub_tot is not None:
+                            pos = _np.searchsorted(A, own_offs)
+                            sel = (pos < A.size) & (A[_np.minimum(pos, A.size - 1)] == own_offs)
+                            sums[pos[sel]] += hub_tot[sel]
                         if do_corr:
                             dv = _np.asarray(deg[lo:hi])[A]
                             a_vals = (C0 + P_DAMP * (sums - r_slice[A] / dv)) / (

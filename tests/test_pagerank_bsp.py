@@ -52,3 +52,46 @@ def test_bsp_warm_start(spark):
     assert warm.iterations <= 2  # already converged
     assert np.allclose(warm.ranks, base.ranks, atol=1e-9)
     g.unpersist()
+
+
+def test_bsp_salted_hubs_parity(spark):
+    """Force hub salting (low hub_factor) on a star-heavy graph; ranks must
+    match the unsalted csr path exactly, static and dynamic."""
+    import pandas as pd
+    from pagerank_cuda_dynamic_spark.operators.graph import tidy_batch
+    from pagerank_cuda_dynamic_spark.operators.pagerank import (
+        pagerank_dynamic_frontier_prune,
+    )
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
+        bsp_pack,
+        pagerank_dynamic_frontier_prune_bsp,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 300
+    # two hubs: vertex 0 and 1 receive many in-edges; plus random edges
+    src = np.concatenate([rng.integers(2, n, 150), rng.integers(2, n, 120),
+                          rng.integers(0, n, 400)])
+    dst = np.concatenate([np.zeros(150, np.int64), np.ones(120, np.int64),
+                          rng.integers(0, n, 400)])
+    g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
+    g._bsp_packed = bsp_pack(g, hub_factor=0.05)  # force salting
+    assert g._bsp_packed[3].size >= 2, "hubs must be detected"
+    res = pagerank_static_bsp(g, PagerankOptions())
+    want = pagerank_static(g, PagerankOptions(mode="csr"))
+    assert np.allclose(res.ranks, want.ranks, atol=1e-10)
+    assert res.iterations == want.iterations
+
+    # dynamic DF-P with salted hubs
+    ins_pdf = pd.DataFrame({"src": rng.integers(2, n, 20), "dst": rng.integers(0, n, 20)})
+    empty = spark.createDataFrame(
+        pd.DataFrame({"src": [], "dst": []}).astype("int64"), schema="src long, dst long"
+    )
+    dels, ins = tidy_batch(g.edges, empty, spark.createDataFrame(ins_pdf))
+    g2 = g.with_batch(dels, ins)
+    g2._bsp_packed = bsp_pack(g2, hub_factor=0.05)
+    bsp = pagerank_dynamic_frontier_prune_bsp(g, g2, dels, ins, res.ranks)
+    csr = pagerank_dynamic_frontier_prune(g, g2, dels, ins, res.ranks)
+    assert np.allclose(bsp.ranks, csr.ranks, atol=1e-9)
+    g.unpersist()
+    g2.unpersist()
