@@ -286,6 +286,61 @@ def q_lpa(spark, sf_dir):
     )
 
 
+def q_subgraph_filter(spark, sf_dir):
+    """P4 duplicateIfW analog: filtered subgraph projection (customer→part
+    edges only)."""
+    e = derive_entity_edges(spark, sf_dir)
+    return e.where(F.col("src").startswith("c") & F.col("dst").startswith("p"))
+
+
+def q_degree_histogram(spark, sf_dir):
+    e = derive_entity_edges(spark, sf_dir)
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .groupBy("outdeg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def q_l1_norm_1iter(spark, sf_dir):
+    """A3 l1NormDelta analog: L1 distance between 1-iteration ranks and the
+    uniform init."""
+    ranks = _pagerank_k(spark, sf_dir, 1)
+    nn = ranks.count()
+    return ranks.agg(
+        F.round(F.sum(F.abs(F.col("rank") - F.lit(1.0 / nn))), 6).alias("l1")
+    )
+
+
+def q_bfs_reachable(spark, sf_dir):
+    """G6 multi-source BFS closure: entities reachable from customer c1."""
+    from pagerank_cuda_dynamic_spark.operators.graph import bfs_reachable
+
+    e = derive_entity_edges(spark, sf_dir)
+    d = build_vertex_dictionary(e, src="src", dst="dst").persist()
+    enc = encode_edges(e, d, src="src", dst="dst")
+    seed_ids = d.where(F.col("entity") == "c1").select(F.col("v"))
+    visited = bfs_reachable(enc, seed_ids)
+    return visited.join(d, "v").select(F.col("entity").alias("v"))
+
+
+def q_modularity_cc(spark, sf_dir):
+    """A11 modularity of the CC membership on the events transition graph."""
+    from pagerank_cuda_dynamic_spark.operators.components import modularity
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    d = build_vertex_dictionary(et, src="src", dst="dst").persist()
+    n = d.count()
+    enc = encode_edges(et, d, src="src", dst="dst")
+    comp = connected_components_np(enc, n)
+    memb = spark.createDataFrame(
+        pd.DataFrame({"v": np.arange(n, dtype=np.int64), "community": comp})
+    )
+    out = modularity(enc, memb)
+    return out.select(F.round(F.col("modularity"), 6).alias("modularity"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_docs(spark, sf_dir))
 
@@ -358,6 +413,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "cc_sizes": q_cc_sizes,
         "lpa": q_lpa,
+        "subgraph_filter": q_subgraph_filter,
+        "degree_histogram": q_degree_histogram,
+        "l1_norm_1iter": q_l1_norm_1iter,
+        "bfs_reachable": q_bfs_reachable,
+        "modularity_cc": q_modularity_cc,
         "dedup_exact": q_dedup_exact,
         "fingerprints": q_fingerprints,
         "token_stats": q_token_stats,
@@ -532,6 +592,55 @@ reach(v, r) AS (
 ),
 comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
 SELECT component, count(*) AS size FROM comp GROUP BY component
+""",
+        "subgraph_filter": f"""
+SELECT src, dst FROM ({ENTITY_EDGES_SQL})
+WHERE src LIKE 'c%' AND dst LIKE 'p%'
+""",
+        "degree_histogram": f"""
+WITH deg AS (
+  SELECT src, count(*) AS outdeg FROM ({ENTITY_EDGES_SQL}) GROUP BY src
+)
+SELECT outdeg, count(*) AS n_vertices FROM deg GROUP BY outdeg
+""",
+        "l1_norm_1iter": _pr_sql(1).replace(
+            "SELECT v AS entity, round(rank, 6) AS rank FROM r1",
+            "SELECT round(sum(abs(round(rank, 6) - 1.0/(SELECT n FROM nn))), 6) AS l1 FROM r1",
+        ),
+        "bfs_reachable": f"""
+WITH RECURSIVE e AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+reach(v) AS (
+  SELECT 'c1'
+  UNION
+  SELECT e.dst FROM reach JOIN e ON e.src = reach.v
+)
+SELECT v FROM reach
+""",
+        "modularity_cc": f"""
+WITH RECURSIVE et AS ({_EVENT_EDGES}),
+edges AS (SELECT DISTINCT src, dst FROM et),
+und0 AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS v FROM und0),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und0 u ON u.src = reach.v
+),
+comp AS (SELECT v, min(r) AS community FROM reach GROUP BY v),
+und AS (SELECT src, dst FROM und0 WHERE src <> dst),
+lab AS (
+  SELECT cs.community AS c_src, cd.community AS c_dst
+  FROM und JOIN comp cs ON cs.v = und.src JOIN comp cd ON cd.v = und.dst
+),
+two_m AS (SELECT count(*) AS m2 FROM lab),
+per_c AS (
+  SELECT c_src, count(*) AS deg_sum,
+         sum(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) AS internal
+  FROM lab GROUP BY c_src
+)
+SELECT round(sum(internal * 1.0 / (SELECT m2 FROM two_m)
+         - pow(deg_sum * 1.0 / (SELECT m2 FROM two_m), 2)), 6) AS modularity
+FROM per_c
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
