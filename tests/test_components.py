@@ -97,3 +97,33 @@ def test_modularity_perfect_split(spark):
     )
     q = modularity(e, memb).collect()[0]["modularity"]
     assert abs(q - 0.5) < 1e-9
+
+
+def test_cc_bsp_matches(spark):
+    from pagerank_cuda_dynamic_spark.operators.components_bsp import (
+        connected_components_bsp,
+    )
+
+    rng = np.random.default_rng(43)
+    n = 300
+    src = rng.integers(0, n, 350)
+    dst = rng.integers(0, n, 350)
+    e = edges_df(spark, src, dst)
+    want = connected_components_np(e, n)
+    got = connected_components_bsp(e, n)
+    assert got.tolist() == want.tolist()
+
+
+def test_lpa_bsp_matches(spark):
+    from pagerank_cuda_dynamic_spark.operators.components_bsp import (
+        label_propagation_bsp,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 120
+    src = rng.integers(0, n, 500)
+    dst = rng.integers(0, n, 500)
+    e = edges_df(spark, src, dst)
+    want = label_propagation_np(e, n, max_rounds=10)
+    got = label_propagation_bsp(e, n, max_rounds=10)
+    assert got.tolist() == want.tolist()
