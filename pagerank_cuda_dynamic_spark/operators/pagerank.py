@@ -318,6 +318,149 @@ def _loop_joinagg(
     return out, iters, step_secs
 
 
+def _loop_joinagg_frontier(
+    graph: "GraphSnapshot",
+    r0: np.ndarray,
+    vaff_df: DataFrame,
+    opts: PagerankOptions,
+    expand: bool = True,
+    prune: bool = False,
+    corrected: bool = False,
+) -> tuple[np.ndarray, int, list]:
+    """Dynamic-Frontier supersteps as pure DataFrame plans — the fully
+    distributed path where neither ranks nor the frontier ever sit on the
+    driver (10^12-vertex regime; driver sees only the L∞ scalar).
+
+    State per superstep: ranks DF, vaff DF (affected ids), movers DF.
+    Expansion = movers ⋈ edges on src (J6); affected gather = edges
+    semi-joined on dst ∈ vaff (P5); prune = anti join of converged ids.
+    Every state DF is localCheckpoint'ed to truncate iterative lineage."""
+    spark = graph.edges.sparkSession
+    N = graph.n
+    P = opts.damping
+    C0 = (1.0 - P) / N
+    D = opts.frontier_tolerance
+    C = opts.prune_tolerance
+    ew = (
+        graph.edges.join(
+            F.broadcast(graph.degrees.withColumnRenamed("v", "src")), "src"
+        )
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"), "outdeg")
+        .persist()
+    )
+    ew.count()
+    ranks = spark.createDataFrame(
+        pd.DataFrame({"v": np.arange(N, dtype=np.int64), "rank": r0})
+    ).localCheckpoint(eager=True)
+    vaff = vaff_df.select("v").distinct().localCheckpoint(eager=True)
+    movers = spark.createDataFrame(pd.DataFrame({"v": []}).astype("int64"), "v long")
+    iters = 0
+    step_secs: list = []
+    while iters < opts.max_iterations:
+        t0 = time.time()
+        # extension (two-phase naff→vaff, pagerankCuda.hxx:686–687)
+        ext = movers.join(ew, movers.v == ew.src, "inner")
+        if prune:
+            ext = ext.where(F.col("src") != F.col("dst"))
+        ext = ext.select(F.col("dst").alias("v")).distinct()
+        vaff = vaff.unionByName(ext).distinct().localCheckpoint(eager=True)
+        aff_edges = ew.join(vaff.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        contrib = (
+            aff_edges.join(ranks.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        upd = vaff.join(
+            contrib.withColumnRenamed("dst", "v"), "v", "left"
+        ).join(ranks, "v")
+        if corrected:
+            upd = upd.join(
+                F.broadcast(graph.degrees), "v"
+            ).select(
+                "v",
+                "rank",
+                (
+                    (F.lit(C0) + F.lit(P) * (F.coalesce(F.col("contrib"), F.lit(0.0)) - F.col("rank") / F.col("outdeg")))
+                    / (F.lit(1.0) - F.lit(P) / F.col("outdeg"))
+                ).alias("new_rank"),
+            )
+        else:
+            upd = upd.select(
+                "v",
+                "rank",
+                (F.lit(C0) + F.lit(P) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("new_rank"),
+            )
+        upd = upd.withColumn("eu", F.abs(F.col("rank") - F.col("new_rank"))).withColumn(
+            "rel",
+            F.col("eu") / F.greatest(F.greatest("rank", "new_rank"), F.lit(1e-300)),
+        ).localCheckpoint(eager=True)
+        el_row = upd.agg(F.max("eu").alias("el")).collect()[0]
+        el = el_row["el"] if el_row["el"] is not None else 0.0
+        ranks = (
+            ranks.join(upd.select("v", "new_rank"), "v", "left")
+            .select("v", F.coalesce("new_rank", "rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        if expand:
+            movers = upd.where(F.col("rel") > D).select("v").localCheckpoint(eager=True)
+        if prune:
+            vaff = vaff.join(
+                upd.where(F.col("rel") <= C).select("v"), "v", "left_anti"
+            ).localCheckpoint(eager=True)
+        iters += 1
+        step_secs.append(time.time() - t0)
+        if el < opts.tolerance:
+            break
+    pdf = ranks.toPandas()
+    ew.unpersist()
+    out = np.zeros(N, dtype=np.float64)
+    out[pdf["v"].to_numpy()] = pdf["rank"].to_numpy()
+    return out, iters, step_secs
+
+
+def _frontier_marks_df(
+    old: "GraphSnapshot", new: "GraphSnapshot", deletions: DataFrame | None, insertions: DataFrame | None
+) -> DataFrame:
+    """DF initial marks as a DataFrame (never collected): out-neighbors of
+    deletion srcs in OLD graph ∪ insertion srcs in NEW graph."""
+    parts = []
+    if deletions is not None:
+        parts.append(
+            old.edges.join(deletions.select("src").distinct(), "src", "left_semi")
+            .select(F.col("dst").alias("v"))
+        )
+    if insertions is not None:
+        parts.append(
+            new.edges.join(insertions.select("src").distinct(), "src", "left_semi")
+            .select(F.col("dst").alias("v"))
+        )
+    spark = new.edges.sparkSession
+    out = parts[0] if parts else spark.createDataFrame(pd.DataFrame({"v": []}).astype("int64"), "v long")
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def pagerank_dynamic_frontier_joinagg(
+    old: "GraphSnapshot",
+    new: "GraphSnapshot",
+    deletions: DataFrame | None,
+    insertions: DataFrame | None,
+    q: np.ndarray,
+    opts: PagerankOptions | None = None,
+    prune: bool = False,
+) -> PagerankResult:
+    """DF (prune=False) / DF-P (prune=True) entirely as DataFrame plans."""
+    opts = opts or PagerankOptions()
+    t0 = time.time()
+    vaff_df = _frontier_marks_df(old, new, deletions, insertions)
+    q = _adjust_warm_start(q, new.n)
+    r, it, steps = _loop_joinagg_frontier(
+        new, q, vaff_df, opts, expand=True, prune=prune, corrected=prune
+    )
+    return PagerankResult(r, it, time.time() - t0, superstep_seconds=steps)
+
+
 # ---------------------------------------------------------------------------
 # marking helpers (dynamic family)
 # ---------------------------------------------------------------------------

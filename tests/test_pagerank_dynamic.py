@@ -107,3 +107,37 @@ def test_empty_batch_converges_immediately(spark):
     assert res.iterations == 1
     assert np.allclose(res.ranks, q, atol=1e-12)
     g.unpersist()
+
+
+def test_joinagg_frontier_matches_csr_fixed_iters(spark):
+    """Distributed-state DF path vs the csr kernel, superstep-for-superstep
+    (fixed iteration count — full convergence is covered by the csr/bsp
+    tests; the joinagg path costs several Spark jobs per superstep)."""
+    from pagerank_cuda_dynamic_spark.operators.pagerank import (
+        PagerankOptions,
+        pagerank_dynamic_frontier,
+        pagerank_dynamic_frontier_joinagg,
+        pagerank_static,
+    )
+    from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
+
+    rng = np.random.default_rng(53)
+    n = 60
+    src = rng.integers(0, n, 250)
+    dst = rng.integers(0, n, 250)
+    keep = src != dst
+    g0 = GraphSnapshot.build(edges_df(spark, src[keep], dst[keep]), n=n)
+    q = pagerank_static(g0).ranks
+    ins_pdf = pd.DataFrame({"src": rng.integers(0, n, 10), "dst": rng.integers(0, n, 10)})
+    empty = spark.createDataFrame(
+        pd.DataFrame({"src": [], "dst": []}).astype("int64"), schema="src long, dst long"
+    )
+    dels, ins = tidy_batch(g0.edges, empty, spark.createDataFrame(ins_pdf))
+    g1 = g0.with_batch(dels, ins)
+    opts = PagerankOptions(tolerance=0.0, max_iterations=5)
+    ja = pagerank_dynamic_frontier_joinagg(g0, g1, dels, ins, q, opts)
+    csr = pagerank_dynamic_frontier(g0, g1, dels, ins, q, opts)
+    assert ja.iterations == csr.iterations == 5
+    assert np.allclose(ja.ranks, csr.ranks, atol=1e-12)
+    g0.unpersist()
+    g1.unpersist()
