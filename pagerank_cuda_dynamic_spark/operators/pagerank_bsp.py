@@ -271,6 +271,17 @@ def _bsp_loop(
     def loop(it):
         import numpy as _np
 
+        def ragged_take(starts, lens):
+            # local copy of _ragged_take: module-level refs would force
+            # workers to import this package (not on their sys.path when
+            # the driver added the repo to sys.path at runtime)
+            tot = int(lens.sum())
+            out = _np.ones(tot, dtype=_np.int64)
+            out[0] = starts[0]
+            pos = _np.cumsum(lens)[:-1]
+            out[pos] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+            return _np.cumsum(out)
+
         hub_ids = _np.load(os.path.join(wd, "hubs.npy"), mmap_mode="r") if NH else None
         stripes = []
         for row in it:
@@ -439,7 +450,7 @@ def _bsp_loop(
                                 full[empty] = 0.0
                                 sums = full[A]
                             else:
-                                eidx = _ragged_take(offsets[A][nz], lens[nz])
+                                eidx = ragged_take(offsets[A][nz], lens[nz])
                                 w = rdiv[src[eidx]]
                                 loc = _np.concatenate(
                                     [[0], _np.cumsum(lens[nz])[:-1]]

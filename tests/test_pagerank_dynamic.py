@@ -141,3 +141,29 @@ def test_joinagg_frontier_matches_csr_fixed_iters(spark):
     assert np.allclose(ja.ranks, csr.ranks, atol=1e-12)
     g0.unpersist()
     g1.unpersist()
+
+
+def test_seeded_batch_generators(spark):
+    """Hash-based sampling is deterministic and tidy-compatible (G8/G9)."""
+    from pagerank_cuda_dynamic_spark.sources.batches import (
+        sample_deletions,
+        sample_insertions,
+    )
+    from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
+
+    rng = np.random.default_rng(61)
+    n = 100
+    src = rng.integers(0, n, 800)
+    dst = rng.integers(0, n, 800)
+    g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
+    dels1 = sample_deletions(g.edges, 0.05, seed=9).toPandas()
+    dels2 = sample_deletions(g.edges, 0.05, seed=9).toPandas()
+    assert sorted(map(tuple, dels1.values.tolist())) == sorted(map(tuple, dels2.values.tolist()))
+    assert 0 < len(dels1) < 200
+    assert not any(s == d for s, d in dels1.values.tolist())
+    ins = sample_insertions(spark, n, 50, seed=9)
+    dels_t, ins_t = tidy_batch(g.edges, spark.createDataFrame(dels1), ins)
+    assert dels_t.count() == len(dels1)  # all sampled deletions exist
+    g2 = g.with_batch(dels_t, ins_t)
+    assert g2.edges.count() == g.edges.count() - dels_t.count() + ins_t.count()
+    g.unpersist(); g2.unpersist()
