@@ -271,12 +271,13 @@ def q_cc_sizes(spark, sf_dir):
 
 
 def q_lpa(spark, sf_dir):
-    """Label propagation communities (iterative kernel — rows-only check)."""
+    """Label propagation communities (10 synchronous rounds, deterministic
+    min-label tie-break) — value-checked against an unrolled SQL oracle."""
     et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
     d = build_vertex_dictionary(et, src="src", dst="dst").persist()
     n = d.count()
     enc = encode_edges(et, d, src="src", dst="dst")
-    lab = label_propagation_np(enc, n)
+    lab = label_propagation_np(enc, n, max_rounds=10)
     pdf = pd.DataFrame({"v": np.arange(n, dtype=np.int64), "lid": lab})
     cdf = spark.createDataFrame(pdf)
     return (
@@ -492,6 +493,42 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def _lpa_sql(rounds: int = 10) -> str:
+    """Unrolled synchronous LPA over the events transition graph: each round
+    every vertex adopts the most frequent neighbor label (ties → smallest),
+    isolated vertices keep theirs."""
+    ev = f"""
+WITH trans AS (
+  SELECT 'u' || (user_id % 16) || ':' || event_type AS dst,
+         LAG('u' || (user_id % 16) || ':' || event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+    FROM events
+)
+SELECT DISTINCT src, dst FROM trans WHERE src IS NOT NULL
+"""
+    ctes = [
+        f"edges AS MATERIALIZED ({ev})",
+        "und AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)",
+        "l0 AS (SELECT v, v AS lab FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT verts.v, coalesce(w.lab, l{i-1}.lab) AS lab
+  FROM verts
+  JOIN l{i-1} ON l{i-1}.v = verts.v
+  LEFT JOIN (
+    SELECT u.dst AS v, p.lab,
+           ROW_NUMBER() OVER (PARTITION BY u.dst ORDER BY count(*) DESC, p.lab ASC) AS rn
+    FROM und u JOIN l{i-1} p ON p.v = u.src
+    GROUP BY u.dst, p.lab
+  ) w ON w.v = verts.v AND w.rn = 1
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT v, lab AS label FROM l{rounds}"
+
+
 def _lang_sql() -> str:
     langs = sorted(STOPWORDS)
     hit_cols = []
@@ -642,6 +679,7 @@ SELECT round(sum(internal * 1.0 / (SELECT m2 FROM two_m)
          - pow(deg_sum * 1.0 / (SELECT m2 FROM two_m), 2)), 6) AS modularity
 FROM per_c
 """,
+        "lpa": _lpa_sql(10),
         "dedup_exact": """
 SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY text HAVING count(*) > 1

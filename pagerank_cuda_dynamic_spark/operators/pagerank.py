@@ -318,6 +318,73 @@ def _loop_joinagg(
     return out, iters, step_secs
 
 
+def pagerank_weighted_joinagg(
+    edges_w: DataFrame, n: int, opts: PagerankOptions | None = None
+) -> PagerankResult:
+    """Weighted pull PageRank over (src, dst, w) — the reference readers
+    accept optional weights (mtx.hxx:119 `weighted`); its experiment is
+    weightless, so only the scale-out declarative path carries w here:
+    a[v] = C0 + P·Σ w_uv·r[u]/wdeg(u), wdeg(u)=Σ_out w.  Dangling mass is
+    redistributed (no self-loop injection for weighted graphs)."""
+    opts = opts or PagerankOptions()
+    t0 = time.time()
+    spark = edges_w.sparkSession
+    P = opts.damping
+    C0 = (1.0 - P) / n
+    wdeg = edges_w.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    ew = (
+        edges_w.join(F.broadcast(wdeg), "src")
+        .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("wn"))
+        .persist()
+    )
+    ew.count()
+    vertices = spark.range(n).select(F.col("id").alias("v"))
+    has_out = wdeg.select(F.col("src").alias("v"))
+    dangling = vertices.join(has_out, "v", "left_anti").persist()
+    ranks = vertices.select("v", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
+    iters = 0
+    steps: list = []
+    while iters < opts.max_iterations:
+        t1 = time.time()
+        dm = (
+            ranks.join(dangling, "v", "left_semi").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            ew.join(ranks.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("wn")).alias("contrib"))
+        )
+        new_ranks = (
+            vertices.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(C0)
+                    + F.lit(P) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        el = (
+            new_ranks.withColumnRenamed("rank", "nr")
+            .join(ranks, "v")
+            .agg(F.max(F.abs(F.col("nr") - F.col("rank"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        iters += 1
+        steps.append(time.time() - t1)
+        if el < opts.tolerance:
+            break
+    pdf = ranks.toPandas()
+    ew.unpersist()
+    dangling.unpersist()
+    out = np.zeros(n, dtype=np.float64)
+    out[pdf["v"].to_numpy()] = pdf["rank"].to_numpy()
+    return PagerankResult(out, iters, time.time() - t0, superstep_seconds=steps)
+
+
 def _loop_joinagg_frontier(
     graph: "GraphSnapshot",
     r0: np.ndarray,
