@@ -50,9 +50,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     BPE-ish regex tokens (letters / digits / single punctuation)."""
     return docs.select(
         F.col(id_col),
-        F.length(F.col(text_col)).alias("n_chars"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)).alias("n_bpe_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)).cast("long").alias("n_bpe_tokens"),
     )
 
 

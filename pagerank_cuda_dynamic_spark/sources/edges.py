@@ -170,7 +170,7 @@ def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wseq = Window.orderBy("ts", "event_id")
     return trans.select(
-        "src", "dst", "ts", (F.row_number().over(wseq) - 1).alias("seq")
+        "src", "dst", "ts", (F.row_number().over(wseq) - 1).cast("long").alias("seq")
     )
 
 
