@@ -187,3 +187,98 @@ def pairwise_cosine_sql(
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantization into n_cells around
+    deterministically sampled centroids (hash-picked rows — no k-means
+    iterations needed for a recall baseline); every vector is indexed into
+    its nearest cell and QUERIES probe their n_probe nearest cells.  The
+    GEMM never exceeds (cell population × probing queries) — the IVF scale
+    shape; raise n_cells with corpus size to bound cell population."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # deterministic centroid pick: smallest xxhash64(id, seed) rows
+    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    cents_pdf = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_cells)
+        .toPandas()
+    )
+    cm = np.stack(cents_pdf[vec_col].to_numpy()).astype(np.float32)
+    cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(cm)
+    npb = min(n_probe, len(cm))
+
+    def assign(batches):
+        cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = mn @ cmat.T
+            order = np.argsort(-sims, axis=1)[:, :npb]
+            out = pdf.loc[pdf.index.repeat(npb)].reset_index(drop=True)
+            out["cell"] = order.ravel().astype(np.int32)
+            # role: first assignment indexes the vector; later ones are
+            # probe-only (the vector queries the cell but is not a member)
+            out["is_member"] = np.tile(
+                np.arange(npb) == 0, len(pdf)
+            )
+            yield out[[id_col, vec_col, "cell", "is_member"]]
+
+    tagged = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<float>, cell int, is_member boolean"
+    )
+
+    kk = k
+
+    def cell_knn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        members = pdf[pdf["is_member"]]
+        if len(members) == 0 or len(pdf) < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        qm = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+        mm = np.stack(members[vec_col].to_numpy()).astype(np.float32)
+        mm /= np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-30)
+        sims = qm @ mm.T
+        qids = pdf[id_col].to_numpy()
+        mids = members[id_col].to_numpy()
+        sims[qids[:, None] == mids[None, :]] = -np.inf
+        kloc = min(kk, sims.shape[1])
+        part = np.argpartition(-sims, kloc - 1, axis=1)[:, :kloc]
+        qi = np.repeat(np.arange(len(pdf)), kloc)
+        ni = part.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": qids[qi],
+                "neighbor_id": mids[ni],
+                "cosine": sims[qi, ni].astype(np.float64),
+            }
+        )
+
+    out = tagged.groupBy("cell").applyInPandas(
+        cell_knn, "query_id long, neighbor_id long, cosine double"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        out.where(F.col("cosine") > float("-inf"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )

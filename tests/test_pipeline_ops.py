@@ -147,3 +147,24 @@ def test_multimodal_plumbing(spark):
     assert (resized.width == 32).all() and len(resized) == 10
     frames = sample_frames(media, every_ms=250).toPandas()
     assert len(frames) == 10 * 4  # 1000ms / 250ms per video
+
+
+def test_ivf_topk_recall(spark):
+    from pagerank_cuda_dynamic_spark.operators.similarity import ivf_topk
+
+    df, m = _embeddings_df(spark, n=120, dim=8, seed=5)
+    got = ivf_topk(df, k=5, n_cells=4, n_probe=2).toPandas()
+    # engineered near-identical pair must find each other (same cell)
+    n0 = set(got[got.query_id == 0].neighbor_id)
+    assert 1 in n0
+    # recall vs brute force: at least half the true top-5 on average
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    np.fill_diagonal(sims, -np.inf)
+    hits = total = 0
+    for q in range(len(m)):
+        true_top = set(np.argsort(-sims[q])[:5])
+        approx = set(got[got.query_id == q].neighbor_id)
+        hits += len(true_top & approx)
+        total += 5
+    assert hits / total > 0.5
