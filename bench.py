@@ -111,8 +111,8 @@ def section_dynamic(spark, results: dict) -> None:
         pagerank_static_bsp,
     )
 
-    n_conv = max(BENCH_CONVS // 4, 1000)
-    e, n = dense_transcript_graph(spark, n_conv, adjacency_hops=2, seed=SEED)
+    n_conv = max(BENCH_CONVS, 1000)
+    e, n = dense_transcript_graph(spark, n_conv, adjacency_hops=HOPS, seed=SEED)
     g = GraphSnapshot.build(e, n=n)
     m = g.edges.count()
     base = pagerank_static_bsp(g, PagerankOptions())
@@ -156,6 +156,11 @@ def section_dynamic(spark, results: dict) -> None:
     t_dfp = time.time() - t0
     results["queries"]["dyn_dfp"] = round(t_dfp, 2)
 
+    def med_loop(res):
+        # robust loop-time estimate: median superstep × iterations (wall
+        # sums are straggler-noisy on a shared host)
+        return float(np.median(res.superstep_seconds) * res.iterations)
+
     results["dynamic"] = {
         "edges": m,
         "batch_size": int(ins.count()),
@@ -163,17 +168,17 @@ def section_dynamic(spark, results: dict) -> None:
         "nd_loop_sec": round(sum(nd.superstep_seconds), 3),
         "df_loop_sec": round(sum(df_res.superstep_seconds), 3),
         "dfp_loop_sec": round(sum(dfp_res.superstep_seconds), 3),
+        "static_loop_med_sec": round(med_loop(s2), 3),
+        "nd_loop_med_sec": round(med_loop(nd), 3),
+        "df_loop_med_sec": round(med_loop(df_res), 3),
+        "dfp_loop_med_sec": round(med_loop(dfp_res), 3),
         "nd_err_linf": float(np.abs(nd.ranks - s2.ranks).max()),
         "df_err_linf": float(np.abs(df_res.ranks - s2.ranks).max()),
         "dfp_err_linf": float(np.abs(dfp_res.ranks - s2.ranks).max()),
         "df_iterations": df_res.iterations,
         "df_affected_initial": df_res.affected_initial,
-        "df_speedup_vs_static_loop": round(
-            sum(s2.superstep_seconds) / max(sum(df_res.superstep_seconds), 1e-9), 2
-        ),
-        "dfp_speedup_vs_static_loop": round(
-            sum(s2.superstep_seconds) / max(sum(dfp_res.superstep_seconds), 1e-9), 2
-        ),
+        "df_speedup_vs_static_loop": round(med_loop(s2) / max(med_loop(df_res), 1e-9), 2),
+        "dfp_speedup_vs_static_loop": round(med_loop(s2) / max(med_loop(dfp_res), 1e-9), 2),
     }
     g.unpersist()
     g2.unpersist()

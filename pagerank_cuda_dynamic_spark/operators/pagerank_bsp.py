@@ -241,7 +241,9 @@ def _bsp_loop(
     mm("rank_0.npy", (N,), np.float64, r0)
     mm("rank_1.npy", (N,), np.float64, 0.0)
     mm("rdiv_0.npy", (N,), np.float64, r0 / safe_deg)
-    mm("rdiv_1.npy", (N,), np.float64, 0.0)
+    # dynamic mode updates rdiv by write-set, so both buffers must start
+    # equal (unaffected entries are never rewritten)
+    mm("rdiv_1.npy", (N,), np.float64, r0 / safe_deg)
     mm("el.npy", (MAXIT + 2, n_stripes), np.float64, 0.0)
     if n_hubs:
         mm("hubpart_0.npy", (n_stripes, n_hubs), np.float64, 0.0)
@@ -255,6 +257,15 @@ def _bsp_loop(
         mm("movers_0.npy", (N,), np.uint8,
            movers0.astype(np.uint8) if movers0 is not None else 0)
         mm("movers_1.npy", (N,), np.uint8, 0)
+        # per-iteration global mover counts: lets every task skip the O(E)
+        # extension gather once the frontier stops moving
+        mcnt = mm("mcnt.npy", (MAXIT + 2, n_stripes), np.int64, 0)
+        if movers0 is not None and movers0.any():
+            mset = np.flatnonzero(movers0)
+            per = np.searchsorted(bounds, mset, side="right") - 1
+            cnts = np.bincount(per, minlength=n_stripes)
+            mcnt[0, :] = cnts
+            mcnt.flush()
     flags = mm("flags.npy", (MAXIT + 2, n_stripes), np.uint8, 0)
     flags[0, :] = 1
     flags.flush()
@@ -355,8 +366,12 @@ def _bsp_loop(
                 _np.load(os.path.join(wd, "movers_0.npy"), mmap_mode="r+"),
                 _np.load(os.path.join(wd, "movers_1.npy"), mmap_mode="r+"),
             ]
+            mcnt_mm = _np.load(os.path.join(wd, "mcnt.npy"), mmap_mode="r+")
             vaff_mm = _np.load(os.path.join(wd, "vaff.npy"), mmap_mode="r+")
             vaffs = {st[0]: _np.array(vaff_mm[st[1]: st[2]], dtype=bool) for st in stripes}
+            prev_As = {st[0]: _np.empty(0, _np.int64) for st in stripes}
+            # positions we last set to 1 in each movers buffer (for clearing)
+            mov_sets = {st[0]: [_np.empty(0, _np.int64), _np.empty(0, _np.int64)] for st in stripes}
         deadline = time.time() + 3600
         step_times = []
         l = 0
@@ -377,6 +392,7 @@ def _bsp_loop(
             cur, nxt = l % 2, (l + 1) % 2
             rdiv = rdivs[cur]
             mov = movers_bufs[cur] if (dyn and do_expand) else None
+            movers_alive = bool(dyn and do_expand and int(mcnt_mm[l, :].sum()) > 0)
             # ---- phase A: salted hub partials (and hub mover marks) ----
             if NH:
                 for st in stripes:
@@ -390,7 +406,7 @@ def _bsp_loop(
                         part = _np.zeros(NH)
                     hubparts[cur][s, :] = part
                     if dyn and do_expand:
-                        if hsrc.size:
+                        if movers_alive and hsrc.size:
                             ms = mov[hsrc]
                             if hselfmask is not None:
                                 ms = ms & ~hselfmask
@@ -406,11 +422,11 @@ def _bsp_loop(
                 (s, lo, hi, src, offsets, counts, ridx, empty, selfmask,
                  _hs, _hr, _he, _hsm, own_cols, own_offs) = st
                 width = hi - lo
-                r_slice = _np.array(ranks[cur][lo:hi])
                 hub_tot = None
                 if NH and own_cols is not None and own_cols.size:
                     hub_tot = hubparts[cur][:, own_cols].sum(axis=0)
                 if not dyn:
+                    r_slice = _np.array(ranks[cur][lo:hi])
                     if src.size:
                         w = rdiv[src]
                         sums = _np.add.reduceat(w, ridx)
@@ -423,22 +439,28 @@ def _bsp_loop(
                     eu = _np.abs(a - r_slice)
                     el = float(eu.max()) if width else 0.0
                 else:
+                    # dynamic: O(|affected|) maintenance — single-buffer
+                    # ranks (only the owner touches its slice), write-set
+                    # rdiv updates, mover-gated extension
                     vaff_s = vaffs[s]
-                    if do_expand and src.size:
+                    if movers_alive and src.size:
                         msrc = mov[src]
                         if selfmask is not None:
                             msrc = msrc & ~selfmask
                         extc = _np.add.reduceat(msrc.astype(_np.float64), ridx)
                         extc[empty] = 0.0
                         vaff_s |= extc > 0
-                    if do_expand and NH and own_cols is not None and own_cols.size:
+                    if movers_alive and NH and own_cols is not None and own_cols.size:
                         hub_marked = hubexts[cur][:, own_cols].any(axis=0)
                         vaff_s[own_offs[hub_marked]] = True
                     A = _np.flatnonzero(vaff_s)
-                    a = r_slice.copy()
+                    rank_view = ranks[0][lo:hi]
+                    rdiv_cur_v = rdivs[cur][lo:hi]
+                    rdiv_nxt_v = rdivs[nxt][lo:hi]
                     el = 0.0
-                    movers_next = _np.zeros(width, dtype=_np.uint8)
+                    mover_pos = _np.empty(0, _np.int64)
                     if A.size:
+                        r_A = _np.array(rank_view[A])
                         lens = counts[A]
                         nz = lens > 0
                         sums = _np.zeros(A.size)
@@ -461,27 +483,51 @@ def _bsp_loop(
                             pos = _np.searchsorted(A, own_offs)
                             sel = (pos < A.size) & (A[_np.minimum(pos, A.size - 1)] == own_offs)
                             sums[pos[sel]] += hub_tot[sel]
+                        dv_A = _np.asarray(deg[lo:hi])[A]
                         if do_corr:
-                            dv = _np.asarray(deg[lo:hi])[A]
-                            a_vals = (C0 + P_DAMP * (sums - r_slice[A] / dv)) / (
-                                1.0 - P_DAMP / dv
+                            a_vals = (C0 + P_DAMP * (sums - r_A / dv_A)) / (
+                                1.0 - P_DAMP / dv_A
                             )
                         else:
                             a_vals = C0 + P_DAMP * sums
-                        a[A] = a_vals
-                        eu = _np.abs(r_slice[A] - a_vals)
+                        rank_view[A] = a_vals
+                        eu = _np.abs(r_A - a_vals)
                         el = float(eu.max())
                         if do_expand or do_prune:
-                            denom = _np.maximum(
-                                _np.maximum(r_slice[A], a_vals), 1e-300
-                            )
+                            denom = _np.maximum(_np.maximum(r_A, a_vals), 1e-300)
                             rel = eu / denom
                             if do_expand:
-                                movers_next[A[rel > D_TOL]] = 1
+                                mover_pos = A[rel > D_TOL]
                             if do_prune:
                                 vaff_s[A[rel <= C_TOL]] = False
+                        # rdiv_next: new values at A; repair the rest by
+                        # stale-set copy (sparse frontier) or one contiguous
+                        # memcpy (dense frontier — scattered writes lose)
+                        if A.size > 0.5 * width:
+                            rdiv_nxt_v[:] = rdiv_cur_v
+                            rdiv_nxt_v[A] = a_vals / dv_A
+                        else:
+                            rdiv_nxt_v[A] = a_vals / dv_A
+                            stale = _np.setdiff1d(prev_As[s], A, assume_unique=True)
+                            if stale.size:
+                                rdiv_nxt_v[stale] = rdiv_cur_v[stale]
+                    else:
+                        stale = prev_As[s]
+                        if stale.size:
+                            rdiv_nxt_v[stale] = rdiv_cur_v[stale]
                     if do_expand:
-                        movers_bufs[nxt][lo:hi] = movers_next
+                        mb = movers_bufs[nxt][lo:hi]
+                        old_pos = mov_sets[s][nxt]
+                        if old_pos.size:
+                            mb[old_pos] = 0
+                        if mover_pos.size:
+                            mb[mover_pos] = 1
+                        mov_sets[s][nxt] = mover_pos
+                        mcnt_mm[l + 1, s] = mover_pos.size
+                    prev_As[s] = A
+                    el_mm[l + 1, s] = el
+                    flag_mm[l + 1, s] = 1
+                    continue
                 a_div = a / _np.asarray(deg[lo:hi])
                 ranks[nxt][lo:hi] = a
                 rdivs[nxt][lo:hi] = a_div
@@ -499,9 +545,8 @@ def _bsp_loop(
 
     results = [x for x in packed.rdd.barrier().mapPartitions(loop).collect() if x]
     iters, step_times = results[0]
-    r = np.array(
-        np.load(os.path.join(workdir, f"rank_{iters % 2}.npy"), mmap_mode="r")
-    )
+    rank_file = "rank_0.npy" if dynamic else f"rank_{iters % 2}.npy"
+    r = np.array(np.load(os.path.join(workdir, rank_file), mmap_mode="r"))
     el_final = float(np.load(os.path.join(workdir, "el.npy"), mmap_mode="r")[iters, :].max())
     state = {"converged": el_final < TOL, "el": el_final, "bounds": bounds}
     if dynamic:

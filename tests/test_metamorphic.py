@@ -11,6 +11,7 @@ from pagerank_cuda_dynamic_spark.operators.pagerank import (
     pagerank_static,
     pagerank_weighted_joinagg,
 )
+from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import pagerank_static_bsp
 from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
 
 from .conftest import edges_df
@@ -26,8 +27,8 @@ def test_permutation_invariance(spark):
     perm = rng.permutation(n)
     g1 = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
     g2 = GraphSnapshot.build(edges_df(spark, perm[src], perm[dst]), n=n)
-    r1 = pagerank_static(g1).ranks
-    r2 = pagerank_static(g2).ranks
+    r1 = pagerank_static_bsp(g1).ranks
+    r2 = pagerank_static_bsp(g2).ranks
     assert np.allclose(r2[perm], r1, atol=1e-10)
     g1.unpersist()
     g2.unpersist()

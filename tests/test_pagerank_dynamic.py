@@ -18,6 +18,7 @@ from pagerank_cuda_dynamic_spark.operators.pagerank import (
     pagerank_naive_dynamic,
     pagerank_static,
 )
+from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import pagerank_static_bsp
 from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
 
 from .conftest import edges_df
@@ -48,7 +49,7 @@ def batch_setup(spark):
     n = 120
     src, dst = _random_graph(rng, n, 600)
     g0 = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
-    base = pagerank_static(g0)
+    base = pagerank_static_bsp(g0)
     pairs = np.stack([src, dst], axis=1)
     dels_pdf, ins_pdf = _random_batch(rng, n, pairs, k_ins=30, k_del=20)
     dels, ins = tidy_batch(
@@ -57,7 +58,7 @@ def batch_setup(spark):
     dels = dels.persist()
     ins = ins.persist()
     g1 = g0.with_batch(dels, ins)
-    oracle = pagerank_static(g1)  # full recompute on updated graph = ground truth
+    oracle = pagerank_static_bsp(g1)  # full recompute on updated graph = ground truth
     return g0, g1, dels, ins, base.ranks, oracle.ranks
 
 
