@@ -346,6 +346,15 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+def q_dedup_exact_injected(spark, sf_dir):
+    """Exact dedup with guaranteed duplicates: the documents table unioned
+    with an id-shifted copy of itself — every text now has exactly one
+    duplicate, so the keeper/min-id/count semantics get real evidence."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    shifted = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return exact_duplicates(d.unionByName(shifted))
+
+
 def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
@@ -420,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_reachable": q_bfs_reachable,
         "modularity_cc": q_modularity_cc,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_injected": q_dedup_exact_injected,
         "fingerprints": q_fingerprints,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -683,6 +693,15 @@ FROM per_c
         "dedup_exact": """
 SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY text HAVING count(*) > 1
+""",
+        "dedup_exact_injected": """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM doubled GROUP BY text HAVING count(*) > 1
 """,
         "fingerprints": """
 SELECT doc_id,
