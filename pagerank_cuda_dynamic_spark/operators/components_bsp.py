@@ -63,11 +63,13 @@ def _label_loop(graph: GraphSnapshot, mode: str, max_rounds: int) -> np.ndarray:
             src = _np.frombuffer(
                 row["src_bin"], dtype=_np.int32 if row["src32"] else _np.int64
             )
+            lo, hi = int(row["lo"]), int(row["hi"])
             offsets = _np.frombuffer(row["offsets_bin"], dtype=_np.int64)
+            if offsets.size != (hi - lo) + 1:  # empty stub stripe
+                offsets = _np.zeros((hi - lo) + 1, dtype=_np.int64)
             counts = (offsets[1:] - offsets[:-1]).astype(_np.int64)
             ridx = _np.minimum(offsets[:-1], max(src.size - 1, 0))
             empty = counts == 0
-            lo, hi = int(row["lo"]), int(row["hi"])
             rowid = _np.repeat(_np.arange(hi - lo, dtype=_np.int64), counts)
             stripes.append((int(row["stripe"]), lo, hi, src, ridx, empty, rowid))
         labs = [

@@ -26,8 +26,21 @@ iteration (phase A), and the hub's home stripe combines the partials
 (thread- vs block-per-vertex at degree 64, pagerankCuda.hxx:470–481)
 re-expressed as a two-phase BSP exchange.
 
+O(affected) dynamic supersteps (round-2 rework): every stripe also packs a
+src-sorted copy of its edges with a unique-src CSR index, so marking the
+out-neighbors of rank movers costs O(Σ outdeg(movers) + |movers|·log U)
+instead of an O(E) in-edge gather (the reference's frontier expansion walks
+out-edge lists directly, pagerankCuda.hxx:96–117 / pagerank.hxx:700).
+Movers are exchanged as per-stripe id lists (segment + count), and salted
+hubs keep a shared `hubaff` bitmap so phase A computes partial sums only
+for hubs that are actually affected.
+
 Semantics identical to operators.pagerank mode="csr" (sync pull update,
 L∞ convergence, universal self-loops); cross-checked in tests to 1e-9.
+dangling="redistribute" adds a per-superstep global dangling-mass share
+(one float per stripe per iteration through shared scratch), which also
+powers weighted PageRank (w_bin blobs; rdiv = r/wdeg) with no self-loop
+injection — semantics of pagerank_weighted_joinagg.
 """
 
 from __future__ import annotations
@@ -46,6 +59,24 @@ from pagerank_cuda_dynamic_spark.operators.pagerank import (
     PagerankOptions,
     PagerankResult,
 )
+
+PACK_SCHEMA = (
+    "stripe int, lo long, hi long, "
+    "src_bin binary, src32 boolean, offsets_bin binary, "
+    "usrc_bin binary, uoff_bin binary, dstloc_bin binary, "
+    "hub_src_bin binary, hub_src32 boolean, hub_offsets_bin binary, "
+    "husrc_bin binary, huoff_bin binary, hubcol_bin binary, "
+    "w_bin binary, hub_w_bin binary"
+)
+
+_PACK_COLS = [
+    "stripe", "lo", "hi",
+    "src_bin", "src32", "offsets_bin",
+    "usrc_bin", "uoff_bin", "dstloc_bin",
+    "hub_src_bin", "hub_src32", "hub_offsets_bin",
+    "husrc_bin", "huoff_bin", "hubcol_bin",
+    "w_bin", "hub_w_bin",
+]
 
 
 def _scratch_dir() -> str:
@@ -72,10 +103,19 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
     hubs: dst ids with indeg > hub_factor·E/p.  Their in-edges are assigned
     to stripes by pmod(src) (the salt) and packed as per-stripe hub CSR
     blocks over the full hub list; everything else is the regular
-    contiguous-stripe CSR (csr.hxx:107–286 analog), built once."""
+    contiguous-stripe CSR (csr.hxx:107–286 analog), built once.  Every
+    blob also carries a src-sorted view (usrc/uoff/dstloc and
+    husrc/huoff/hubcol) so mover-frontier extension is O(out-edges of
+    movers).  If graph.edges has a `w` column, per-edge weights ride along
+    (w_bin/hub_w_bin) for weighted PageRank.
+
+    Exactly ONE row per stripe id 0..n_stripes-1 is guaranteed (stripes
+    that receive no edges get an empty stub row) — the barrier loop waits
+    on every stripe's flag, so a missing stripe would deadlock it."""
     spark = graph.edges.sparkSession
     if p is None:
         p = spark.sparkContext.defaultParallelism
+    weighted = "w" in graph.edges.columns
     indeg = _indegrees(graph)
     total = int(indeg.sum())
     hub_cut = max(hub_factor * total / max(p, 1), 64)
@@ -110,7 +150,8 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
         ).otherwise(range_stripe)
     else:
         stripe_col = range_stripe
-    with_stripe = graph.edges.select("src", "dst", stripe_col.alias("stripe"))
+    cols = ["src", "dst"] + (["w"] if weighted else [])
+    with_stripe = graph.edges.select(*cols, stripe_col.alias("stripe"))
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         b = bc_bounds.value
@@ -119,6 +160,7 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
         lo, hi = int(b[s]), int(b[s + 1])
         src_all = pdf["src"].to_numpy(dtype=np.int64)
         dst_all = pdf["dst"].to_numpy(dtype=np.int64)
+        w_all = pdf["w"].to_numpy(dtype=np.float64) if weighted else None
         if hub_ids.size:
             hub_col = np.searchsorted(hub_ids, dst_all)
             hub_col = np.where(
@@ -129,24 +171,42 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
             is_h = hub_col >= 0
         else:
             is_h = np.zeros(src_all.size, dtype=bool)
-        # regular rows → contiguous-stripe CSR
+        # regular rows → contiguous-stripe CSR (dst order)
         src = src_all[~is_h]
         dstoff = dst_all[~is_h] - lo
+        w_reg = w_all[~is_h] if weighted else None
         order = np.argsort(dstoff, kind="stable")
         src = src[order]
         dstoff = dstoff[order]
+        if weighted:
+            w_reg = w_reg[order]
         counts = np.bincount(dstoff, minlength=hi - lo)
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        # src-sorted view of the same edges (mover-extension index)
+        order2 = np.argsort(src, kind="stable")
+        src_by_src = src[order2]
+        dstloc = dstoff[order2].astype(np.int32)
+        usrc, ucnt = np.unique(src_by_src, return_counts=True)
+        uoff = np.concatenate([[0], np.cumsum(ucnt)]).astype(np.int64)
         if src.size and src.max() < 2**31:
             src = src.astype(np.int32)
-        # hub rows → hub-block CSR over the full hub list
+        # hub rows → hub-block CSR over the full hub list (col order)
         hsrc = src_all[is_h]
         hcol = hub_col[is_h] if hub_ids.size else np.empty(0, np.int64)
+        w_hub = w_all[is_h] if weighted else None
         horder = np.argsort(hcol, kind="stable")
         hsrc = hsrc[horder]
         hcol = hcol[horder]
+        if weighted:
+            w_hub = w_hub[horder]
         hcounts = np.bincount(hcol, minlength=hub_ids.size)
         hoffsets = np.concatenate([[0], np.cumsum(hcounts)]).astype(np.int64)
+        # src-sorted view of the hub edges
+        horder2 = np.argsort(hsrc, kind="stable")
+        hsrc_by_src = hsrc[horder2]
+        hubcol = hcol[horder2].astype(np.int32)
+        husrc, hucnt = np.unique(hsrc_by_src, return_counts=True)
+        huoff = np.concatenate([[0], np.cumsum(hucnt)]).astype(np.int64)
         if hsrc.size and hsrc.max() < 2**31:
             hsrc = hsrc.astype(np.int32)
         return pd.DataFrame(
@@ -157,25 +217,46 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
                 "src_bin": [src.tobytes()],
                 "src32": [src.dtype == np.int32],
                 "offsets_bin": [offsets.tobytes()],
+                "usrc_bin": [usrc.astype(np.int64).tobytes()],
+                "uoff_bin": [uoff.tobytes()],
+                "dstloc_bin": [dstloc.tobytes()],
                 "hub_src_bin": [hsrc.tobytes()],
                 "hub_src32": [hsrc.dtype == np.int32],
                 "hub_offsets_bin": [hoffsets.tobytes()],
+                "husrc_bin": [husrc.astype(np.int64).tobytes()],
+                "huoff_bin": [huoff.tobytes()],
+                "hubcol_bin": [hubcol.tobytes()],
+                "w_bin": [w_reg.tobytes() if weighted else b""],
+                "hub_w_bin": [w_hub.tobytes() if weighted else b""],
             }
         )
 
-    packed = (
+    packed0 = (
         with_stripe.repartition(n_stripes, "stripe")
         .groupBy("stripe")
-        .applyInPandas(
-            pack,
-            "stripe int, lo long, hi long, src_bin binary, src32 boolean, "
-            "offsets_bin binary, hub_src_bin binary, hub_src32 boolean, "
-            "hub_offsets_bin binary",
-        )
-        .repartition(min(n_stripes, p))
+        .applyInPandas(pack, PACK_SCHEMA)
         .persist()
     )
+    # guarantee one row per stripe: a stripe with zero edges would never be
+    # emitted by applyInPandas, and the barrier loop spins on its flag
+    present = {r["stripe"] for r in packed0.select("stripe").collect()}
+    missing = sorted(set(range(n_stripes)) - present)
+    packed = packed0
+    if missing:
+        stub = pd.DataFrame(
+            {
+                "stripe": np.array(missing, dtype=np.int32),
+                "lo": [int(bounds[s]) for s in missing],
+                "hi": [int(bounds[s + 1]) for s in missing],
+                **{c: [b""] * len(missing) for c in _PACK_COLS if c.endswith("_bin")},
+                "src32": [True] * len(missing),
+                "hub_src32": [True] * len(missing),
+            }
+        )[_PACK_COLS]
+        packed = packed.unionByName(spark.createDataFrame(stub, PACK_SCHEMA))
+    packed = packed.repartition(min(n_stripes, p)).persist()
     packed.count()
+    packed0.unpersist()
     return packed, bounds, n_stripes, hubs
 
 
@@ -199,16 +280,22 @@ def _bsp_loop(
     expand: bool = False,
     prune: bool = False,
     movers0: np.ndarray | None = None,
+    weighted: bool = False,
 ) -> PagerankResult:
-    """Generalized BSP convergence loop (static/ND/DT/DF/DF-P).
+    """Generalized BSP convergence loop (static/ND/DT/DF/DF-P, ± weights).
 
-    Per iteration: [phase A: every stripe computes partial sums (and mover
-    marks) for salted hubs from its src-local hub edges] → flagA sync →
-    [phase B: each stripe gathers its regular CSR rows, combines hub
-    partials for hubs homed in it, applies the rank update (affected-only
-    CSR row slices for DF/DF-P), writes its rank/rdiv slice] → flag sync.
+    Per iteration:
+      [A0 (dynamic+expand+hubs): every stripe marks hubs reached from the
+       mover list via its hub src-CSR into the shared `hubaff` bitmap]
+      → flagA0 sync →
+      [A1 (hubs): every stripe computes partial sums for affected (dynamic)
+       or all (static) hubs from its salted hub edges] → flagA sync →
+      [B: each stripe extends its own frontier from the mover list via its
+       regular src-CSR, gathers affected CSR row slices, applies the rank
+       update, writes its rank/rdiv slice + its mover-id segment] → flag.
     vaff is task-local (a stripe's flags are only touched by its owner);
-    the mover set and hub partials are the only cross-stripe state."""
+    movers (id segments + counts), hub partials and `hubaff` are the only
+    cross-stripe state."""
     t_all = time.time()
     N = graph.n
     P_DAMP = opts.damping
@@ -216,8 +303,10 @@ def _bsp_loop(
     MAXIT = opts.max_iterations
     C0 = (1.0 - P_DAMP) / N
     dynamic = vaff0 is not None
+    redistribute = opts.dangling == "redistribute"
     if corrected or dynamic:
         assert opts.dangling == "selfloop", "BSP dynamic modes assume self-looped graphs"
+        assert not weighted, "BSP dynamic modes are unweighted (reference regime)"
 
     packed, bounds, n_stripes, hubs = graph.bsp_packed()
     n_hubs = int(hubs.size)
@@ -245,26 +334,35 @@ def _bsp_loop(
     # equal (unaffected entries are never rewritten)
     mm("rdiv_1.npy", (N,), np.float64, r0 / safe_deg)
     mm("el.npy", (MAXIT + 2, n_stripes), np.float64, 0.0)
+    if redistribute:
+        dang = outdeg == 0
+        mm("dang.npy", (N,), np.uint8, dang.astype(np.uint8))
+        dmass = mm("dmass.npy", (MAXIT + 2, n_stripes), np.float64, 0.0)
+        for s in range(n_stripes):
+            dmass[0, s] = float(r0[bounds[s]: bounds[s + 1]][dang[bounds[s]: bounds[s + 1]]].sum())
+        dmass.flush()
     if n_hubs:
         mm("hubpart_0.npy", (n_stripes, n_hubs), np.float64, 0.0)
         mm("hubpart_1.npy", (n_stripes, n_hubs), np.float64, 0.0)
         mm("flagsA.npy", (MAXIT + 2, n_stripes), np.uint8, 0)
+        if dynamic:
+            mm("hubaff.npy", (n_hubs,), np.uint8, vaff0[hubs].astype(np.uint8))
         if dynamic and expand:
-            mm("hubext_0.npy", (n_stripes, n_hubs), np.uint8, 0)
-            mm("hubext_1.npy", (n_stripes, n_hubs), np.uint8, 0)
+            mm("flagsA0.npy", (MAXIT + 2, n_stripes), np.uint8, 0)
     if dynamic:
         mm("vaff.npy", (N,), np.uint8, vaff0.astype(np.uint8))
-        mm("movers_0.npy", (N,), np.uint8,
-           movers0.astype(np.uint8) if movers0 is not None else 0)
-        mm("movers_1.npy", (N,), np.uint8, 0)
-        # per-iteration global mover counts: lets every task skip the O(E)
-        # extension gather once the frontier stops moving
+        # movers exchanged as id lists: stripe s owns segment
+        # [bounds[s], bounds[s]+mcnt[row, s]) of movers_ids_{row%2}
+        mids0 = mm("movers_ids_0.npy", (N,), np.int64, 0)
+        mm("movers_ids_1.npy", (N,), np.int64, 0)
         mcnt = mm("mcnt.npy", (MAXIT + 2, n_stripes), np.int64, 0)
         if movers0 is not None and movers0.any():
-            mset = np.flatnonzero(movers0)
-            per = np.searchsorted(bounds, mset, side="right") - 1
-            cnts = np.bincount(per, minlength=n_stripes)
-            mcnt[0, :] = cnts
+            for s in range(n_stripes):
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                ids = np.flatnonzero(movers0[lo:hi]).astype(np.int64) + lo
+                mids0[lo: lo + ids.size] = ids
+                mcnt[0, s] = ids.size
+            mids0.flush()
             mcnt.flush()
     flags = mm("flags.npy", (MAXIT + 2, n_stripes), np.uint8, 0)
     flags[0, :] = 1
@@ -278,6 +376,10 @@ def _bsp_loop(
     D_TOL = opts.frontier_tolerance
     C_TOL = opts.prune_tolerance
     NH = n_hubs
+    NSTRIPES = n_stripes
+    WEIGHTED = weighted
+    REDIST = redistribute
+    bounds_list = [int(b) for b in bounds]
 
     def loop(it):
         import numpy as _np
@@ -293,23 +395,44 @@ def _bsp_loop(
             out[pos] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
             return _np.cumsum(out)
 
+        def csr_lookup(keys, ukeys, uoff):
+            """positions (into the src-sorted edge array) of all edges whose
+            src ∈ keys; keys and ukeys sorted.  Returns int64 edge idx."""
+            if keys.size == 0 or ukeys.size == 0:
+                return _np.empty(0, _np.int64)
+            pos = _np.searchsorted(ukeys, keys)
+            pos = _np.minimum(pos, ukeys.size - 1)
+            ok = ukeys[pos] == keys
+            if not ok.any():
+                return _np.empty(0, _np.int64)
+            hit = pos[ok]
+            starts = uoff[hit]
+            lens = uoff[hit + 1] - starts
+            return ragged_take(starts, lens)
+
         hub_ids = _np.load(os.path.join(wd, "hubs.npy"), mmap_mode="r") if NH else None
         stripes = []
         for row in it:
+            lo, hi = int(row["lo"]), int(row["hi"])
+            width = hi - lo
             src = _np.frombuffer(
                 row["src_bin"], dtype=_np.int32 if row["src32"] else _np.int64
             )
             offsets = _np.frombuffer(row["offsets_bin"], dtype=_np.int64)
+            if offsets.size != width + 1:  # empty stub stripe
+                offsets = _np.zeros(width + 1, dtype=_np.int64)
             counts = (offsets[1:] - offsets[:-1]).astype(_np.int64)
             ridx = _np.minimum(offsets[:-1], max(src.size - 1, 0))
             empty = counts == 0
-            lo, hi = int(row["lo"]), int(row["hi"])
-            selfmask = None
-            if do_prune and src.size:
-                rowid = _np.repeat(
-                    _np.arange(hi - lo, dtype=_np.int64) + lo, counts
-                )
-                selfmask = src == rowid
+            usrc = _np.frombuffer(row["usrc_bin"], dtype=_np.int64)
+            uoff = _np.frombuffer(row["uoff_bin"], dtype=_np.int64)
+            if uoff.size == 0:
+                uoff = _np.zeros(1, dtype=_np.int64)
+            dstloc = _np.frombuffer(row["dstloc_bin"], dtype=_np.int32)
+            self_srcord = None
+            if do_prune and dstloc.size:
+                srcs_exp = _np.repeat(usrc, (uoff[1:] - uoff[:-1]))
+                self_srcord = srcs_exp == (dstloc.astype(_np.int64) + lo)
             # hub block (salted in-edges this stripe holds, over all hubs)
             hsrc = _np.frombuffer(
                 row["hub_src_bin"],
@@ -320,24 +443,43 @@ def _bsp_loop(
                 if NH
                 else _np.zeros(1, _np.int64)
             )
+            if NH and hoff.size != NH + 1:
+                hoff = _np.zeros(NH + 1, dtype=_np.int64)
             hcounts = (hoff[1:] - hoff[:-1]).astype(_np.int64) if NH else None
             hridx = _np.minimum(hoff[:-1], max(hsrc.size - 1, 0)) if NH else None
             hempty = hcounts == 0 if NH else None
-            hselfmask = None
-            if do_prune and NH and hsrc.size:
-                hub_per_edge = _np.repeat(_np.asarray(hub_ids), hcounts)
-                hselfmask = hsrc == hub_per_edge
+            husrc = _np.frombuffer(row["husrc_bin"], dtype=_np.int64)
+            huoff = _np.frombuffer(row["huoff_bin"], dtype=_np.int64)
+            if huoff.size == 0:
+                huoff = _np.zeros(1, dtype=_np.int64)
+            hubcol = _np.frombuffer(row["hubcol_bin"], dtype=_np.int32)
+            hself_srcord = None
+            if do_prune and NH and hubcol.size:
+                hsrcs_exp = _np.repeat(husrc, (huoff[1:] - huoff[:-1]))
+                hself_srcord = hsrcs_exp == _np.asarray(hub_ids)[hubcol]
+            w_reg = _np.frombuffer(row["w_bin"], dtype=_np.float64) if WEIGHTED else None
+            w_hub = _np.frombuffer(row["hub_w_bin"], dtype=_np.float64) if WEIGHTED else None
             # hubs homed in this stripe (owner combines partials)
             own_cols = (
-                _np.flatnonzero((hub_ids >= lo) & (hub_ids < hi)) if NH else None
+                _np.flatnonzero((_np.asarray(hub_ids) >= lo) & (_np.asarray(hub_ids) < hi))
+                if NH
+                else _np.empty(0, _np.int64)
             )
             own_offs = _np.asarray(hub_ids)[own_cols] - lo if NH else None
             stripes.append(
-                (
-                    int(row["stripe"]), lo, hi, src, offsets, counts, ridx,
-                    empty, selfmask, hsrc, hridx, hempty, hselfmask,
-                    own_cols, own_offs,
-                )
+                {
+                    "s": int(row["stripe"]), "lo": lo, "hi": hi,
+                    "src": src, "offsets": offsets, "counts": counts,
+                    "ridx": ridx, "empty": empty,
+                    "usrc": usrc, "uoff": uoff, "dstloc": dstloc,
+                    "self_srcord": self_srcord,
+                    "hsrc": hsrc, "hoff": hoff, "hcounts": hcounts,
+                    "hridx": hridx, "hempty": hempty,
+                    "husrc": husrc, "huoff": huoff, "hubcol": hubcol,
+                    "hself_srcord": hself_srcord,
+                    "w_reg": w_reg, "w_hub": w_hub,
+                    "own_cols": own_cols, "own_offs": own_offs,
+                }
             )
         deg = _np.load(os.path.join(wd, "deg.npy"), mmap_mode="r")
         ranks = [
@@ -350,28 +492,29 @@ def _bsp_loop(
         ]
         el_mm = _np.load(os.path.join(wd, "el.npy"), mmap_mode="r+")
         flag_mm = _np.load(os.path.join(wd, "flags.npy"), mmap_mode="r+")
+        if REDIST:
+            dang_mm = _np.load(os.path.join(wd, "dang.npy"), mmap_mode="r")
+            dmass_mm = _np.load(os.path.join(wd, "dmass.npy"), mmap_mode="r+")
+            dang_slices = {st["s"]: _np.asarray(dang_mm[st["lo"]: st["hi"]]).astype(bool) for st in stripes}
         if NH:
             hubparts = [
                 _np.load(os.path.join(wd, "hubpart_0.npy"), mmap_mode="r+"),
                 _np.load(os.path.join(wd, "hubpart_1.npy"), mmap_mode="r+"),
             ]
             flagA_mm = _np.load(os.path.join(wd, "flagsA.npy"), mmap_mode="r+")
+            if dyn:
+                hubaff_mm = _np.load(os.path.join(wd, "hubaff.npy"), mmap_mode="r+")
             if dyn and do_expand:
-                hubexts = [
-                    _np.load(os.path.join(wd, "hubext_0.npy"), mmap_mode="r+"),
-                    _np.load(os.path.join(wd, "hubext_1.npy"), mmap_mode="r+"),
-                ]
+                flagA0_mm = _np.load(os.path.join(wd, "flagsA0.npy"), mmap_mode="r+")
         if dyn:
-            movers_bufs = [
-                _np.load(os.path.join(wd, "movers_0.npy"), mmap_mode="r+"),
-                _np.load(os.path.join(wd, "movers_1.npy"), mmap_mode="r+"),
+            mids = [
+                _np.load(os.path.join(wd, "movers_ids_0.npy"), mmap_mode="r+"),
+                _np.load(os.path.join(wd, "movers_ids_1.npy"), mmap_mode="r+"),
             ]
             mcnt_mm = _np.load(os.path.join(wd, "mcnt.npy"), mmap_mode="r+")
             vaff_mm = _np.load(os.path.join(wd, "vaff.npy"), mmap_mode="r+")
-            vaffs = {st[0]: _np.array(vaff_mm[st[1]: st[2]], dtype=bool) for st in stripes}
-            prev_As = {st[0]: _np.empty(0, _np.int64) for st in stripes}
-            # positions we last set to 1 in each movers buffer (for clearing)
-            mov_sets = {st[0]: [_np.empty(0, _np.int64), _np.empty(0, _np.int64)] for st in stripes}
+            vaffs = {st["s"]: _np.array(vaff_mm[st["lo"]: st["hi"]], dtype=bool) for st in stripes}
+            prev_As = {st["s"]: _np.empty(0, _np.int64) for st in stripes}
         deadline = time.time() + 3600
         step_times = []
         l = 0
@@ -382,6 +525,17 @@ def _bsp_loop(
                     raise TimeoutError(f"BSP flag sync timeout at iter {row_i}")
                 time.sleep(0.0002)
 
+        def mover_list(row_i, buf):
+            segs = []
+            for s2 in range(NSTRIPES):
+                c = int(mcnt_mm[row_i, s2])
+                if c:
+                    lo2 = bounds_list[s2]
+                    segs.append(_np.array(buf[lo2: lo2 + c]))
+            if not segs:
+                return _np.empty(0, _np.int64)
+            return _np.concatenate(segs)  # sorted: segments are ordered
+
         while True:
             t0 = time.time()
             spin(flag_mm, l)
@@ -391,154 +545,177 @@ def _bsp_loop(
                 break
             cur, nxt = l % 2, (l + 1) % 2
             rdiv = rdivs[cur]
-            mov = movers_bufs[cur] if (dyn and do_expand) else None
             movers_alive = bool(dyn and do_expand and int(mcnt_mm[l, :].sum()) > 0)
-            # ---- phase A: salted hub partials (and hub mover marks) ----
-            if NH:
+            M = mover_list(l, mids[cur]) if movers_alive else None
+            # ---- phase A0: mark hubs reached from movers (hub src-CSR) ----
+            if NH and dyn and do_expand:
                 for st in stripes:
-                    (s, lo, hi, _src, _offs, _cnts, _ridx, _empty, _sm,
-                     hsrc, hridx, hempty, hselfmask, _oc, _oo) = st
-                    if hsrc.size:
-                        w = rdiv[hsrc]
-                        part = _np.add.reduceat(w, hridx)
-                        part[hempty] = 0.0
-                    else:
-                        part = _np.zeros(NH)
-                    hubparts[cur][s, :] = part
-                    if dyn and do_expand:
-                        if movers_alive and hsrc.size:
-                            ms = mov[hsrc]
-                            if hselfmask is not None:
-                                ms = ms & ~hselfmask
-                            ext = _np.add.reduceat(ms.astype(_np.float64), hridx)
-                            ext[hempty] = 0.0
-                            hubexts[cur][s, :] = (ext > 0).astype(_np.uint8)
-                        else:
-                            hubexts[cur][s, :] = 0
+                    if M is not None and st["husrc"].size:
+                        eidx = csr_lookup(M, st["husrc"], st["huoff"])
+                        if do_prune and eidx.size and st["hself_srcord"] is not None:
+                            eidx = eidx[~st["hself_srcord"][eidx]]
+                        if eidx.size:
+                            hubaff_mm[st["hubcol"][eidx]] = 1
+                    flagA0_mm[l + 1, st["s"]] = 1
+                spin(flagA0_mm, l + 1)
+            # ---- phase A1: salted hub partial sums (affected-only if dyn) ----
+            if NH:
+                needed = _np.flatnonzero(hubaff_mm) if dyn else None
+                for st in stripes:
+                    s = st["s"]
+                    hsrc, hoff, hcounts = st["hsrc"], st["hoff"], st["hcounts"]
+                    if not hsrc.size:
+                        if needed is None:
+                            hubparts[cur][s, :] = 0.0
+                        elif needed.size:
+                            hubparts[cur][s, needed] = 0.0
+                    elif needed is None or int(hcounts[needed].sum()) >= 0.6 * hsrc.size:
+                        wsrc = rdiv[hsrc]
+                        if WEIGHTED:
+                            wsrc = wsrc * st["w_hub"]
+                        part = _np.add.reduceat(wsrc, st["hridx"])
+                        part[st["hempty"]] = 0.0
+                        hubparts[cur][s, :] = part
+                    elif needed.size:
+                        lens = hcounts[needed]
+                        nz = lens > 0
+                        part = _np.zeros(needed.size)
+                        if nz.any():
+                            eidx = ragged_take(hoff[needed][nz], lens[nz])
+                            wsrc = rdiv[hsrc[eidx]]
+                            locs = _np.concatenate(
+                                [[0], _np.cumsum(lens[nz])[:-1]]
+                            ).astype(_np.int64)
+                            part[nz] = _np.add.reduceat(wsrc, locs)
+                        hubparts[cur][s, needed] = part
                     flagA_mm[l + 1, s] = 1
                 spin(flagA_mm, l + 1)
+            dsh = (
+                P_DAMP * float(dmass_mm[l, :].sum()) / N if REDIST else 0.0
+            )
             # ---- phase B: rank update per owned stripe ----
             for st in stripes:
-                (s, lo, hi, src, offsets, counts, ridx, empty, selfmask,
-                 _hs, _hr, _he, _hsm, own_cols, own_offs) = st
+                s, lo, hi = st["s"], st["lo"], st["hi"]
+                src, offsets, counts = st["src"], st["offsets"], st["counts"]
+                ridx, empty = st["ridx"], st["empty"]
+                own_cols, own_offs = st["own_cols"], st["own_offs"]
                 width = hi - lo
-                hub_tot = None
-                if NH and own_cols is not None and own_cols.size:
-                    hub_tot = hubparts[cur][:, own_cols].sum(axis=0)
                 if not dyn:
                     r_slice = _np.array(ranks[cur][lo:hi])
                     if src.size:
-                        w = rdiv[src]
-                        sums = _np.add.reduceat(w, ridx)
+                        wsrc = rdiv[src]
+                        if WEIGHTED:
+                            wsrc = wsrc * st["w_reg"]
+                        sums = _np.add.reduceat(wsrc, ridx)
                         sums[empty] = 0.0
                     else:
                         sums = _np.zeros(width)
-                    if hub_tot is not None:
-                        sums[own_offs] += hub_tot
-                    a = C0 + P_DAMP * sums
+                    if NH and own_cols.size:
+                        sums[own_offs] += hubparts[cur][:, own_cols].sum(axis=0)
+                    a = C0 + dsh + P_DAMP * sums
                     eu = _np.abs(a - r_slice)
                     el = float(eu.max()) if width else 0.0
-                else:
-                    # dynamic: O(|affected|) maintenance — single-buffer
-                    # ranks (only the owner touches its slice), write-set
-                    # rdiv updates, mover-gated extension
-                    vaff_s = vaffs[s]
-                    if movers_alive and src.size:
-                        msrc = mov[src]
-                        if selfmask is not None:
-                            msrc = msrc & ~selfmask
-                        extc = _np.add.reduceat(msrc.astype(_np.float64), ridx)
-                        extc[empty] = 0.0
-                        vaff_s |= extc > 0
-                    if movers_alive and NH and own_cols is not None and own_cols.size:
-                        hub_marked = hubexts[cur][:, own_cols].any(axis=0)
-                        vaff_s[own_offs[hub_marked]] = True
-                    A = _np.flatnonzero(vaff_s)
-                    rank_view = ranks[0][lo:hi]
-                    rdiv_cur_v = rdivs[cur][lo:hi]
-                    rdiv_nxt_v = rdivs[nxt][lo:hi]
-                    el = 0.0
-                    mover_pos = _np.empty(0, _np.int64)
-                    if A.size:
-                        r_A = _np.array(rank_view[A])
-                        lens = counts[A]
-                        nz = lens > 0
-                        sums = _np.zeros(A.size)
-                        if nz.any():
-                            tot = int(lens[nz].sum())
-                            if tot >= 0.6 * src.size:
-                                w = rdiv[src]
-                                full = _np.add.reduceat(w, ridx)
-                                full[empty] = 0.0
-                                sums = full[A]
-                            else:
-                                eidx = ragged_take(offsets[A][nz], lens[nz])
-                                w = rdiv[src[eidx]]
-                                loc = _np.concatenate(
-                                    [[0], _np.cumsum(lens[nz])[:-1]]
-                                ).astype(_np.int64)
-                                sums_nz = _np.add.reduceat(w, loc)
-                                sums[nz] = sums_nz
-                        if hub_tot is not None:
-                            pos = _np.searchsorted(A, own_offs)
-                            sel = (pos < A.size) & (A[_np.minimum(pos, A.size - 1)] == own_offs)
-                            sums[pos[sel]] += hub_tot[sel]
-                        dv_A = _np.asarray(deg[lo:hi])[A]
-                        if do_corr:
-                            a_vals = (C0 + P_DAMP * (sums - r_A / dv_A)) / (
-                                1.0 - P_DAMP / dv_A
-                            )
-                        else:
-                            a_vals = C0 + P_DAMP * sums
-                        rank_view[A] = a_vals
-                        eu = _np.abs(r_A - a_vals)
-                        el = float(eu.max())
-                        if do_expand or do_prune:
-                            denom = _np.maximum(_np.maximum(r_A, a_vals), 1e-300)
-                            rel = eu / denom
-                            if do_expand:
-                                mover_pos = A[rel > D_TOL]
-                            if do_prune:
-                                vaff_s[A[rel <= C_TOL]] = False
-                        # rdiv_next: new values at A; repair the rest by
-                        # stale-set copy (sparse frontier) or one contiguous
-                        # memcpy (dense frontier — scattered writes lose)
-                        if A.size > 0.5 * width:
-                            rdiv_nxt_v[:] = rdiv_cur_v
-                            rdiv_nxt_v[A] = a_vals / dv_A
-                        else:
-                            rdiv_nxt_v[A] = a_vals / dv_A
-                            stale = _np.setdiff1d(prev_As[s], A, assume_unique=True)
-                            if stale.size:
-                                rdiv_nxt_v[stale] = rdiv_cur_v[stale]
-                    else:
-                        stale = prev_As[s]
-                        if stale.size:
-                            rdiv_nxt_v[stale] = rdiv_cur_v[stale]
-                    if do_expand:
-                        mb = movers_bufs[nxt][lo:hi]
-                        old_pos = mov_sets[s][nxt]
-                        if old_pos.size:
-                            mb[old_pos] = 0
-                        if mover_pos.size:
-                            mb[mover_pos] = 1
-                        mov_sets[s][nxt] = mover_pos
-                        mcnt_mm[l + 1, s] = mover_pos.size
-                    prev_As[s] = A
+                    a_div = a / _np.asarray(deg[lo:hi])
+                    ranks[nxt][lo:hi] = a
+                    rdivs[nxt][lo:hi] = a_div
+                    if REDIST:
+                        dmass_mm[l + 1, s] = float(a[dang_slices[s]].sum())
                     el_mm[l + 1, s] = el
                     flag_mm[l + 1, s] = 1
                     continue
-                a_div = a / _np.asarray(deg[lo:hi])
-                ranks[nxt][lo:hi] = a
-                rdivs[nxt][lo:hi] = a_div
+                # dynamic: O(|affected|) maintenance — single-buffer ranks
+                # (only the owner touches its slice), write-set rdiv
+                # updates, src-CSR mover extension
+                vaff_s = vaffs[s]
+                if M is not None and st["usrc"].size:
+                    eidx = csr_lookup(M, st["usrc"], st["uoff"])
+                    if do_prune and eidx.size and st["self_srcord"] is not None:
+                        eidx = eidx[~st["self_srcord"][eidx]]
+                    if eidx.size:
+                        vaff_s[st["dstloc"][eidx]] = True
+                if NH and own_cols.size:
+                    vaff_s[own_offs] |= hubaff_mm[own_cols].astype(bool)
+                A = _np.flatnonzero(vaff_s)
+                rank_view = ranks[0][lo:hi]
+                rdiv_cur_v = rdivs[cur][lo:hi]
+                rdiv_nxt_v = rdivs[nxt][lo:hi]
+                el = 0.0
+                mover_pos = _np.empty(0, _np.int64)
+                if A.size:
+                    r_A = _np.array(rank_view[A])
+                    lens = counts[A]
+                    nz = lens > 0
+                    sums = _np.zeros(A.size)
+                    if nz.any():
+                        tot = int(lens[nz].sum())
+                        if tot >= 0.6 * src.size:
+                            w = rdiv[src]
+                            full = _np.add.reduceat(w, ridx)
+                            full[empty] = 0.0
+                            sums = full[A]
+                        else:
+                            eidx = ragged_take(offsets[A][nz], lens[nz])
+                            w = rdiv[src[eidx]]
+                            loc = _np.concatenate(
+                                [[0], _np.cumsum(lens[nz])[:-1]]
+                            ).astype(_np.int64)
+                            sums_nz = _np.add.reduceat(w, loc)
+                            sums[nz] = sums_nz
+                    if NH and own_cols.size:
+                        act = _np.flatnonzero(vaff_s[own_offs])
+                        if act.size:
+                            hub_tot = hubparts[cur][:, own_cols[act]].sum(axis=0)
+                            pos = _np.searchsorted(A, own_offs[act])
+                            sums[pos] += hub_tot
+                    dv_A = _np.asarray(deg[lo:hi])[A]
+                    if do_corr:
+                        a_vals = (C0 + P_DAMP * (sums - r_A / dv_A)) / (
+                            1.0 - P_DAMP / dv_A
+                        )
+                    else:
+                        a_vals = C0 + P_DAMP * sums
+                    rank_view[A] = a_vals
+                    eu = _np.abs(r_A - a_vals)
+                    el = float(eu.max())
+                    if do_expand or do_prune:
+                        denom = _np.maximum(_np.maximum(r_A, a_vals), 1e-300)
+                        rel = eu / denom
+                        if do_expand:
+                            mover_pos = A[rel > D_TOL]
+                        if do_prune:
+                            vaff_s[A[rel <= C_TOL]] = False
+                    # rdiv_next: new values at A; repair the rest by
+                    # stale-set copy (sparse frontier) or one contiguous
+                    # memcpy (dense frontier — scattered writes lose)
+                    if A.size > 0.5 * width:
+                        rdiv_nxt_v[:] = rdiv_cur_v
+                        rdiv_nxt_v[A] = a_vals / dv_A
+                    else:
+                        rdiv_nxt_v[A] = a_vals / dv_A
+                        stale = _np.setdiff1d(prev_As[s], A, assume_unique=True)
+                        if stale.size:
+                            rdiv_nxt_v[stale] = rdiv_cur_v[stale]
+                else:
+                    stale = prev_As[s]
+                    if stale.size:
+                        rdiv_nxt_v[stale] = rdiv_cur_v[stale]
+                if do_expand:
+                    ids_abs = mover_pos + lo
+                    if ids_abs.size:
+                        mids[nxt][lo: lo + ids_abs.size] = ids_abs
+                    mcnt_mm[l + 1, s] = ids_abs.size
+                if NH and own_cols.size:
+                    # authoritative hub-affected state after prune/extension
+                    hubaff_mm[own_cols] = vaff_s[own_offs].astype(_np.uint8)
+                prev_As[s] = A
                 el_mm[l + 1, s] = el
                 flag_mm[l + 1, s] = 1
             step_times.append(time.time() - t0)
             l += 1
         if dyn:  # publish final frontier state for segmented/checkpointed runs
             for st in stripes:
-                vaff_mm[st[1]: st[2]] = vaffs[st[0]].astype(_np.uint8)
-        if any(st[0] == 0 for st in stripes):
+                vaff_mm[st["lo"]: st["hi"]] = vaffs[st["s"]].astype(_np.uint8)
+        if any(st["s"] == 0 for st in stripes):
             yield (l, step_times)
         else:
             yield None
@@ -553,9 +730,16 @@ def _bsp_loop(
         state["vaff"] = np.array(
             np.load(os.path.join(workdir, "vaff.npy"), mmap_mode="r")
         ).astype(bool)
-        state["movers"] = np.array(
-            np.load(os.path.join(workdir, f"movers_{iters % 2}.npy"), mmap_mode="r")
-        ).astype(bool)
+        movers = np.zeros(N, dtype=bool)
+        mcnt_fin = np.load(os.path.join(workdir, "mcnt.npy"), mmap_mode="r")[iters, :]
+        mids_fin = np.load(
+            os.path.join(workdir, f"movers_ids_{iters % 2}.npy"), mmap_mode="r"
+        )
+        for s in range(n_stripes):
+            c = int(mcnt_fin[s])
+            if c:
+                movers[np.array(mids_fin[bounds[s]: bounds[s] + c])] = True
+        state["movers"] = movers
     shutil.rmtree(workdir, ignore_errors=True)
     return PagerankResult(
         r,
@@ -621,3 +805,52 @@ def pagerank_dynamic_frontier_prune_bsp(
         expand=True,
         prune=True,
     )
+
+
+class WeightedSnapshot:
+    """Minimal weighted-graph snapshot for the BSP path: (src, dst, w)
+    edges cached dst-partitioned, wdeg side array.  No self-loop injection
+    — dangling mass is redistributed per superstep (mtx.hxx:119 readers
+    accept weights; semantics of pagerank_weighted_joinagg)."""
+
+    def __init__(self, edges_w, n: int, partitions: int | None = None):
+        spark = edges_w.sparkSession
+        p = partitions or spark.sparkContext.defaultParallelism
+        self.edges = edges_w.select("src", "dst", "w").repartition(p, "dst").persist()
+        self.edges.count()
+        self.n = n
+        self._wdeg: np.ndarray | None = None
+        self._bsp_packed: tuple | None = None
+
+    def outdeg_array(self) -> np.ndarray:
+        if self._wdeg is None:
+            pdf = self.edges.groupBy("src").agg(F.sum("w").alias("wdeg")).toPandas()
+            arr = np.zeros(self.n, dtype=np.float64)
+            arr[pdf["src"].to_numpy()] = pdf["wdeg"].to_numpy()
+            self._wdeg = arr
+        return self._wdeg
+
+    def bsp_packed(self, p: int | None = None, hub_factor: float = 4.0) -> tuple:
+        if self._bsp_packed is None:
+            self._bsp_packed = bsp_pack(self, p, hub_factor=hub_factor)
+        return self._bsp_packed
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        if self._bsp_packed is not None:
+            self._bsp_packed[0].unpersist()
+            self._bsp_packed = None
+
+
+def pagerank_weighted_bsp(
+    edges_w, n: int, opts: PagerankOptions | None = None
+) -> PagerankResult:
+    """Weighted pull PageRank on the BSP path:
+    a[v] = C0 + P·(Σ w_uv·r[u]/wdeg(u) + dangling_mass/N)."""
+    opts = opts or PagerankOptions(dangling="redistribute")
+    assert opts.dangling == "redistribute", "weighted BSP redistributes dangling mass"
+    g = WeightedSnapshot(edges_w, n)
+    try:
+        return _bsp_loop(g, opts, weighted=True)
+    finally:
+        g.unpersist()

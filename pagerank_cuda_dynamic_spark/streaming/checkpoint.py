@@ -45,6 +45,7 @@ class CheckpointManager:
         step_seconds: float,
         bounds: np.ndarray | None = None,
         extra: dict | None = None,
+        movers: np.ndarray | None = None,
     ) -> None:
         if l % self.every:
             return
@@ -65,6 +66,14 @@ class CheckpointManager:
             fr = pd.DataFrame({"v": np.flatnonzero(vaff).astype(np.int64)})
             self.spark.createDataFrame(fr).write.mode("overwrite").parquet(
                 os.path.join(tmp, "frontier")
+            )
+        if movers is not None and movers.any():
+            # pending out-neighbor expansion of the last pre-kill iteration
+            # (DF/DF-P): without it a resumed run under-marks affected
+            # vertices and can converge to different ranks
+            mv = pd.DataFrame({"v": np.flatnonzero(movers).astype(np.int64)})
+            self.spark.createDataFrame(mv).write.mode("overwrite").parquet(
+                os.path.join(tmp, "movers")
             )
         meta = {
             "iteration": l,
@@ -91,7 +100,7 @@ class CheckpointManager:
         return max(its) if its else None
 
     def load(self, l: int | None = None):
-        """Returns (iteration, ranks, vaff or None, metrics)."""
+        """Returns (iteration, ranks, vaff or None, movers or None, metrics)."""
         if l is None:
             l = self.latest()
         if l is None:
@@ -108,4 +117,10 @@ class CheckpointManager:
             fr = self.spark.read.parquet(fdir).toPandas()
             vaff = np.zeros(n, dtype=bool)
             vaff[fr["v"].to_numpy()] = True
-        return l, ranks, vaff, meta
+        movers = None
+        mdir = os.path.join(d, "movers")
+        if os.path.isdir(mdir):
+            mv = self.spark.read.parquet(mdir).toPandas()
+            movers = np.zeros(n, dtype=bool)
+            movers[mv["v"].to_numpy()] = True
+        return l, ranks, vaff, movers, meta

@@ -51,9 +51,11 @@ def pagerank_checkpointed(
     if resume:
         loaded = ckpt.load()
         if loaded is not None:
-            done, q, vaff_l, _meta = loaded
+            done, q, vaff_l, movers_l, _meta = loaded
             if vaff_l is not None:
                 vaff0 = vaff_l
+            if movers_l is not None:
+                movers = movers_l
     bounds = None
     while done < opts.max_iterations:
         seg_opts = PagerankOptions(
@@ -87,6 +89,7 @@ def pagerank_checkpointed(
             float(np.sum(res.superstep_seconds)),
             bounds=bounds,
             extra={"segment_iterations": res.iterations},
+            movers=movers,
         )
         if res.state["converged"]:
             break

@@ -54,7 +54,7 @@ def test_kill_and_resume(spark, medium_graph, tmp_path):
     res = pagerank_checkpointed(g, ckpt2, PagerankOptions(), segment=50)
     assert np.allclose(res.ranks, want, atol=1e-9)
     # metrics survive with lineage info
-    l, ranks, vaff, meta = ckpt2.load()
+    l, ranks, vaff, movers, meta = ckpt2.load()
     assert meta["n_vertices"] == g.n
     assert meta["n_partitions"] >= 1
 
