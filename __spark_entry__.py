@@ -36,7 +36,9 @@ from pagerank_cuda_dynamic_spark.operators.pagerank import (
     pagerank_static,
 )
 from pagerank_cuda_dynamic_spark.operators.components import (
+    connected_components_joinagg,
     connected_components_np,
+    label_propagation_joinagg,
     label_propagation_np,
     triangle_count as _tri,
 )
@@ -143,23 +145,22 @@ def q_in_degrees(spark, sf_dir):
 
 
 def q_graph_summary(spark, sf_dir):
-    """(n_vertices, n_edges_raw, n_edges_selflooped, n_selfloops)."""
+    """(n_vertices, n_edges_raw, n_edges_selflooped, n_selfloops) — one
+    declarative plan (cross join of single-row aggs), not four driver-side
+    .count() actions."""
     e = derive_entity_edges(spark, sf_dir)
     verts = e.select(F.col("src").alias("v")).unionByName(
         e.select(F.col("dst").alias("v"))
     ).distinct()
     loops = verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
     sl = e.unionByName(loops).distinct()
-    return spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "n_vertices": [verts.count()],
-                "n_edges_raw": [e.count()],
-                "n_edges_selflooped": [sl.count()],
-                "n_selfloops": [sl.where(F.col("src") == F.col("dst")).count()],
-            }
-        )
+    v_agg = verts.agg(F.count(F.lit(1)).alias("n_vertices"))
+    e_agg = e.agg(F.count(F.lit(1)).alias("n_edges_raw"))
+    sl_agg = sl.agg(
+        F.count(F.lit(1)).alias("n_edges_selflooped"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_selfloops"),
     )
+    return v_agg.crossJoin(e_agg).crossJoin(sl_agg)
 
 
 def q_transpose(spark, sf_dir):
@@ -248,10 +249,10 @@ def q_connected_components(spark, sf_dir):
     d = build_vertex_dictionary(et, src="src", dst="dst").persist()
     n = d.count()
     enc = encode_edges(et, d, src="src", dst="dst")
-    # dense ids are sorted-entity ranks → min dense id ≡ min entity string
-    comp = connected_components_np(enc, n)
-    pdf = pd.DataFrame({"v": np.arange(n, dtype=np.int64), "cid": comp})
-    cdf = spark.createDataFrame(pdf)
+    # dense ids are sorted-entity ranks → min dense id ≡ min entity string.
+    # Routed through the fully distributed min-label loop (labels never on
+    # the driver); parity with connected_components_np is pytest-checked.
+    cdf = connected_components_joinagg(enc, n).withColumnRenamed("component", "cid")
     return (
         cdf.join(d, "v")
         .join(
@@ -277,9 +278,10 @@ def q_lpa(spark, sf_dir):
     d = build_vertex_dictionary(et, src="src", dst="dst").persist()
     n = d.count()
     enc = encode_edges(et, d, src="src", dst="dst")
-    lab = label_propagation_np(enc, n, max_rounds=10)
-    pdf = pd.DataFrame({"v": np.arange(n, dtype=np.int64), "lid": lab})
-    cdf = spark.createDataFrame(pdf)
+    # distributed sync-LPA (same deterministic tie-break as the np kernel)
+    cdf = label_propagation_joinagg(enc, n, max_rounds=10).withColumnRenamed(
+        "label", "lid"
+    )
     return (
         cdf.join(d, "v")
         .join(d.withColumnRenamed("v", "lid").withColumnRenamed("entity", "label"), "lid")
@@ -395,6 +397,38 @@ def q_cosine_pairs(spark, sf_dir):
     )
 
 
+def _weighted_edges(spark, sf_dir):
+    """customer→part weighted digraph: w = lineitem multiplicity — the
+    natural weighted-graph derivation (mtx.hxx:119 weighted readers)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    """10 iterations of weighted PageRank (BSP path, w-carrying packed
+    blobs, per-superstep dangling-mass redistribution) — value-checked
+    against an unrolled weighted SQL oracle."""
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import pagerank_weighted_bsp
+
+    e = _weighted_edges(spark, sf_dir)
+    d = build_vertex_dictionary(e, src="src", dst="dst").persist()
+    n = d.count()
+    enc = encode_edges(e, d, src="src", dst="dst", keep=("w",))
+    res = pagerank_weighted_bsp(
+        enc, n,
+        PagerankOptions(dangling="redistribute", tolerance=0.0, max_iterations=10),
+    )
+    return _ranks_as_entities(spark, None, d, res.ranks)
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 (float32 GEMM — rows-only; numeric parity
     with a float64 oracle is asserted in pytest instead)."""
@@ -435,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "language_id": q_language_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "pagerank_weighted": q_pagerank_weighted,
         "minhash_candidates": q_minhash_candidates,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
@@ -486,6 +521,45 @@ def _pr_sql(k: int) -> str:
   FROM verts LEFT JOIN ew ON ew.dst = verts.v
   LEFT JOIN r{i-1} ON r{i-1}.v = ew.src
   GROUP BY verts.v
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT v AS entity, round(rank, 6) AS rank FROM r{k}"
+    )
+
+
+def _wpr_sql(k: int) -> str:
+    """Unrolled k-iteration WEIGHTED PageRank over the customer→part
+    multiplicity graph: a[v] = C0 + P·(Σ w_uv·r[u]/wdeg(u) + dm/N), dm =
+    Σ_{wdeg(u)=0} r[u] (dangling redistribution, no self-loops)."""
+    ctes = [
+        """WITH we AS MATERIALIZED (
+  SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2)""",
+        "wverts AS MATERIALIZED (SELECT src AS v FROM we UNION SELECT dst FROM we)",
+        "wdeg AS MATERIALIZED (SELECT src AS v, sum(w) AS wd FROM we GROUP BY src)",
+        "wn AS MATERIALIZED (SELECT we.src, we.dst, we.w / wdeg.wd AS wn FROM we JOIN wdeg ON wdeg.v = we.src)",
+        "wnn AS MATERIALIZED (SELECT count(*) AS n FROM wverts)",
+        "dangl AS MATERIALIZED (SELECT v FROM wverts WHERE v NOT IN (SELECT v FROM wdeg))",
+        "r0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM wnn) AS rank FROM wverts)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"dm{i - 1} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS m "
+            f"FROM r{i - 1} WHERE v IN (SELECT v FROM dangl))"
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT wverts.v,
+         (1-{DAMPING})/(SELECT n FROM wnn)
+           + {DAMPING} * (coalesce(sum(r{i-1}.rank * wn.wn), 0)
+                          + (SELECT m FROM dm{i-1})/(SELECT n FROM wnn)) AS rank
+  FROM wverts LEFT JOIN wn ON wn.dst = wverts.v
+  LEFT JOIN r{i-1} ON r{i-1}.v = wn.src
+  GROUP BY wverts.v
 )"""
         )
     return (
@@ -607,6 +681,7 @@ SELECT count(*) AS n_edges_after FROM after
         "pagerank_1iter": _pr_sql(1),
         "pagerank_20iters": _pr_sql(20),
         "pagerank_top20": _pr_sql(20) + " ORDER BY round(rank, 6) DESC, v ASC LIMIT 20",
+        "pagerank_weighted": _wpr_sql(10),
         "triangles": f"""
 WITH e0 AS MATERIALIZED ({ENTITY_EDGES_SQL}),
 und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),

@@ -14,6 +14,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
 from pagerank_cuda_dynamic_spark.operators.graph import symmetrize
 
 
@@ -145,23 +147,149 @@ def label_propagation(edges: DataFrame, n: int, max_rounds: int = 20) -> DataFra
     )
 
 
+def connected_components_joinagg(
+    edges: DataFrame, n: int, presymmetrized: bool = False
+) -> DataFrame:
+    """Fully distributed min-label CC (G11, properties.hxx:379–401 shape):
+    neither labels nor the frontier ever sit on the driver — the 10^12-vertex
+    scale-out twin of connected_components_np (which broadcasts an O(N)
+    label array per round).
+
+    Frontier-optimized: each round only vertices whose label improved last
+    round send messages (edges ⋈ frontier on src → groupBy(dst).min), so
+    late rounds touch O(|changed|) edges.  Fixpoint when no label improves.
+    Returns (v, component) with component = min vertex id (exact,
+    deterministic — same result as the np/BSP variants)."""
+    spark = edges.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    und = edges if presymmetrized else symmetrize(edges)
+    und = und.repartition(p, "src").persist()
+    und.count()
+    vertices = spark.range(n).select(F.col("id").alias("v"))
+    labels = vertices.select(
+        "v", F.col("v").alias("lab")
+    ).transform(materialize)
+    frontier = labels
+    while True:
+        msgs = (
+            und.join(frontier.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("lab").alias("cand"))
+        )
+        improved = (
+            labels.join(msgs.withColumnRenamed("dst", "v"), "v")
+            .where(F.col("cand") < F.col("lab"))
+            .select("v", F.col("cand").alias("lab"))
+            .transform(materialize)
+        )
+        if improved.isEmpty():
+            break
+        labels = (
+            labels.join(
+                improved.withColumnRenamed("lab", "new_lab"), "v", "left"
+            )
+            .select("v", F.coalesce("new_lab", "lab").alias("lab"))
+            .transform(materialize)
+        )
+        frontier = improved
+    if not presymmetrized:
+        und.unpersist()
+    return labels.select("v", F.col("lab").alias("component"))
+
+
+def label_propagation_joinagg(
+    edges: DataFrame, n: int, max_rounds: int = 20, presymmetrized: bool = False
+) -> DataFrame:
+    """Fully distributed synchronous LPA — the scale-out twin of
+    label_propagation_np with identical semantics: every round each vertex
+    with ≥1 neighbor adopts the most frequent neighbor label, ties broken
+    by the SMALLEST label; fixpoint or max_rounds.
+
+    Winner pick is one agg chain: groupBy(dst, lab).count →
+    groupBy(dst).min(struct(-count, lab)) — no global windows, no driver
+    state.  Returns (v, label)."""
+    spark = edges.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    und = edges if presymmetrized else symmetrize(edges)
+    und = und.repartition(p, "src").persist()
+    und.count()
+    vertices = spark.range(n).select(F.col("id").alias("v"))
+    labels = vertices.select(
+        "v", F.col("v").alias("lab")
+    ).transform(materialize)
+    for _ in range(max_rounds):
+        winner = (
+            und.join(labels.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))
+                ).alias("w")
+            )
+            .select(F.col("dst").alias("v"), F.col("w.lab").alias("new_lab"))
+        )
+        new_labels = (
+            labels.join(winner, "v", "left")
+            .select("v", F.coalesce("new_lab", "lab").alias("lab"))
+            .transform(materialize)
+        )
+        changed = (
+            new_labels.withColumnRenamed("lab", "nl")
+            .join(labels, "v")
+            .where(F.col("nl") != F.col("lab"))
+        )
+        stop = changed.isEmpty()
+        labels = new_labels
+        if stop:
+            break
+    if not presymmetrized:
+        und.unpersist()
+    return labels.select("v", F.col("lab").alias("label"))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
-    """Global triangle count via ordered wedge closure: canonical undirected
-    edges (src<dst); count a<b<c with (a,b),(b,c),(a,c) present.  Pure
-    joins — Catalyst picks the strategy; at scale the smaller join side
-    should be the degree-ordered wedge list (AQE handles skew).  Excludes
-    self-loops by construction."""
+    """Global triangle count via DEGREE-ordered wedge closure: orient every
+    undirected edge from the lower-(degree, id) endpoint to the higher, so
+    each wedge pivots at its lowest-degree vertex.  Orienting by raw vertex
+    id leaves O(d²) wedges at every hub; degree orientation bounds wedge
+    fan-out by the graph's arboricity (the standard skew fix — a hub with
+    10^6 neighbors generates zero wedges unless its neighbors out-rank it).
+    Pure joins — Catalyst picks the strategy; AQE handles residual skew.
+    Excludes self-loops by construction."""
     e = (
         symmetrize(edges)
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .persist()
     )
-    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = ab.join(bc, "b")
-    tri = wedges.join(ac, ["a", "c"], "left_semi")
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
+    )
+    src_low = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = ed.select(
+        F.when(src_low, F.col("src")).otherwise(F.col("dst")).alias("x"),
+        F.when(src_low, F.col("dst")).otherwise(F.col("src")).alias("y"),
+        F.when(src_low, F.col("dd")).otherwise(F.col("ds")).alias("dy"),
+    ).persist()
+    e1 = fwd.select("x", F.col("y").alias("a"), F.col("dy").alias("da"))
+    e2 = fwd.select("x", F.col("y").alias("b"), F.col("dy").alias("db"))
+    wedges = e1.join(e2, "x").where(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    closing = fwd.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    tri = wedges.join(closing, ["a", "b"], "left_semi")
     out = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return out
 

@@ -20,18 +20,29 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-TOKEN_RE = "[A-Za-z0-9]+"
+from pagerank_cuda_dynamic_spark.functions import (  # shared JVM vocabulary
+    TOKEN_RE,
+    tokens as _tokens,
+    word_shingles as _shingles_expr,
+)
 
 
-def _tokens(col: str = "text") -> F.Column:
-    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+def _text_keys(text_col: str) -> list[F.Column]:
+    """Constant-size dedup keys: xxhash64 (cheap bucketing) + sha256
+    (disambiguation).  Grouping by raw text would shuffle the whole corpus
+    as keys at 100 TB; these 72 bytes/row replace it.  sha256 equality ⇔
+    byte equality for any practical purpose (2⁻¹²⁸ collision odds)."""
+    return [
+        F.xxhash64(F.col(text_col)).alias("h64"),
+        F.sha2(F.col(text_col), 256).alias("hsha"),
+    ]
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (keeper_id, n_copies) per duplicated
     text.  keeper = min id (deterministic)."""
     return (
-        docs.groupBy(text_col)
+        docs.groupBy(*_text_keys(text_col))
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
         .where(F.col("n_copies") > 1)
         .select("keeper_id", "n_copies")
@@ -40,8 +51,12 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one row per distinct text (min id wins)."""
-    keep = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    return docs.join(keep, [text_col, id_col], "left_semi")
+    keep = (
+        docs.groupBy(*_text_keys(text_col))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
 
 
 def fingerprint_key(text_col: str = "text") -> F.Column:
@@ -60,17 +75,7 @@ def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: st
     )
 
 
-def _shingles(text_col: str = "text", k: int = 3) -> F.Column:
-    """Word k-gram shingles as strings (JVM-side, no UDF)."""
-    toks = _tokens(text_col)
-    return F.when(F.size(toks) < k, F.array(F.array_join(toks, " "))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - k),
-                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-            )
-        )
-    )
+_shingles = _shingles_expr
 
 
 def ngram_jaccard_pairs(
@@ -79,17 +84,33 @@ def ngram_jaccard_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     Inverted-index shape: explode shingles → self-join on shingle →
     per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|.  No cross join:
     only docs sharing ≥1 shingle ever meet.  Output (id_a, id_b, jaccard),
-    id_a < id_b."""
+    id_a < id_b.
+
+    max_shingle_df caps each shingle's document frequency BEFORE the pair
+    join: one shingle shared by d docs generates d² candidate rows, so a
+    single boilerplate phrase at 100 TB would explode the shuffle
+    quadratically.  Capped shingles contribute nothing to intersections
+    (sizes stay exact), so reported jaccard is a lower bound for pairs
+    whose overlap is dominated by ultra-common shingles — and exact
+    whenever no shared shingle exceeds the cap (always true at test SF)."""
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(_shingles(text_col, k)).alias("s")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_shingle_df)
+        .select("s")
+    )
+    sh = sh.join(rare, "s", "left_semi")
     a = sh.withColumnRenamed("id", "id_a")
     b = sh.withColumnRenamed("id", "id_b")
     inter = (

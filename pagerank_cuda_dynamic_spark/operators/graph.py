@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+
 def transpose(edges: DataFrame) -> DataFrame:
     """Reverse all edges (transpose.hxx:16–65).  A projection — no shuffle
     until a downstream op repartitions on the new key."""
@@ -88,7 +89,9 @@ def bfs_reachable(edges: DataFrame, seeds: DataFrame, max_rounds: int = 10**9) -
     Returns distinct visited vertex ids (column v) including the seeds.
     Each round localCheckpoints to truncate lineage (iterative plans grow
     exponentially otherwise)."""
-    visited = seeds.select("v").distinct().localCheckpoint(eager=True)
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize  # lazy: plans ↔ operators cycle
+
+    visited = seeds.select("v").distinct().transform(materialize)
     frontier = visited
     n = visited.count()
     rounds = 0
@@ -98,12 +101,12 @@ def bfs_reachable(edges: DataFrame, seeds: DataFrame, max_rounds: int = 10**9) -
             .select(F.col("dst").alias("v"))
             .distinct()
             .join(visited, "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         n_new = nxt.count()
         if n_new == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
         n += n_new
         rounds += 1

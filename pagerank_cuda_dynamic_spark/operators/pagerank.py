@@ -48,6 +48,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
 if TYPE_CHECKING:  # avoid plans ↔ operators circular import at runtime
     from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
 
@@ -282,7 +284,7 @@ def _loop_joinagg(
         ranks = spark.createDataFrame(
             pd.DataFrame({"v": np.arange(N, dtype=np.int64), "rank": r0})
         )
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(materialize)
     iters = 0
     step_secs: list = []
     while iters < opts.max_iterations:
@@ -298,7 +300,7 @@ def _loop_joinagg(
                 "v",
                 (F.lit(C0) + F.lit(P) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         el = (
             new_ranks.withColumnRenamed("rank", "new_rank")
@@ -341,7 +343,7 @@ def pagerank_weighted_joinagg(
     vertices = spark.range(n).select(F.col("id").alias("v"))
     has_out = wdeg.select(F.col("src").alias("v"))
     dangling = vertices.join(has_out, "v", "left_anti").persist()
-    ranks = vertices.select("v", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
+    ranks = vertices.select("v", F.lit(1.0 / n).alias("rank")).transform(materialize)
     iters = 0
     steps: list = []
     while iters < opts.max_iterations:
@@ -364,7 +366,7 @@ def pagerank_weighted_joinagg(
                     + F.lit(P) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         el = (
             new_ranks.withColumnRenamed("rank", "nr")
@@ -418,19 +420,20 @@ def _loop_joinagg_frontier(
     ew.count()
     ranks = spark.createDataFrame(
         pd.DataFrame({"v": np.arange(N, dtype=np.int64), "rank": r0})
-    ).localCheckpoint(eager=True)
-    vaff = vaff_df.select("v").distinct().localCheckpoint(eager=True)
+    ).transform(materialize)
+    vaff = vaff_df.select("v").distinct().transform(materialize)
     movers = spark.createDataFrame(pd.DataFrame({"v": []}).astype("int64"), "v long")
     iters = 0
     step_secs: list = []
     while iters < opts.max_iterations:
         t0 = time.time()
-        # extension (two-phase naff→vaff, pagerankCuda.hxx:686–687)
-        ext = movers.join(ew, movers.v == ew.src, "inner")
-        if prune:
-            ext = ext.where(F.col("src") != F.col("dst"))
-        ext = ext.select(F.col("dst").alias("v")).distinct()
-        vaff = vaff.unionByName(ext).distinct().localCheckpoint(eager=True)
+        if expand:
+            # extension (two-phase naff→vaff, pagerankCuda.hxx:686–687)
+            ext = movers.join(ew, movers.v == ew.src, "inner")
+            if prune:
+                ext = ext.where(F.col("src") != F.col("dst"))
+            ext = ext.select(F.col("dst").alias("v")).distinct()
+            vaff = vaff.unionByName(ext).distinct().transform(materialize)
         aff_edges = ew.join(vaff.withColumnRenamed("v", "dst"), "dst", "left_semi")
         contrib = (
             aff_edges.join(ranks.withColumnRenamed("v", "src"), "src")
@@ -460,20 +463,20 @@ def _loop_joinagg_frontier(
         upd = upd.withColumn("eu", F.abs(F.col("rank") - F.col("new_rank"))).withColumn(
             "rel",
             F.col("eu") / F.greatest(F.greatest("rank", "new_rank"), F.lit(1e-300)),
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         el_row = upd.agg(F.max("eu").alias("el")).collect()[0]
         el = el_row["el"] if el_row["el"] is not None else 0.0
         ranks = (
             ranks.join(upd.select("v", "new_rank"), "v", "left")
             .select("v", F.coalesce("new_rank", "rank").alias("rank"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         if expand:
-            movers = upd.where(F.col("rel") > D).select("v").localCheckpoint(eager=True)
+            movers = upd.where(F.col("rel") > D).select("v").transform(materialize)
         if prune:
             vaff = vaff.join(
                 upd.where(F.col("rel") <= C).select("v"), "v", "left_anti"
-            ).localCheckpoint(eager=True)
+            ).transform(materialize)
         iters += 1
         step_secs.append(time.time() - t0)
         if el < opts.tolerance:
@@ -524,6 +527,41 @@ def pagerank_dynamic_frontier_joinagg(
     q = _adjust_warm_start(q, new.n)
     r, it, steps = _loop_joinagg_frontier(
         new, q, vaff_df, opts, expand=True, prune=prune, corrected=prune
+    )
+    return PagerankResult(r, it, time.time() - t0, superstep_seconds=steps)
+
+
+def _traversal_marks_df(
+    old: "GraphSnapshot",
+    new: "GraphSnapshot",
+    deletions: DataFrame | None,
+    insertions: DataFrame | None,
+) -> DataFrame:
+    """DT affected closure as a DataFrame (never collected): BFS in the NEW
+    graph from the DF seed marks (pagerank.hxx:543–578) — the scale path
+    twin of _traversal_marks, which pulls the closure to the driver."""
+    from pagerank_cuda_dynamic_spark.operators.graph import bfs_reachable
+
+    seeds = _frontier_marks_df(old, new, deletions, insertions)
+    return bfs_reachable(new.edges, seeds)
+
+
+def pagerank_dynamic_traversal_joinagg(
+    old: "GraphSnapshot",
+    new: "GraphSnapshot",
+    deletions: DataFrame | None,
+    insertions: DataFrame | None,
+    q: np.ndarray,
+    opts: PagerankOptions | None = None,
+) -> PagerankResult:
+    """Dynamic-Traversal entirely as DataFrame plans: the affected closure
+    stays a distributed DataFrame end to end (10^12-vertex regime)."""
+    opts = opts or PagerankOptions()
+    t0 = time.time()
+    vaff_df = _traversal_marks_df(old, new, deletions, insertions)
+    q = _adjust_warm_start(q, new.n)
+    r, it, steps = _loop_joinagg_frontier(
+        new, q, vaff_df, opts, expand=False, prune=False, corrected=False
     )
     return PagerankResult(r, it, time.time() - t0, superstep_seconds=steps)
 

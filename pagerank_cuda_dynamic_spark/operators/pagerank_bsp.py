@@ -548,7 +548,10 @@ def _bsp_loop(
             movers_alive = bool(dyn and do_expand and int(mcnt_mm[l, :].sum()) > 0)
             M = mover_list(l, mids[cur]) if movers_alive else None
             # ---- phase A0: mark hubs reached from movers (hub src-CSR) ----
-            if NH and dyn and do_expand:
+            # skipped entirely (including its sync) when the frontier is
+            # dead — movers_alive is derived from the same mcnt row on
+            # every stripe, so the skip decision is globally consistent
+            if NH and dyn and do_expand and movers_alive:
                 for st in stripes:
                     if M is not None and st["husrc"].size:
                         eidx = csr_lookup(M, st["husrc"], st["huoff"])

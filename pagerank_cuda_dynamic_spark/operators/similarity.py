@@ -16,19 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def cosine_expr(a: str, b: str) -> F.Column:
-    """cos(a,b) with built-in higher-order functions (JVM-side), computed
-    in float64 regardless of the array element type (oracle parity)."""
-    ca = F.transform(F.col(a), lambda x: x.cast("double"))
-    cb = F.transform(F.col(b), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(ca, cb, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+from pagerank_cuda_dynamic_spark.functions import cosine_expr  # noqa: E402  shared JVM vocabulary
 
 
 def brute_force_topk(
@@ -207,12 +195,15 @@ def ivf_topk(
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    # deterministic centroid pick: smallest xxhash64(id, seed) rows
-    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    # deterministic centroid pick: smallest xxhash64(id, seed) rows via
+    # sort+limit — Catalyst plans this as TakeOrderedAndProject (per-task
+    # top-N, merged on the driver), NOT a single-task global sort
     cents_pdf = (
         embeddings.select(id_col, vec_col)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_cells)
+        .withColumn("hk", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("hk")
+        .limit(n_cells)
+        .drop("hk")
         .toPandas()
     )
     cm = np.stack(cents_pdf[vec_col].to_numpy()).astype(np.float32)

@@ -151,10 +151,13 @@ def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch slicing happens first (main.cu:83), tidy/dedup afterwards
     (batch.hxx:201–208).
 
-    Scale note: the global row_number() is a test-scale convenience; at
-    100 TB the cursor is (ts, event_id) range predicates — the plan keeps
-    `ts` so slicing can push down.
+    The `seq` cursor is numbered by the two-phase scheme (range partition →
+    local row_number → broadcast offsets, plans.dictionary.attach_global_seq)
+    — identical values to a global ROW_NUMBER() with no single-task window;
+    the plan keeps `ts` so slicing predicates can also push down directly.
     """
+    from pagerank_cuda_dynamic_spark.plans.dictionary import attach_global_seq
+
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     state = F.concat(
@@ -168,10 +171,7 @@ def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("src").isNotNull())
     )
-    wseq = Window.orderBy("ts", "event_id")
-    return trans.select(
-        "src", "dst", "ts", (F.row_number().over(wseq) - 1).cast("long").alias("seq")
-    )
+    return attach_global_seq(trans, ["ts", "event_id"]).select("src", "dst", "ts", "seq")
 
 
 EVENT_EDGES_SQL = """

@@ -47,34 +47,60 @@ _STATE_SCHEMA = T.StructType(
 def _chain_turns(key, pdf_iter, state: GroupState):
     """Per-conversation stateful chaining: emit turn→turn adjacency edges,
     including the edge from the last turn of a PREVIOUS micro-batch to the
-    first turn of this one (state carries the last seen turn_idx)."""
+    first turn of this one (state carries the last seen turn_idx).
+
+    Fully vectorized (shift/concat) — no per-row Python loop in the
+    stateful kernel; batches arrive Arrow-columnar and stay columnar."""
     (conv_id,) = key
-    last_idx = state.get[0] if state.exists else None
+    last_idx = state.get[0] if state.exists and state.get[0] >= 0 else None
     frames = []
     for pdf in pdf_iter:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values("turn_idx")
-        idxs = pdf["turn_idx"].to_numpy()
-        ts = pdf["ts"].to_numpy()
-        tool = pdf["tool"].to_numpy(dtype=object)
-        role = pdf["role"].to_numpy(dtype=object)
-        ent = [f"turn:{conv_id}:{i}" for i in idxs]
-        rows = []
-        prev_ent = f"turn:{conv_id}:{last_idx}" if last_idx is not None else None
-        prev_ts = None
-        for j in range(len(pdf)):
-            if prev_ent is not None:
-                rows.append((prev_ent, ent[j], "adjacency", ts[j]))
-            if tool[j] is not None and not (isinstance(tool[j], float) and np.isnan(tool[j])):
-                rows.append((ent[j], f"tool:{tool[j]}", "tool", ts[j]))
-            rows.append((ent[j], f"role:{role[j]}", "role", ts[j]))
-            if last_idx is None and j == 0 and idxs[j] == 0:
-                rows.append((f"conv:{conv_id}", ent[j], "conv", ts[j]))
-            prev_ent = ent[j]
-            last_idx = int(idxs[j])
-        if rows:
-            frames.append(
-                pd.DataFrame(rows, columns=["src_entity", "dst_entity", "etype", "ts"])
+        ent = "turn:" + f"{conv_id}:" + pdf["turn_idx"].astype(str)
+        prev = ent.shift(1)
+        if last_idx is not None:
+            prev.iloc[0] = f"turn:{conv_id}:{last_idx}"
+        adj = pd.DataFrame(
+            {
+                "src_entity": prev,
+                "dst_entity": ent,
+                "etype": "adjacency",
+                "ts": pdf["ts"],
+            }
+        ).dropna(subset=["src_entity"])
+        has_tool = pdf["tool"].notna()
+        tool = pd.DataFrame(
+            {
+                "src_entity": ent[has_tool],
+                "dst_entity": "tool:" + pdf.loc[has_tool, "tool"].astype(str),
+                "etype": "tool",
+                "ts": pdf.loc[has_tool, "ts"],
+            }
+        )
+        role = pd.DataFrame(
+            {
+                "src_entity": ent,
+                "dst_entity": "role:" + pdf["role"].astype(str),
+                "etype": "role",
+                "ts": pdf["ts"],
+            }
+        )
+        parts = [adj, tool, role]
+        if last_idx is None and int(pdf["turn_idx"].iloc[0]) == 0:
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "src_entity": [f"conv:{conv_id}"],
+                        "dst_entity": [ent.iloc[0]],
+                        "etype": ["conv"],
+                        "ts": [pdf["ts"].iloc[0]],
+                    }
+                )
             )
+        frames.append(pd.concat(parts, ignore_index=True))
+        last_idx = int(pdf["turn_idx"].iloc[-1])
     state.update((last_idx if last_idx is not None else -1,))
     if frames:
         yield pd.concat(frames, ignore_index=True)
