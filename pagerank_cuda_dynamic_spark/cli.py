@@ -27,6 +27,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--synthesize", type=int, default=0, help="synthesize N conversations instead")
     ap.add_argument("--technique", default="static",
                     choices=["static", "nd", "dt", "df", "dfp"])
+    ap.add_argument("--algo", default="pagerank",
+                    choices=["pagerank", "cc", "lpa"],
+                    help="pagerank (default) or distributed CC / LPA labels")
+    ap.add_argument("--exchange", default="memmap", choices=["memmap", "tcp"],
+                    help="BSP rank exchange: shared-memmap (single node / "
+                         "shared FS) or TCP ring (any cluster, static only)")
     ap.add_argument("--batches", type=int, default=0,
                     help="temporal batches after a 90%% base prefix (0 = single static run)")
     ap.add_argument("--out", required=True, help="output parquet path for (entity, rank)")
@@ -76,11 +82,36 @@ def main(argv: list[str] | None = None) -> int:
         damping=args.damping, tolerance=args.tolerance, max_iterations=args.max_iterations
     )
 
-    if args.batches > 0:
-        w = Window.orderBy("ts", "src", "dst")
-        edges_seq = enc.select(
-            "src", "dst", (F.row_number().over(w) - 1).alias("seq")
+    if args.algo in ("cc", "lpa"):
+        from pagerank_cuda_dynamic_spark.operators.components import (
+            connected_components_joinagg,
+            label_propagation_joinagg,
         )
+
+        if args.algo == "cc":
+            out_df = connected_components_joinagg(enc.select("src", "dst"), n)
+            val = "component"
+        else:
+            out_df = label_propagation_joinagg(enc.select("src", "dst"), n)
+            val = "label"
+        out = (
+            out_df.join(d, "v")
+            .join(
+                d.withColumnRenamed("v", val).withColumnRenamed("entity", f"{val}_entity"),
+                val,
+            )
+            .select("entity", F.col(f"{val}_entity").alias(val))
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"algo": args.algo, "total_seconds": round(time.time() - t0, 1), "out": args.out}))
+        return 0
+
+    if args.batches > 0:
+        from pagerank_cuda_dynamic_spark.plans.dictionary import attach_global_seq
+
+        edges_seq = attach_global_seq(
+            enc.select("src", "dst", "ts"), ["ts", "src", "dst"]
+        ).select("src", "dst", "seq")
         ranks, metrics = run_temporal_batches(
             spark,
             edges_seq,
@@ -93,7 +124,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(m.__dict__), file=sys.stderr)
     else:
         g = GraphSnapshot.build(enc.select("src", "dst"), n=n)
-        if args.checkpoint_dir:
+        if args.exchange == "tcp":
+            from pagerank_cuda_dynamic_spark.operators.pagerank_tcp import (
+                pagerank_static_tcp,
+            )
+
+            res = pagerank_static_tcp(g, opts)
+        elif args.checkpoint_dir:
             ckpt = CheckpointManager(spark, args.checkpoint_dir)
             res = pagerank_checkpointed(g, ckpt, opts)
         else:

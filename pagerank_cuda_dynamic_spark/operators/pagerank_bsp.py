@@ -520,10 +520,17 @@ def _bsp_loop(
         l = 0
 
         def spin(arr, row_i):
+            # hybrid spin: ~0.5 ms hot window (sub-µs sync latency when
+            # peers are already close — the common case for short dynamic
+            # supersteps), then 0.2 ms sleeps so laggard stripes keep the
+            # cores during long static supersteps
+            n = 0
             while not arr[row_i, :].all():
-                if time.time() > deadline:
-                    raise TimeoutError(f"BSP flag sync timeout at iter {row_i}")
-                time.sleep(0.0002)
+                n += 1
+                if n > 300:
+                    if time.time() > deadline:
+                        raise TimeoutError(f"BSP flag sync timeout at iter {row_i}")
+                    time.sleep(0.0002)
 
         def mover_list(row_i, buf):
             segs = []

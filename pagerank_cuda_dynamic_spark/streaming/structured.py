@@ -139,7 +139,11 @@ class StreamingPagerankDriver:
     the dense remap ksMap, pagerankCuda.hxx:765–775); the batch becomes an
     insert-only edge batch (tidy → apply); ranks warm-start from the prior
     state via Dynamic-Frontier-Prune (technique='dfp') or plain warm
-    restart ('nd')."""
+    restart ('nd').
+
+    The entity dictionary is a DISTRIBUTED DataFrame (anti-join for new
+    entities, two-phase scaled numbering + offset) — no unbounded
+    driver-side dict; micro-batch rows never pass through the driver."""
 
     def __init__(self, spark, technique: str = "dfp", ckpt_root: str | None = None):
         from pagerank_cuda_dynamic_spark.operators.pagerank import PagerankOptions
@@ -148,24 +152,40 @@ class StreamingPagerankDriver:
         self.technique = technique
         self.ckpt_root = ckpt_root
         self.opts = PagerankOptions()
-        self.entity_ids: dict[str, int] = {}
+        self.dict_df: DataFrame | None = None
+        self.n_entities = 0
         self.graph = None
         self.ranks: np.ndarray | None = None
         self.batches_seen = 0
 
-    def _encode(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        new_entities = sorted(
-            set(pdf["src_entity"]).union(pdf["dst_entity"]) - self.entity_ids.keys()
+    def _encode_batch(self, batch_df: DataFrame) -> DataFrame:
+        from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+        from pagerank_cuda_dynamic_spark.plans.dictionary import (
+            assign_dense_ids_scaled,
+            encode_edges,
         )
-        base = len(self.entity_ids)
-        for i, e in enumerate(new_entities):
-            self.entity_ids[e] = base + i
-        return pd.DataFrame(
-            {
-                "src": pdf["src_entity"].map(self.entity_ids).astype(np.int64),
-                "dst": pdf["dst_entity"].map(self.entity_ids).astype(np.int64),
-            }
+
+        e = batch_df.select("src_entity", "dst_entity")
+        ents = (
+            e.select(F.col("src_entity").alias("entity"))
+            .unionByName(e.select(F.col("dst_entity").alias("entity")))
+            .distinct()
         )
+        new = (
+            ents
+            if self.dict_df is None
+            else ents.join(self.dict_df.select("entity"), "entity", "left_anti")
+        )
+        new_ids = assign_dense_ids_scaled(new).select(
+            (F.col("v") + F.lit(self.n_entities)).cast("long").alias("v"), "entity"
+        )
+        self.dict_df = materialize(
+            new_ids
+            if self.dict_df is None
+            else self.dict_df.unionByName(new_ids)
+        )
+        self.n_entities = self.dict_df.count()
+        return encode_edges(e, self.dict_df, src="src_entity", dst="dst_entity")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pagerank_cuda_dynamic_spark.operators.graph import tidy_batch
@@ -177,12 +197,10 @@ class StreamingPagerankDriver:
         from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
         from pagerank_cuda_dynamic_spark.streaming.checkpoint import CheckpointManager
 
-        pdf = batch_df.toPandas()
-        if not len(pdf):
+        if batch_df.isEmpty():
             return
-        enc = self._encode(pdf)
-        n = len(self.entity_ids)
-        edges = self.spark.createDataFrame(enc)
+        edges = self._encode_batch(batch_df)
+        n = self.n_entities
         if self.graph is None:
             self.graph = GraphSnapshot.build(edges, n=n)
             res = pagerank_static_bsp(self.graph, self.opts)
@@ -220,11 +238,11 @@ class StreamingPagerankDriver:
         )
 
     def ranks_df(self) -> DataFrame:
-        inv = pd.DataFrame(
-            {"entity": list(self.entity_ids.keys()),
-             "v": list(self.entity_ids.values())}
-        )
         pdf = pd.DataFrame(
             {"v": np.arange(len(self.ranks), dtype=np.int64), "rank": self.ranks}
-        ).merge(inv, on="v")
-        return self.spark.createDataFrame(pdf[["entity", "rank"]])
+        )
+        return (
+            self.spark.createDataFrame(pdf)
+            .join(self.dict_df, "v")
+            .select("entity", "rank")
+        )

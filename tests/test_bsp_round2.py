@@ -119,3 +119,25 @@ def test_dfp_kill_resume_keeps_movers(spark, tmp_path):
     assert np.allclose(resumed.ranks, uninterrupted.ranks, atol=1e-12)
     g0.unpersist()
     g1.unpersist()
+
+
+def test_cc_bsp_empty_stripe(spark):
+    """Isolated leading vertex range → empty stripes in the symmetrized
+    label pack; the stub-row guarantee must keep the label loop converging
+    (previously: flag-spin deadlock)."""
+    import numpy as np
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        connected_components_np,
+    )
+    from pagerank_cuda_dynamic_spark.operators.components_bsp import (
+        connected_components_bsp,
+    )
+
+    src = np.arange(300, 350)
+    dst = np.arange(301, 351)
+    e = edges_df(spark, src, dst)
+    got = connected_components_bsp(e, 400)
+    want = connected_components_np(e, 400)
+    assert np.array_equal(got, want)
+    assert got[0] == 0 and got[299] == 299  # isolated vertices keep own id
+    assert (got[300:351] == 300).all()
