@@ -118,71 +118,77 @@ def section_dynamic(spark, results: dict) -> None:
     base = pagerank_static_bsp(g, PagerankOptions())
     results["queries"]["dyn_base_static"] = round(base.time, 2)
 
-    # insert-only batch ≈ 1e-4·|E| seeded random turn→turn pairs (tidied)
-    k = max(int(1e-4 * m), 10)
-    rng = np.random.default_rng(SEED)
     import pandas as pd
-
-    ins_pdf = pd.DataFrame(
-        {
-            "src": rng.integers(0, n, k).astype(np.int64),
-            "dst": rng.integers(0, n, k).astype(np.int64),
-        }
-    )
-    ins_raw = spark.createDataFrame(ins_pdf)
-    empty = spark.createDataFrame(
-        pd.DataFrame({"src": [], "dst": []}).astype("int64"),
-        schema="src long, dst long",
-    )
-    dels, ins = tidy_batch(g.edges, empty, ins_raw)
-    g2 = g.with_batch(dels, ins)
-
-    t0 = time.time()
-    s2 = pagerank_static_bsp(g2, PagerankOptions())
-    t_static = time.time() - t0
-    results["queries"]["dyn_static_recompute"] = round(t_static, 2)
-
-    t0 = time.time()
-    nd = pagerank_static_bsp(g2, PagerankOptions(), q=base.ranks)
-    results["queries"]["dyn_nd"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    df_res = pagerank_dynamic_frontier_bsp(g, g2, dels, ins, base.ranks)
-    t_df = time.time() - t0
-    results["queries"]["dyn_df"] = round(t_df, 2)
-
-    t0 = time.time()
-    dfp_res = pagerank_dynamic_frontier_prune_bsp(g, g2, dels, ins, base.ranks)
-    t_dfp = time.time() - t0
-    results["queries"]["dyn_dfp"] = round(t_dfp, 2)
 
     def med_loop(res):
         # robust loop-time estimate: median superstep × iterations (wall
         # sums are straggler-noisy on a shared host)
         return float(np.median(res.superstep_seconds) * res.iterations)
 
+    rng = np.random.default_rng(SEED)
+    empty = spark.createDataFrame(
+        pd.DataFrame({"src": [], "dst": []}).astype("int64"),
+        schema="src long, dst long",
+    )
     results["dynamic"] = {
         "edges": m,
-        "batch_size": int(ins.count()),
-        "regime": "single insert-batch 1e-4*|E| at full bench size (25M edges)",
-        "static_loop_sec": round(sum(s2.superstep_seconds), 3),
-        "nd_loop_sec": round(sum(nd.superstep_seconds), 3),
-        "df_loop_sec": round(sum(df_res.superstep_seconds), 3),
-        "dfp_loop_sec": round(sum(dfp_res.superstep_seconds), 3),
-        "static_loop_med_sec": round(med_loop(s2), 3),
-        "nd_loop_med_sec": round(med_loop(nd), 3),
-        "df_loop_med_sec": round(med_loop(df_res), 3),
-        "dfp_loop_med_sec": round(med_loop(dfp_res), 3),
-        "nd_err_linf": float(np.abs(nd.ranks - s2.ranks).max()),
-        "df_err_linf": float(np.abs(df_res.ranks - s2.ranks).max()),
-        "dfp_err_linf": float(np.abs(dfp_res.ranks - s2.ranks).max()),
-        "df_iterations": df_res.iterations,
-        "df_affected_initial": df_res.affected_initial,
-        "df_speedup_vs_static_loop": round(med_loop(s2) / max(med_loop(df_res), 1e-9), 2),
-        "dfp_speedup_vs_static_loop": round(med_loop(s2) / max(med_loop(dfp_res), 1e-9), 2),
+        "regime": "single insert-only batch per fraction at full bench size",
+        "by_fraction": {},
     }
+    for frac in (1e-4, 1e-5):
+        k = max(int(frac * m), 10)
+        ins_pdf = pd.DataFrame(
+            {
+                "src": rng.integers(0, n, k).astype(np.int64),
+                "dst": rng.integers(0, n, k).astype(np.int64),
+            }
+        )
+        dels, ins = tidy_batch(g.edges, empty, spark.createDataFrame(ins_pdf))
+        g2 = g.with_batch(dels, ins)
+        g2.bsp_packed()
+
+        t0 = time.time()
+        s2 = pagerank_static_bsp(g2, PagerankOptions())
+        t_static = time.time() - t0
+        t0 = time.time()
+        nd = pagerank_static_bsp(g2, PagerankOptions(), q=base.ranks)
+        t_nd = time.time() - t0
+        t0 = time.time()
+        df_res = pagerank_dynamic_frontier_bsp(g, g2, dels, ins, base.ranks)
+        t_df = time.time() - t0
+        t0 = time.time()
+        dfp_res = pagerank_dynamic_frontier_prune_bsp(g, g2, dels, ins, base.ranks)
+        t_dfp = time.time() - t0
+        if frac == 1e-4:  # headline keys keep round-over-round continuity
+            results["queries"]["dyn_static_recompute"] = round(t_static, 2)
+            results["queries"]["dyn_nd"] = round(t_nd, 2)
+            results["queries"]["dyn_df"] = round(t_df, 2)
+            results["queries"]["dyn_dfp"] = round(t_dfp, 2)
+        row = {
+            "batch_size": int(ins.count()),
+            "static_loop_sec": round(sum(s2.superstep_seconds), 3),
+            "nd_loop_sec": round(sum(nd.superstep_seconds), 3),
+            "df_loop_sec": round(sum(df_res.superstep_seconds), 3),
+            "dfp_loop_sec": round(sum(dfp_res.superstep_seconds), 3),
+            "static_loop_med_sec": round(med_loop(s2), 3),
+            "nd_loop_med_sec": round(med_loop(nd), 3),
+            "df_loop_med_sec": round(med_loop(df_res), 3),
+            "dfp_loop_med_sec": round(med_loop(dfp_res), 3),
+            "nd_err_linf": float(np.abs(nd.ranks - s2.ranks).max()),
+            "df_err_linf": float(np.abs(df_res.ranks - s2.ranks).max()),
+            "dfp_err_linf": float(np.abs(dfp_res.ranks - s2.ranks).max()),
+            "df_iterations": df_res.iterations,
+            "df_affected_initial": df_res.affected_initial,
+            "df_speedup_vs_static_loop": round(med_loop(s2) / max(med_loop(df_res), 1e-9), 2),
+            "dfp_speedup_vs_static_loop": round(med_loop(s2) / max(med_loop(dfp_res), 1e-9), 2),
+        }
+        results["dynamic"]["by_fraction"][f"{frac:.0e}"] = row
+        if frac == 1e-4:
+            results["dynamic"].update(row)  # legacy flat keys (r1 compat)
+        print(f"# dynamic full-size {frac:.0e}: df {row['df_speedup_vs_static_loop']}x "
+              f"dfp {row['dfp_speedup_vs_static_loop']}x", file=sys.stderr)
+        g2.unpersist()
     g.unpersist()
-    g2.unpersist()
 
 
 def section_dynamic_sweep(spark, results: dict) -> None:

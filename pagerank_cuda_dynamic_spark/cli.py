@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     import numpy as np
     import pandas as pd
     import pyspark.sql.functions as F
-    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import SparkSession
 
     from pagerank_cuda_dynamic_spark.sources.transcripts import (
         read_transcripts,
