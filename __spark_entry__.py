@@ -44,6 +44,8 @@ from pagerank_cuda_dynamic_spark.operators.components import (
 )
 from pagerank_cuda_dynamic_spark.operators.dedup import (
     TOKEN_RE,
+    dedup_clusters,
+    dedup_exact,
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -378,6 +380,42 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b", "jaccard")
 
 
+def _injected_docs(spark, sf_dir, limit: int | None = None):
+    """documents ∪ id-shifted copy — guaranteed duplicates for dedup
+    evidence (every text appears exactly twice, keeper = original id)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    if limit is not None:
+        d = d.where(F.col("doc_id") < limit)
+    shifted = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return d.unionByName(shifted)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: exact n-gram Jaccard pairs ≥ 0.5 over the
+    dup-injected corpus → transitive closure via the distributed min-label
+    CC loop → (doc_id, keeper_id).  Value-checked against a recursive-CTE
+    closure oracle; chains A~B~C collapse to one keeper."""
+    docs = _injected_docs(spark, sf_dir, limit=200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end training-data filter pipeline: exact dedup (keeper only)
+    → language-ID → quality score → keep en docs with quality ≥ 0.35.
+    One declarative plan over the dup-injected corpus."""
+    docs = _injected_docs(spark, sf_dir)
+    kept = dedup_exact(docs)
+    lang = language_id(kept).select("doc_id", "lang_pred")
+    qual = quality_score(kept)
+    return (
+        kept.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.35))
+        .select("doc_id", "lang_pred", "quality")
+    )
+
+
 def q_minhash_candidates(spark, sf_dir):
     """MinHash LSH candidates (xxhash64-based — rows-only check; verified
     pairs are asserted against exact Jaccard in pytest)."""
@@ -470,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "ngram_jaccard": q_ngram_jaccard,
         "pagerank_weighted": q_pagerank_weighted,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_filter": q_corpus_filter,
         "minhash_candidates": q_minhash_candidates,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
@@ -613,7 +653,8 @@ SELECT DISTINCT src, dst FROM trans WHERE src IS NOT NULL
     return "WITH " + ",\n".join(ctes) + f"\nSELECT v, lab AS label FROM l{rounds}"
 
 
-def _lang_sql() -> str:
+def _lang_case() -> tuple[str, str]:
+    """(hit column list, winner CASE expr) for the language-ID heuristic."""
     langs = sorted(STOPWORDS)
     hit_cols = []
     for lg in langs:
@@ -624,9 +665,90 @@ def _lang_sql() -> str:
     for lg in langs:
         case += f"WHEN {best} > 0 AND h_{lg} = {best} THEN '{lg}' "
     case += "ELSE 'und' END"
+    return ", ".join(hit_cols), case
+
+
+def _lang_sql(src: str = "documents") -> str:
+    hit_cols, case = _lang_case()
     return f"""
-WITH hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
+WITH hits AS (SELECT doc_id, {hit_cols} FROM {src})
 SELECT doc_id, {case} AS lang_pred FROM hits
+"""
+
+
+_INJ_DOCS = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents
+"""
+
+_INJ_SHINGLES = """
+SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 1) + 1),
+    i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i+2), ' ')
+))) AS s
+FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200)
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Jaccard-pair graph over the dup-injected corpus → recursive-CTE
+    transitive closure → (doc_id, min reachable id)."""
+    return f"""
+WITH RECURSIVE sh AS ({_INJ_SHINGLES}),
+sizes AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT s AS v FROM und),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.v
+)
+SELECT v AS doc_id, min(r) AS keeper_id FROM reach GROUP BY v
+"""
+
+
+def _corpus_filter_sql() -> str:
+    hit_cols, case = _lang_case()
+    en_pat = r"(?i)\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+    return rf"""
+WITH docs AS ({_INJ_DOCS}),
+keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY text),
+kept AS (SELECT d.doc_id, d.text FROM docs d JOIN keep k ON k.doc_id = d.doc_id),
+hits AS (SELECT doc_id, {hit_cols} FROM kept),
+lang AS (SELECT doc_id, {case} AS lang_pred FROM hits),
+t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tok,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '{en_pat}')) AS n_stop,
+         length(text) AS n_chars
+  FROM kept
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0)
+             + 0.3 * (1.0 - least((n_punct * 1.0 / greatest(n_chars, 1)) * 4.0, 1.0)),
+             6) AS quality
+  FROM t
+)
+SELECT k.doc_id, l.lang_pred, q.quality
+FROM kept k JOIN lang l ON l.doc_id = k.doc_id JOIN q ON q.doc_id = k.doc_id
+WHERE l.lang_pred = 'en' AND q.quality >= 0.35
 """
 
 
@@ -808,6 +930,8 @@ SELECT doc_id,
 FROM t
 """,
         "language_id": _lang_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "corpus_filter": _corpus_filter_sql(),
         "ngram_jaccard": f"""
 WITH sh AS ({_SHINGLES}),
 sizes AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),

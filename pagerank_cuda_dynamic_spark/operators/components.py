@@ -148,7 +148,10 @@ def label_propagation(edges: DataFrame, n: int, max_rounds: int = 20) -> DataFra
 
 
 def connected_components_joinagg(
-    edges: DataFrame, n: int, presymmetrized: bool = False
+    edges: DataFrame,
+    n: int | None = None,
+    presymmetrized: bool = False,
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
     """Fully distributed min-label CC (G11, properties.hxx:379–401 shape):
     neither labels nor the frontier ever sit on the driver — the 10^12-vertex
@@ -159,13 +162,21 @@ def connected_components_joinagg(
     round send messages (edges ⋈ frontier on src → groupBy(dst).min), so
     late rounds touch O(|changed|) edges.  Fixpoint when no label improves.
     Returns (v, component) with component = min vertex id (exact,
-    deterministic — same result as the np/BSP variants)."""
+    deterministic — same result as the np/BSP variants).
+
+    Vertex set: dense [0, n) via `n`, or an explicit (v) DataFrame via
+    `vertices` for sparse id spaces (e.g. a near-dup pair graph over doc
+    ids)."""
     spark = edges.sparkSession
     p = spark.sparkContext.defaultParallelism
     und = edges if presymmetrized else symmetrize(edges)
     und = und.repartition(p, "src").persist()
     und.count()
-    vertices = spark.range(n).select(F.col("id").alias("v"))
+    if vertices is None:
+        assert n is not None, "need n or vertices"
+        vertices = spark.range(n).select(F.col("id").alias("v"))
+    else:
+        vertices = vertices.select("v").distinct()
     labels = vertices.select(
         "v", F.col("v").alias("lab")
     ).transform(materialize)

@@ -216,6 +216,29 @@ def minhash_dedup_pairs(
     return exact.join(cands, ["id_a", "id_b"], "left_semi")
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-dup pair list → (doc_id, keeper_id): connected components over
+    the pair graph via the fully distributed min-label loop, keeper = min
+    doc id in the cluster.  The canonical last stage of every near-dup
+    pipeline (pairs from ngram_jaccard / minhash / simhash compose
+    directly); transitive closures merge chains A~B~C into one keeper even
+    when A and C never paired."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        connected_components_joinagg,
+    )
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    verts = (
+        pairs.select(F.col(id_a).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("v")))
+        .distinct()
+    )
+    cc = connected_components_joinagg(edges, vertices=verts)
+    return cc.select(
+        F.col("v").alias("doc_id"), F.col("component").alias("keeper_id")
+    )
+
+
 def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc via an Arrow-vectorized kernel (bit unpacking
     is genuinely awkward in SQL expressions).  Deterministic: token hash =

@@ -168,3 +168,16 @@ def test_ivf_topk_recall(spark):
         hits += len(true_top & approx)
         total += 5
     assert hits / total > 0.5
+
+
+def test_dedup_clusters_transitive(spark):
+    """Chains A~B~C collapse to one keeper even though A and C never
+    paired; disjoint clusters keep separate keepers."""
+    import pandas as pd
+    from pagerank_cuda_dynamic_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    )
+    got = dedup_clusters(pairs).toPandas()
+    assert dict(zip(got.doc_id, got.keeper_id)) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
