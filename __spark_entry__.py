@@ -435,6 +435,15 @@ def q_cosine_pairs(spark, sf_dir):
     )
 
 
+def q_embedding_dup_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup CLUSTERING: cosine pairs ≥ 0.35 →
+    transitive closure via the distributed min-label CC loop →
+    (vec_id, keeper_id).  The embedding-space analog of dedup_clusters."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = pairwise_cosine_sql(emb, min_cosine=0.35, id_limit=400)
+    return dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+
+
 def _weighted_edges(spark, sf_dir):
     """customer→part weighted digraph: w = lineitem multiplicity — the
     natural weighted-graph derivation (mtx.hxx:119 weighted readers)."""
@@ -513,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         "embedding_topk": q_embedding_topk,
     }
 
@@ -952,6 +962,22 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 400 AND b.vec_id < 400
   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+""",
+        "embedding_dup_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 400 AND b.vec_id < 400
+    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+),
+und AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT s AS v FROM und),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.v
+)
+SELECT v AS vec_id, min(r) AS keeper_id FROM reach GROUP BY v
 """,
     }
 

@@ -23,10 +23,16 @@ iteration regardless of P); latency is (P−1) hops of pipelined small
 blocks.  A dedicated writer thread per task prevents the classic
 all-sendall ring deadlock when blocks exceed kernel socket buffers.
 
-v1 scope: static / warm-start (Naive-Dynamic) PageRank, self-loop dangling,
-hub-free packing (salted hubs compose with the same ring by accumulating a
-hub-partial vector as blocks pass — documented, not yet wired).  Semantics
-cross-checked against pagerank_bsp/csr in tests to 1e-10.
+Salted high-degree hubs are supported by a second (cheap) ring phase per
+iteration: each task's NH-float salted-partial vector circulates once and
+every task sums all P contributions, so hub homes fold complete totals
+into their update — message order between the two phases is preserved by
+TCP FIFO + the single writer queue.
+
+Scope: static / warm-start (Naive-Dynamic) PageRank, self-loop dangling;
+the dynamic frontier family keeps the memmap exchange locally and the
+joinagg twins cross-node.  Semantics cross-checked against
+pagerank_bsp/csr in tests to 1e-10 (including forced hub salting).
 """
 
 from __future__ import annotations
@@ -120,8 +126,8 @@ def pagerank_static_tcp(
     MAXIT = opts.max_iterations
     C0 = (1.0 - P_DAMP) / N
 
-    packed, bounds, n_stripes, hubs = bsp_pack(graph, hub_factor=float("inf"))
-    assert hubs.size == 0
+    packed, bounds, n_stripes, hubs = bsp_pack(graph)
+    NH = int(hubs.size)
     n_tasks = packed.rdd.getNumPartitions()
     rdv = _Rendezvous(n_tasks)
     rdv.start()
@@ -132,6 +138,7 @@ def pagerank_static_tcp(
     r0 = np.full(N, 1.0 / N) if q is None else np.asarray(q, dtype=np.float64)
     bc_deg = sc.broadcast(safe_deg)
     bc_r0 = sc.broadcast(r0)
+    bc_hubs = sc.broadcast(hubs)
 
     def loop(it):
         import numpy as _np
@@ -164,6 +171,7 @@ def pagerank_static_tcp(
         ctx = BarrierTaskContext.get()
         pid = ctx.partitionId()
 
+        hub_ids = _np.asarray(bc_hubs.value)
         stripes = []
         for row in it:
             lo, hi = int(row["lo"]), int(row["hi"])
@@ -177,7 +185,20 @@ def pagerank_static_tcp(
             counts = (offsets[1:] - offsets[:-1]).astype(_np.int64)
             ridx = _np.minimum(offsets[:-1], max(src.size - 1, 0))
             empty = counts == 0
-            stripes.append((lo, hi, src, ridx, empty))
+            # salted hub block this stripe holds (src pmod == stripe id)
+            hsrc = _np.frombuffer(
+                row["hub_src_bin"], dtype=_np.int32 if row["hub_src32"] else _np.int64
+            )
+            hoff = _np.frombuffer(row["hub_offsets_bin"], dtype=_np.int64)
+            if NH and hoff.size != NH + 1:
+                hoff = _np.zeros(NH + 1, dtype=_np.int64)
+            hridx = _np.minimum(hoff[:-1], max(hsrc.size - 1, 0)) if NH else None
+            hempty = (hoff[1:] - hoff[:-1]) == 0 if NH else None
+            own_cols = (
+                _np.flatnonzero((hub_ids >= lo) & (hub_ids < hi)) if NH else None
+            )
+            own_offs = hub_ids[own_cols] - lo if NH else None
+            stripes.append((lo, hi, src, ridx, empty, hsrc, hridx, hempty, own_cols, own_offs))
 
         # listen before registering so the ring can connect immediately
         lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -249,9 +270,32 @@ def pagerank_static_tcp(
         l = 0
         while l < MAXIT:
             t0 = time.time()
+            # ---- ring phase A (hubs only): allreduce salted partials ----
+            # every task computes its local hub-partial vector from the
+            # salted hub blocks it holds, then the small NH-float vector
+            # circulates once around the ring and everyone sums all P
+            # contributions — hub homes then fold totals into their update
+            hub_tot = None
+            if NH:
+                local_part = _np.zeros(NH)
+                for st in stripes:
+                    hsrc, hridx, hempty = st[5], st[6], st[7]
+                    if hsrc.size:
+                        part = _np.add.reduceat(rdiv[hsrc], hridx)
+                        part[hempty] = 0.0
+                        local_part += part
+                hub_tot = local_part.copy()
+                cur_h = pickle.dumps((pid, local_part.tobytes()))
+                for _ in range(P - 1):
+                    ring_send(cur_h)
+                    cur_h = _recv_msg(recv_sock)
+                    _bpid, pb = pickle.loads(cur_h)
+                    hub_tot += _np.frombuffer(pb)
             my_slices = []
             el_local = 0.0
-            for lo, hi, src, ridx, empty in stripes:
+            for st in stripes:
+                lo, hi, src, ridx, empty = st[0], st[1], st[2], st[3], st[4]
+                own_cols, own_offs = st[8], st[9]
                 width = hi - lo
                 if src.size:
                     w = rdiv[src]
@@ -259,6 +303,8 @@ def pagerank_static_tcp(
                     sums[empty] = 0.0
                 else:
                     sums = _np.zeros(width)
+                if NH and own_cols is not None and own_cols.size:
+                    sums[own_offs] += hub_tot[own_cols]
                 a = C0 + P_DAMP * sums
                 eu = _np.abs(a - r[lo:hi])
                 if width:

@@ -30,6 +30,31 @@ def test_tcp_matches_csr(spark):
     g.unpersist()
 
 
+def test_tcp_salted_hubs_parity(spark):
+    """Force hub salting on a star-heavy graph; the TCP ring's two-phase
+    (partial-allreduce + rank-allgather) must match the csr path exactly."""
+    from pagerank_cuda_dynamic_spark.operators import pagerank_tcp as PT
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import bsp_pack
+
+    rng = np.random.default_rng(59)
+    n = 300
+    src = np.concatenate([rng.integers(2, n, 150), rng.integers(2, n, 120),
+                          rng.integers(0, n, 400)])
+    dst = np.concatenate([np.zeros(150, np.int64), np.ones(120, np.int64),
+                          rng.integers(0, n, 400)])
+    g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
+    orig = PT.bsp_pack
+    PT.bsp_pack = lambda gr: bsp_pack(gr, hub_factor=0.05)  # force salting
+    try:
+        a = pagerank_static_tcp(g)
+    finally:
+        PT.bsp_pack = orig
+    b = pagerank_static(g, PagerankOptions(mode="csr"))
+    assert np.allclose(a.ranks, b.ranks, atol=1e-10)
+    assert a.iterations == b.iterations
+    g.unpersist()
+
+
 def test_tcp_warm_start(spark):
     n, src, dst = MICRO_GRAPHS["diamond"]
     g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
