@@ -354,9 +354,7 @@ def q_dedup_exact_injected(spark, sf_dir):
     """Exact dedup with guaranteed duplicates: the documents table unioned
     with an id-shifted copy of itself — every text now has exactly one
     duplicate, so the keeper/min-id/count semantics get real evidence."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    shifted = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    return exact_duplicates(d.unionByName(shifted))
+    return exact_duplicates(_injected_docs(spark, sf_dir))
 
 
 def q_fingerprints(spark, sf_dir):

@@ -83,22 +83,26 @@ def encode_edges(
     src: str = "src_entity",
     dst: str = "dst_entity",
     keep: tuple[str, ...] = (),
+    broadcast: bool = True,
 ) -> DataFrame:
     """Entity-keyed edges → dense (src:long, dst:long[, *keep]).
 
-    Two broadcast-hash joins against the dictionary (it is small relative to
-    the edge table; at true scale where |V| exceeds broadcast limits these
-    become shuffle joins on the entity key — same plan, Catalyst picks).
-    """
+    Two hash joins against the dictionary; `broadcast=True` (default)
+    hints the dictionary side — right whenever |V| fits the broadcast
+    budget.  At 10^12 vertices pass broadcast=False: the joins become
+    shuffle joins on the entity key (same plan shape, Catalyst/AQE picks
+    the strategy from measured sizes)."""
     src_map = dictionary.select(
         F.col("entity").alias("__src_ent"), F.col("v").alias("__src_id")
     )
     dst_map = dictionary.select(
         F.col("entity").alias("__dst_ent"), F.col("v").alias("__dst_id")
     )
+    if broadcast:
+        src_map, dst_map = F.broadcast(src_map), F.broadcast(dst_map)
     out = (
-        edges.join(F.broadcast(src_map), F.col(src) == F.col("__src_ent"))
-        .join(F.broadcast(dst_map), F.col(dst) == F.col("__dst_ent"))
+        edges.join(src_map, F.col(src) == F.col("__src_ent"))
+        .join(dst_map, F.col(dst) == F.col("__dst_ent"))
     )
     return out.select(
         F.col("__src_id").alias("src"), F.col("__dst_id").alias("dst"), *keep
