@@ -111,7 +111,15 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
 
     Exactly ONE row per stripe id 0..n_stripes-1 is guaranteed (stripes
     that receive no edges get an empty stub row) — the barrier loop waits
-    on every stripe's flag, so a missing stripe would deadlock it."""
+    on every stripe's flag, so a missing stripe would deadlock it.
+
+    Scale note: the in-degree histogram is collected to the driver here —
+    the same |V|-fits-one-node assumption the whole BSP mode makes (the
+    reference assumes one GPU, pagerankCuda.hxx:798).  Past that, bounds
+    come from `approx_percentile` over dst (weighted by indegree) and hub
+    detection from a `HAVING count > cut` filter — both fully distributed,
+    same stripe semantics; the loop itself then needs the TCP exchange
+    (pagerank_tcp) or the joinagg family."""
     spark = graph.edges.sparkSession
     if p is None:
         p = spark.sparkContext.defaultParallelism
