@@ -402,7 +402,7 @@ def main() -> None:
     finally:
         spark.stop()
     section_tcp(results)
-    out = {
+    full = {
         "metric": "headline_suite_seconds",
         "value": round(time.time() - t_all, 1),
         "unit": "sec",
@@ -415,7 +415,45 @@ def main() -> None:
         "dynamic_sweep": results.get("dynamic_sweep"),
         "tcp": results.get("tcp"),
     }
-    print(json.dumps(out))
+    # Full document to a file (the driver's stdout tail buffer is finite —
+    # round 2's one-line dump outgrew it and BENCH_r02.json landed with
+    # parsed:null).  The LAST stdout line stays a compact headline.
+    bench_dir = Path(__file__).resolve().parent / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "latest_full.json").write_text(json.dumps(full, indent=1))
+    print(f"# full bench document: {bench_dir / 'latest_full.json'}", file=sys.stderr)
+
+    scaling = results.get("scaling") or {}
+    dyn = results.get("dynamic") or {}
+    sweep = (results.get("dynamic_sweep") or {}).get("by_fraction", {})
+    tcp = results.get("tcp") or {}
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": results["queries"],
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "edges_per_sec_per_superstep": results.get("edges_per_sec_per_superstep"),
+        "scaling_efficiency": scaling.get("efficiency_median_superstep"),
+        "dynamic_speedups": {
+            f: {
+                "df": row.get("df_speedup_vs_static_loop"),
+                "dfp": row.get("dfp_speedup_vs_static_loop"),
+                "err_linf": row.get("df_err_linf"),
+            }
+            for f, row in (dyn.get("by_fraction") or {}).items()
+        },
+        "sweep_speedups": {
+            f: {"nd": row.get("nd_speedup_vs_static"),
+                "df": row.get("df_speedup_vs_static"),
+                "dfp": row.get("dfp_speedup_vs_static")}
+            for f, row in sweep.items()
+        },
+        "tcp_edges_per_sec": tcp.get("edges_per_sec_per_superstep"),
+        "full_document": "BENCH/latest_full.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

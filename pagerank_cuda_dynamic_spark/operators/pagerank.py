@@ -117,7 +117,8 @@ def _loop_csr(
     C = opts.prune_tolerance
     C0 = (1.0 - P) / N
     outdeg = graph.outdeg_array()
-    safe_deg = np.maximum(outdeg, 1.0)
+    # dangling-only guard; np.maximum would clamp weighted degrees in (0,1)
+    safe_deg = np.where(outdeg > 0, outdeg, 1.0)
     dangling_mask = outdeg == 0 if opts.dangling == "redistribute" else None
     dynamic = vaff is not None
     movers = movers0 if movers0 is not None else np.zeros(N, dtype=bool)

@@ -319,7 +319,10 @@ def _bsp_loop(
     packed, bounds, n_stripes, hubs = graph.bsp_packed()
     n_hubs = int(hubs.size)
     outdeg = graph.outdeg_array()
-    safe_deg = np.maximum(outdeg, 1.0)
+    # Guard only the dangling zeros (their rdiv is never read): a plain
+    # np.maximum(outdeg, 1.0) would silently clamp fractional *weighted*
+    # out-degrees in (0, 1) and divide contributions by 1.0 instead of wdeg.
+    safe_deg = np.where(outdeg > 0, outdeg, 1.0)
     workdir = _scratch_dir()
     os.makedirs(workdir, exist_ok=True)
     r0 = np.full(N, 1.0 / N) if q is None else np.asarray(q, dtype=np.float64)

@@ -77,6 +77,26 @@ def test_weighted_bsp_matches_joinagg(spark):
     assert np.allclose(a.ranks, b.ranks, atol=1e-8)
 
 
+def test_weighted_bsp_fractional_wdeg(spark):
+    """Vertices with total out-weight in (0, 1) must divide by the exact
+    weighted degree, not a 1.0-clamped one (regression: np.maximum clamp
+    silently rescaled contributions of every vertex with 0 < wdeg < 1)."""
+    rng = np.random.default_rng(29)
+    n, m = 200, 800
+    pdf = pd.DataFrame(
+        {
+            "src": rng.integers(0, n, m).astype(np.int64),
+            "dst": rng.integers(0, n, m).astype(np.int64),
+            # small weights: most vertices end up with fractional wdeg
+            "w": rng.uniform(0.01, 0.3, m),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = pagerank_weighted_bsp(df, n, PagerankOptions(dangling="redistribute", max_iterations=200))
+    b = pagerank_weighted_joinagg(df, n, PagerankOptions(max_iterations=200))
+    assert np.allclose(a.ranks, b.ranks, atol=1e-8)
+
+
 def test_dfp_kill_resume_keeps_movers(spark, tmp_path):
     """Killed-job resume of DF-P must persist the mover frontier: pending
     out-neighbor expansion survives the restart and the resumed run matches
