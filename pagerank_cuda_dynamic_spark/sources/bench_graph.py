@@ -15,6 +15,18 @@ preserving); then tool ids, role ids, conv ids in reserved ranges above.
 adjacency_hops k links turn t → t+1..t+k (k>1 raises edge density to make
 per-task compute dominate fixed overheads at bench scale — the 100 TB
 regime in miniature).
+
+Topic-mention edges (round 3): each turn mentions `mention_rate`-gated
+topic entities drawn Zipf-ish over a topic space (u^zipf_a id transform →
+in-degree density ∝ id^(1/zipf_a − 1)), giving the graph the power-law
+in-degree head and out-degree variance of real link graphs.  Without them
+the family is near-regular: uniform init is already ≈stationary, static
+converges in ~30 iterations while warm starts need 50–80, and the dynamic
+frontier economics invert relative to every real temporal graph the
+reference benchmarks (main.sh:46–50 need 60–70 static iterations).  Topic
+hubs hold rank through their self-loop only (no fan-out), so DF frontiers
+stay sparse — the same reason hub-heavy web graphs don't blow up the
+reference's frontier (pagerankCuda.hxx:96–117).
 """
 
 from __future__ import annotations
@@ -34,14 +46,25 @@ def dense_transcript_graph(
     min_turns: int = 4,
     max_turns: int = 24,
     tool_rate: int = 3,
+    topic_frac: int = 4,
+    zipf_a: float = 2.5,
+    mention_rate: int = 2,
 ) -> tuple[DataFrame, int]:
-    """Returns (edges(src,dst) DataFrame, n_vertices).  Deterministic."""
+    """Returns (edges(src,dst) DataFrame, n_vertices).  Deterministic.
+
+    topic_frac: |topics| = n_conversations // topic_frac (0 disables
+    mention edges — the pre-round-3 near-regular family).
+    zipf_a: mention-target skew (higher → heavier in-degree head).
+    mention_rate: 1-in-`mention_rate` turns emit a mention edge.
+    """
     assert max_turns <= T_MAX
     turn_space = n_conversations * T_MAX
     tool_base = turn_space
     role_base = tool_base + N_TOOLS
     conv_base = role_base + 2
-    n = conv_base + n_conversations
+    topic_base = conv_base + n_conversations
+    n_topics = (n_conversations // topic_frac) if topic_frac else 0
+    n = topic_base + n_topics
 
     conv = (
         spark.range(n_conversations)
@@ -82,6 +105,31 @@ def dense_transcript_graph(
             (F.col("c") * T_MAX).alias("dst"),
         )
     )
+    if n_topics:
+        h_m = F.xxhash64(F.lit(seed), F.col("c"), F.col("t"), F.lit("mention"))
+        # uniform in [0,1) from the hash, then u^zipf_a concentrates ids at 0
+        u = F.pmod(h_m, F.lit(1 << 30)).cast("double") / float(1 << 30)
+        topic = F.least(
+            F.floor(F.lit(float(n_topics)) * F.pow(u, F.lit(float(zipf_a)))).cast("long"),
+            F.lit(n_topics - 1),
+        )
+        parts.append(
+            turns.where(
+                F.pmod(F.xxhash64(F.lit(seed), F.col("c"), F.col("t"), F.lit("mgate")),
+                       F.lit(mention_rate)) == 0
+            ).select(tid, (F.lit(topic_base) + topic).alias("dst"))
+        )
+        # topic-drift chain topic_j → topic_{j+1}: rank entering the Zipf
+        # head cascades down a deep path, so static convergence is
+        # wavefront-bound (≈60 iterations, like the reference's real
+        # temporal graphs) instead of cancellation-accelerated; dynamic
+        # perturbations stay local and sparse.
+        parts.append(
+            spark.range(n_topics - 1).select(
+                (F.lit(topic_base) + F.col("id")).alias("src"),
+                (F.lit(topic_base) + F.col("id") + 1).alias("dst"),
+            )
+        )
     edges = parts[0]
     for p in parts[1:]:
         edges = edges.unionByName(p)
