@@ -338,9 +338,10 @@ def q_modularity_cc(spark, sf_dir):
     d = build_vertex_dictionary(et, src="src", dst="dst").persist()
     n = d.count()
     enc = encode_edges(et, d, src="src", dst="dst")
-    comp = connected_components_np(enc, n)
-    memb = spark.createDataFrame(
-        pd.DataFrame({"v": np.arange(n, dtype=np.int64), "community": comp})
+    # membership from the fully distributed CC loop (same routing as the
+    # live connected_components query; labels never on the driver)
+    memb = connected_components_joinagg(enc, n).withColumnRenamed(
+        "component", "community"
     )
     out = modularity(enc, memb)
     return out.select(F.round(F.col("modularity"), 6).alias("modularity"))
@@ -475,12 +476,50 @@ def q_pagerank_weighted(spark, sf_dir):
 
 
 def q_embedding_topk(spark, sf_dir):
-    """Brute-force cosine top-5 (float32 GEMM — rows-only; numeric parity
-    with a float64 oracle is asserted in pytest instead)."""
+    """Brute-force cosine top-5, float64 GEMM (block-broadcast queries) —
+    value-checked against a DuckDB list_cosine_similarity window oracle."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
         F.col("vec_id") < 500
     )
-    return brute_force_topk(emb, k=5).select("query_id", "neighbor_id")
+    return brute_force_topk(emb, k=5, dtype=np.float64).select(
+        "query_id", "neighbor_id"
+    )
+
+
+def q_connected_components_pj(spark, sf_dir):
+    """CC via POINTER JUMPING (hook + path-halving, O(log diameter) rounds)
+    — same output contract as connected_components; exercises the
+    general-graph scale path where the min-label loop's O(diameter) rounds
+    would dominate."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        connected_components_pointer_jump,
+    )
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    d = build_vertex_dictionary(et, src="src", dst="dst").persist()
+    n = d.count()
+    enc = encode_edges(et, d, src="src", dst="dst")
+    cdf = connected_components_pointer_jump(enc, n).withColumnRenamed(
+        "component", "cid"
+    )
+    return (
+        cdf.join(d, "v")
+        .join(
+            d.withColumnRenamed("v", "cid").withColumnRenamed("entity", "component"),
+            "cid",
+        )
+        .select(F.col("entity").alias("v"), "component")
+    )
+
+
+def q_minhash_verified(spark, sf_dir):
+    """MinHash-LSH candidates verified by exact shingle Jaccard ≥ 0.5 — the
+    full near-dup pipeline, value-checked against the exact-Jaccard oracle
+    (equality also evidences 100% LSH recall on this corpus)."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    return minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b", "jaccard")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -522,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "embedding_topk": q_embedding_topk,
+        "connected_components_pj": q_connected_components_pj,
+        "minhash_verified": q_minhash_verified,
     }
 
 
@@ -616,13 +657,35 @@ def _wpr_sql(k: int) -> str:
     )
 
 
-_SHINGLES = """
+def _shingles_sql(id_limit: int) -> str:
+    return f"""
 SELECT doc_id, unnest(list_distinct(list_transform(
     range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 1) + 1),
     i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i+2), ' ')
 ))) AS s
-FROM documents WHERE doc_id < 200
+FROM documents WHERE doc_id < {id_limit}
 """
+
+
+def _jaccard_pairs_sql(id_limit: int, threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS ({_shingles_sql(id_limit)}),
+sizes AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
+_SHINGLES = _shingles_sql(200)
 
 
 def _lpa_sql(rounds: int = 10) -> str:
@@ -811,6 +874,10 @@ SELECT count(*) AS n_edges_after FROM after
         "pagerank_1iter": _pr_sql(1),
         "pagerank_20iters": _pr_sql(20),
         "pagerank_top20": _pr_sql(20) + " ORDER BY round(rank, 6) DESC, v ASC LIMIT 20",
+        # converged ranks pinned at 6 dp: an 80-iteration unrolled CTE is
+        # within ~1e-12 of the 1e-10-L∞ fixpoint the Spark loop reaches, so
+        # both sides round identically (boundary-collision odds ~1e-3)
+        "pagerank_converged": _pr_sql(80),
         "pagerank_weighted": _wpr_sql(10),
         "triangles": f"""
 WITH e0 AS MATERIALIZED ({ENTITY_EDGES_SQL}),
@@ -977,6 +1044,34 @@ reach(v, r) AS (
 )
 SELECT v AS vec_id, min(r) AS keeper_id FROM reach GROUP BY v
 """,
+        "embedding_topk": """
+WITH sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 500 AND b.vec_id < 500
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id FROM rk WHERE rn <= 5
+""",
+        "connected_components_pj": f"""
+WITH RECURSIVE et AS ({_EVENT_EDGES}),
+edges AS (SELECT DISTINCT src, dst FROM et),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS v FROM und),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.v
+)
+SELECT v, min(r) AS component FROM reach GROUP BY v
+""",
+        "minhash_verified": _jaccard_pairs_sql(300, 0.5),
     }
 
 

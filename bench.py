@@ -292,6 +292,39 @@ def section_tcp(results: dict) -> None:
     from pagerank_cuda_dynamic_spark.plans import GraphSnapshot
     from pagerank_cuda_dynamic_spark.operators.pagerank_tcp import pagerank_static_tcp
 
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.graph import tidy_batch
+    from pagerank_cuda_dynamic_spark.operators.pagerank_tcp import (
+        pagerank_dynamic_frontier_prune_tcp,
+    )
+
+    def dyn_tcp(spark, g, base_ranks, m):
+        """DF-P over the TCP ring on a 1e-4·|E| insert batch (the cross-node
+        dynamic evidence: mover/update segments ride the ring)."""
+        rng = np.random.default_rng(SEED + 7)
+        k = max(int(1e-4 * m), 10)
+        ins_pdf = pd.DataFrame(
+            {
+                "src": rng.integers(0, g.n, k).astype(np.int64),
+                "dst": rng.integers(0, g.n, k).astype(np.int64),
+            }
+        )
+        empty = spark.createDataFrame(
+            pd.DataFrame({"src": [], "dst": []}).astype("int64"),
+            schema="src long, dst long",
+        )
+        dels, ins = tidy_batch(g.edges, empty, spark.createDataFrame(ins_pdf))
+        g2 = g.with_batch(dels, ins)
+        res = pagerank_dynamic_frontier_prune_tcp(g, g2, dels, ins, base_ranks)
+        med = _median_steady(res.superstep_seconds)
+        g2.unpersist()
+        return {
+            "batch_size": k,
+            "iterations": res.iterations,
+            "median_superstep_sec": round(med, 4),
+        }
+
     spark = _mk_spark(CPUS, "bench-tcp")
     try:
         e, n = dense_transcript_graph(
@@ -310,6 +343,9 @@ def section_tcp(results: dict) -> None:
             "median_superstep_sec": round(med, 4),
             "edges_per_sec_per_superstep": round(m / med, 0),
         }
+        t0 = time.time()
+        results["tcp"]["dfp_dynamic"] = dyn_tcp(spark, g, res.ranks, m)
+        results["queries"]["pagerank_tcp_dfp"] = round(time.time() - t0, 2)
         g.unpersist()
     finally:
         spark.stop()
@@ -337,6 +373,11 @@ def section_tcp(results: dict) -> None:
             "median_superstep_sec": round(med2, 4),
             "edges_per_sec_per_superstep": round(m2 / med2, 0),
         }
+        # cross-JVM dynamic: DF-P's mover/update ring on two executor JVMs
+        results["tcp"]["two_process"]["dfp_dynamic"] = dyn_tcp(
+            spark2, g2, res2.ranks, m2
+        )
+        g2.unpersist()
         spark2.stop()
     except Exception as ex:  # standalone workers unavailable in some sandboxes
         results["tcp"]["two_process"] = {"error": str(ex)[:200]}

@@ -208,6 +208,82 @@ def connected_components_joinagg(
     return labels.select("v", F.col("lab").alias("component"))
 
 
+def connected_components_pointer_jump(
+    edges: DataFrame,
+    n: int | None = None,
+    presymmetrized: bool = False,
+    vertices: DataFrame | None = None,
+    with_rounds: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Connected components with POINTER JUMPING — O(log diameter) rounds
+    instead of the min-label loop's O(diameter) (properties.hxx:379–401
+    semantics; algorithm shape of the large-star/small-star MapReduce CC
+    family).  A 10³-hop chain costs the frontier min-label loop 10³
+    shuffles; this twin needs ~log₂(10³) ≈ 10.
+
+    Per round, each vertex keeps a parent label lab(v) (init v):
+      1. hook:   lab'(v) = min(lab(v), min over und-neighbors u of lab(u))
+      2. jump:   lab''(v) = lab'(lab'(v))  — path halving; label chains
+                 collapse doubly-exponentially when combined with hooking
+    Fixpoint when no label changes.  Returns (v, component), component =
+    min vertex id in the component — identical output to
+    connected_components_np / connected_components_joinagg.
+
+    Scale posture: both steps are plain shuffles (join on src / self-join
+    on lab); labels never touch the driver.  The jump self-join keys on the
+    CURRENT label, so hot roots (one label shared by a whole component) are
+    broadcast-friendly — Catalyst/AQE handles the skew; pass `vertices` for
+    sparse id spaces."""
+    spark = edges.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    und = edges if presymmetrized else symmetrize(edges)
+    und = und.repartition(p, "src").persist()
+    und.count()
+    if vertices is None:
+        assert n is not None, "need n or vertices"
+        vertices = spark.range(n).select(F.col("id").alias("v"))
+    else:
+        vertices = vertices.select("v").distinct()
+    labels = vertices.select("v", F.col("v").alias("lab")).transform(materialize)
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        # 1. hook: min neighbor label (plus own)
+        nbr_min = (
+            und.join(labels.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("lab").alias("nlab"))
+            .withColumnRenamed("dst", "v")
+        )
+        hooked = (
+            labels.join(nbr_min, "v", "left")
+            .select("v", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
+        )
+        # 2. jump: lab <- lab(lab) (path halving)
+        parent = hooked.select(
+            F.col("v").alias("lab"), F.col("lab").alias("plab")
+        )
+        jumped = (
+            hooked.join(parent, "lab", "left")
+            .select("v", F.least("lab", F.coalesce("plab", "lab")).alias("lab"))
+            .transform(materialize)
+        )
+        changed = (
+            jumped.withColumnRenamed("lab", "nl")
+            .join(labels, "v")
+            .where(F.col("nl") != F.col("lab"))
+        )
+        stop = changed.isEmpty()
+        labels = jumped
+        if stop:
+            break
+    if not presymmetrized:
+        und.unpersist()
+    out = labels.select("v", F.col("lab").alias("component"))
+    return (out, rounds) if with_rounds else out
+
+
 def label_propagation_joinagg(
     edges: DataFrame, n: int, max_rounds: int = 20, presymmetrized: bool = False
 ) -> DataFrame:
@@ -293,6 +369,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(src_low, F.col("dst")).otherwise(F.col("src")).alias("y"),
         F.when(src_low, F.col("dd")).otherwise(F.col("ds")).alias("dy"),
     ).persist()
+    fwd.count()  # materialize once: e1/e2/closing all read the cache
     e1 = fwd.select("x", F.col("y").alias("a"), F.col("dy").alias("da"))
     e2 = fwd.select("x", F.col("y").alias("b"), F.col("dy").alias("db"))
     wedges = e1.join(e2, "x").where(
@@ -301,8 +378,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     closing = fwd.select(F.col("x").alias("a"), F.col("y").alias("b"))
     tri = wedges.join(closing, ["a", "b"], "left_semi")
-    out = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-    return out
+    # the result is one scalar: compute it eagerly so the two caches can be
+    # released here instead of leaking executor storage on every call
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles")).collect()[0][0]
+    e.unpersist()
+    fwd.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame([(int(n_tri),)], "n_triangles long")
 
 
 def modularity(edges: DataFrame, membership: DataFrame) -> DataFrame:

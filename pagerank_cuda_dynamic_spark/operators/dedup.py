@@ -251,22 +251,30 @@ def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
     def kernel(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.left_shift(np.uint64(1), shifts)
         for pdf in batches:
-            out_ids, out_sh = [], []
-            for i, hs in zip(pdf["id"], pdf["th"]):
-                arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                if arr.size == 0:
-                    out_ids.append(i)
-                    out_sh.append(0)
-                    continue
-                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sh = np.uint64(0)
-                for b in np.flatnonzero(votes > 0):
-                    sh |= np.uint64(1) << np.uint64(b)
-                out_ids.append(i)
-                out_sh.append(np.int64(sh.view(np.int64)))
-            yield pd.DataFrame({"id": out_ids, "simhash": out_sh})
+            ids = pdf["id"].to_numpy()
+            th = pdf["th"]
+            lens = np.fromiter((len(h) for h in th), dtype=np.int64, count=len(th))
+            out_sh = np.zeros(len(ids), dtype=np.int64)
+            nz = np.flatnonzero(lens > 0)
+            if nz.size:
+                # one batch-wide bit unpack + segmented vote sum: no
+                # per-document Python loop in the bit math
+                flat = np.concatenate(
+                    [np.asarray(th.iloc[i], dtype=np.int64) for i in nz]
+                ).view(np.uint64)
+                steps = (
+                    2 * ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64) - 1
+                )
+                offs = np.concatenate([[0], np.cumsum(lens[nz])[:-1]]).astype(np.int64)
+                votes = np.add.reduceat(steps, offs, axis=0)
+                sh = ((votes > 0).astype(np.uint64) * weights).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out_sh[nz] = sh.view(np.int64)
+            yield pd.DataFrame({"id": ids, "simhash": out_sh})
 
     return tok_hashes.mapInPandas(kernel, "id long, simhash long")
 

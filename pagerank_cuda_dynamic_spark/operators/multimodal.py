@@ -272,6 +272,11 @@ def extract_features(media: DataFrame, feat_dim: int = 64) -> DataFrame:
     """(media_id, kind, decoded, features: array<float>) via Arrow-batched
     decode + featurize.  Real pixel/sample statistics for BMP/PPM/WAV;
     `decoded=false` rows carry the deterministic hash fallback."""
+    if feat_dim < 32:
+        # _featurize writes fixed slots up to index 31 (audio rate, image
+        # edge energy); a narrower vector would IndexError inside the Arrow
+        # kernel at runtime — fail fast on the driver instead
+        raise ValueError(f"feat_dim must be >= 32, got {feat_dim}")
     dim = feat_dim
 
     def kernel(batches):

@@ -25,51 +25,75 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_block: int = 131072,
+    dtype=np.float32,
 ) -> DataFrame:
     """Top-k cosine neighbors for every query vector (default: self top-k,
-    excluding identity).  queries are broadcast as a dense float32 matrix;
-    each partition computes a local GEMM + argpartition — the distributed
+    excluding identity).  Queries stream to the driver in `query_block`-row
+    blocks via toLocalIterator — driver peak memory is one block, never the
+    whole query table — and each block is broadcast as a dense matrix; each
+    corpus partition computes a local GEMM + argpartition.  The distributed
     baseline every ANN variant is validated against.
+
+    dtype=np.float64 gives oracle-grade numerics (DuckDB parity); float32
+    is the throughput default.
 
     Output: (query_id, neighbor_id, cosine), k rows per query."""
     queries = queries if queries is not None else embeddings
-    qpdf = queries.select(id_col, vec_col).toPandas()
-    q_ids = qpdf[id_col].to_numpy()
-    qm = np.stack(qpdf[vec_col].to_numpy()).astype(np.float32)
-    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     sc = embeddings.sparkSession.sparkContext
-    bc = sc.broadcast((q_ids, qm))
     kk = k
+    partials = []
+    rows_it = queries.select(id_col, vec_col).toLocalIterator(prefetchPartitions=True)
+    while True:
+        import itertools
 
-    def kernel(batches):
-        ids_q, mat_q = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy()
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            # sims: (n_local, n_query); emit per-query partial top-k
-            sims = m @ mat_q.T
-            sims[ids[:, None] == ids_q[None, :]] = -np.inf  # drop identity
-            kloc = min(kk, sims.shape[0])
-            part = np.argpartition(-sims, kloc - 1, axis=0)[:kloc]
-            qi = np.repeat(np.arange(sims.shape[1]), kloc)
-            li = part.T.ravel()
-            yield pd.DataFrame(
-                {
-                    "query_id": ids_q[qi],
-                    "neighbor_id": ids[li],
-                    "cosine": sims[li, qi].astype(np.float64),
-                }
+        rows = list(itertools.islice(rows_it, query_block))
+        if not rows:
+            break
+        q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        qm = np.stack([np.asarray(r[1], dtype=dtype) for r in rows])
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+        bc = sc.broadcast((q_ids, qm))
+
+        def kernel(batches, bc=bc):
+            ids_q, mat_q = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy()
+                m = np.stack(pdf[vec_col].to_numpy()).astype(mat_q.dtype)
+                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+                # sims: (n_local, n_query); emit per-query partial top-k
+                sims = m @ mat_q.T
+                sims[ids[:, None] == ids_q[None, :]] = -np.inf  # drop identity
+                kloc = min(kk, sims.shape[0])
+                part = np.argpartition(-sims, kloc - 1, axis=0)[:kloc]
+                qi = np.repeat(np.arange(sims.shape[1]), kloc)
+                li = part.T.ravel()
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids_q[qi],
+                        "neighbor_id": ids[li],
+                        "cosine": sims[li, qi].astype(np.float64),
+                    }
+                )
+
+        partials.append(
+            embeddings.mapInPandas(
+                kernel, "query_id long, neighbor_id long, cosine double"
             )
+        )
+    # global top-k per query over the per-partition, per-block partials
+    # (a query lives in exactly one block, so blocks never mix per query)
+    from functools import reduce
 
-    partial = embeddings.mapInPandas(
-        kernel, "query_id long, neighbor_id long, cosine double"
-    )
-    # global top-k per query over the per-partition partials
     from pyspark.sql import Window
 
+    if not partials:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
+    partial = reduce(lambda a, b: a.unionByName(b), partials)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

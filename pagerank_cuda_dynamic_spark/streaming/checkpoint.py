@@ -2,10 +2,15 @@
 the rank vector and affected-frontier bitmap with per-partition lineage and
 iteration metrics, so a killed job resumes mid-convergence).
 
-Storage: Parquet snapshot directories (`<root>/iter=<l>/`) — the Iceberg
-table contract (immutable snapshot per commit, latest wins) without needing
-Iceberg jars in this sandbox; writing through a real Iceberg catalog is a
-one-line `.writeTo(...)` swap, noted inline.
+Storage: two backends behind one contract —
+  * Parquet snapshot directories (`<root>/iter=<l>/`) — the Iceberg table
+    contract (immutable snapshot per commit, latest wins) without needing
+    Iceberg jars; the sandbox default.
+  * A real Iceberg catalog (`catalog=` or auto-detected from
+    `spark.sql.catalog.<name> = …iceberg…` conf) — `writeTo(...).append()`
+    per superstep into iter-keyed tables; Iceberg's snapshot commit replaces
+    the directory-rename publish.  Gated so environments without the jars
+    fall back to Parquet dirs with identical semantics.
 
 Layout per checkpoint:
   ranks/     (v:long, rank:double, part:int)   — part = dst-stripe id (lineage)
@@ -26,12 +31,50 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 
+def detect_iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg Spark catalog, or None.  Detection is
+    conf-only (spark.sql.catalog.<name> = …iceberg…) — cheap and safe in
+    environments without the jars."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:  # pragma: no cover - defensive
+        return None
+    for k, v in confs:
+        parts = k.split(".")
+        if (
+            k.startswith("spark.sql.catalog.")
+            and len(parts) == 4
+            and "iceberg" in str(v).lower()
+        ):
+            return parts[3]
+    return None
+
+
 class CheckpointManager:
-    def __init__(self, spark: SparkSession, root: str, every: int = 1):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        every: int = 1,
+        catalog: str | None = None,
+        namespace: str = "pr_ckpt",
+    ):
         self.spark = spark
         self.root = root
         self.every = max(every, 1)
-        os.makedirs(root, exist_ok=True)
+        self.catalog = catalog if catalog is not None else detect_iceberg_catalog(spark)
+        # table-name prefix derived from root so concurrent runs don't collide
+        safe = "".join(c if c.isalnum() else "_" for c in os.path.basename(root.rstrip("/")))
+        self.namespace = f"{namespace}_{safe}" if safe else namespace
+        if self.catalog:
+            spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+            )
+        else:
+            os.makedirs(root, exist_ok=True)
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
 
     def _iter_dir(self, l: int) -> str:
         return os.path.join(self.root, f"iter={l:06d}")
@@ -49,8 +92,6 @@ class CheckpointManager:
     ) -> None:
         if l % self.every:
             return
-        d = self._iter_dir(l)
-        tmp = d + ".tmp"
         n = len(ranks)
         if bounds is None:
             bounds = np.array([0, n], dtype=np.int64)
@@ -58,7 +99,21 @@ class CheckpointManager:
         pdf = pd.DataFrame(
             {"v": np.arange(n, dtype=np.int64), "rank": ranks, "part": part.astype(np.int32)}
         )
-        # Iceberg swap point: df.writeTo(table).overwritePartitions()
+        meta = {
+            "iteration": l,
+            "linf_residual": el,
+            "superstep_seconds": step_seconds,
+            "n_vertices": n,
+            "n_affected": int(vaff.sum()) if vaff is not None else n,
+            "wall_time": time.time(),
+            "n_partitions": len(bounds) - 1,
+        }
+        meta.update(extra or {})
+        if self.catalog:
+            self._save_iceberg(l, pdf, vaff, movers, meta)
+            return
+        d = self._iter_dir(l)
+        tmp = d + ".tmp"
         self.spark.createDataFrame(pdf).repartition(1, "part").write.mode(
             "overwrite"
         ).parquet(os.path.join(tmp, "ranks"))
@@ -75,21 +130,39 @@ class CheckpointManager:
             self.spark.createDataFrame(mv).write.mode("overwrite").parquet(
                 os.path.join(tmp, "movers")
             )
-        meta = {
-            "iteration": l,
-            "linf_residual": el,
-            "superstep_seconds": step_seconds,
-            "n_vertices": n,
-            "n_affected": int(vaff.sum()) if vaff is not None else n,
-            "wall_time": time.time(),
-            "n_partitions": len(bounds) - 1,
-        }
-        meta.update(extra or {})
         with open(os.path.join(tmp, "metrics.json"), "w") as fh:
             json.dump(meta, fh)
         os.rename(tmp, d)  # atomic publish (snapshot commit)
 
+    def _append(self, name: str, df) -> None:
+        tbl = self._tbl(name)
+        if self.spark.catalog.tableExists(tbl):
+            df.writeTo(tbl).append()
+        else:
+            df.writeTo(tbl).using("iceberg").createOrReplace()
+
+    def _save_iceberg(self, l, pdf, vaff, movers, meta) -> None:
+        """Iter-keyed appends; metrics commit LAST so `latest()` only sees
+        iterations whose every table landed (Iceberg commits are atomic per
+        table; the metrics row is the cross-table publish marker)."""
+        lit_l = F.lit(l).alias("iter")
+        self._append("ranks", self.spark.createDataFrame(pdf).select(lit_l, "*"))
+        if vaff is not None and vaff.any():
+            fr = pd.DataFrame({"v": np.flatnonzero(vaff).astype(np.int64)})
+            self._append("frontier", self.spark.createDataFrame(fr).select(lit_l, "*"))
+        if movers is not None and movers.any():
+            mv = pd.DataFrame({"v": np.flatnonzero(movers).astype(np.int64)})
+            self._append("movers", self.spark.createDataFrame(mv).select(lit_l, "*"))
+        mrow = pd.DataFrame({"iter": [l], "metrics_json": [json.dumps(meta)]})
+        self._append("metrics", self.spark.createDataFrame(mrow))
+
     def latest(self) -> int | None:
+        if self.catalog:
+            tbl = self._tbl("metrics")
+            if not self.spark.catalog.tableExists(tbl):
+                return None
+            row = self.spark.table(tbl).agg(F.max("iter")).collect()[0][0]
+            return int(row) if row is not None else None
         if not os.path.isdir(self.root):
             return None
         its = [
@@ -105,6 +178,8 @@ class CheckpointManager:
             l = self.latest()
         if l is None:
             return None
+        if self.catalog:
+            return self._load_iceberg(l)
         d = self._iter_dir(l)
         pdf = self.spark.read.parquet(os.path.join(d, "ranks")).toPandas()
         meta = json.load(open(os.path.join(d, "metrics.json")))
@@ -123,4 +198,35 @@ class CheckpointManager:
             mv = self.spark.read.parquet(mdir).toPandas()
             movers = np.zeros(n, dtype=bool)
             movers[mv["v"].to_numpy()] = True
+        return l, ranks, vaff, movers, meta
+
+    def _load_iceberg(self, l: int):
+        mrow = (
+            self.spark.table(self._tbl("metrics"))
+            .where(F.col("iter") == l)
+            .collect()
+        )
+        if not mrow:
+            return None
+        meta = json.loads(mrow[0]["metrics_json"])
+        n = meta["n_vertices"]
+        pdf = (
+            self.spark.table(self._tbl("ranks"))
+            .where(F.col("iter") == l)
+            .toPandas()
+        )
+        ranks = np.zeros(n, dtype=np.float64)
+        ranks[pdf["v"].to_numpy()] = pdf["rank"].to_numpy()
+        vaff = movers = None
+        for name in ("frontier", "movers"):
+            tbl = self._tbl(name)
+            if self.spark.catalog.tableExists(tbl):
+                sub = self.spark.table(tbl).where(F.col("iter") == l).toPandas()
+                if len(sub):
+                    arr = np.zeros(n, dtype=bool)
+                    arr[sub["v"].to_numpy()] = True
+                    if name == "frontier":
+                        vaff = arr
+                    else:
+                        movers = arr
         return l, ranks, vaff, movers, meta

@@ -127,3 +127,43 @@ def test_lpa_bsp_matches(spark):
     want = label_propagation_np(e, n, max_rounds=10)
     got = label_propagation_bsp(e, n, max_rounds=10)
     assert got.tolist() == want.tolist()
+
+
+def test_cc_pointer_jump_matches_np(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        connected_components_pointer_jump,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 300
+    src = rng.integers(0, n, 350)
+    dst = rng.integers(0, n, 350)
+    e = edges_df(spark, src, dst)
+    want = connected_components_np(e, n)
+    got_df = connected_components_pointer_jump(e, n).toPandas()
+    got = np.full(n, -1, dtype=np.int64)
+    got[got_df["v"].to_numpy()] = got_df["component"].to_numpy()
+    assert got.tolist() == want.tolist()
+
+
+def test_cc_pointer_jump_long_chain_logarithmic(spark):
+    """A 1024-hop chain needs the min-label loop O(diameter) rounds; the
+    pointer-jumping twin must finish in O(log diameter) — assert both the
+    exact components (union-find ground truth) and the round bound."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        connected_components_pointer_jump,
+    )
+
+    L = 1024
+    # chain 0→1→…→L-1, plus a 3-cycle island and an isolated vertex
+    src = list(range(L - 1)) + [L, L + 1, L + 2]
+    dst = list(range(1, L)) + [L + 1, L + 2, L]
+    n = L + 4
+    e = edges_df(spark, src, dst)
+    out, rounds = connected_components_pointer_jump(e, n, with_rounds=True)
+    pdf = out.toPandas().sort_values("v")
+    comp = pdf["component"].to_numpy()
+    assert (comp[:L] == 0).all()
+    assert (comp[L: L + 3] == L).all()
+    assert comp[L + 3] == L + 3
+    assert rounds <= int(np.log2(L)) + 6, rounds

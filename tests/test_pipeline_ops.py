@@ -181,3 +181,26 @@ def test_dedup_clusters_transitive(spark):
     )
     got = dedup_clusters(pairs).toPandas()
     assert dict(zip(got.doc_id, got.keeper_id)) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_brute_force_topk_chunked_blocks(spark):
+    """Block-streamed queries (driver holds one block at a time) must give
+    the same result as a single block, including float64 oracle mode."""
+    df, m = _embeddings_df(spark)
+    one = brute_force_topk(df, k=3, dtype=np.float64).toPandas()
+    blocked = brute_force_topk(df, k=3, query_block=3, dtype=np.float64).toPandas()
+    key = lambda p: sorted(map(tuple, p[["query_id", "neighbor_id", "cosine"]].to_numpy()))
+    assert key(one) == key(blocked)
+
+
+def test_extract_features_rejects_narrow_dim(spark):
+    import pytest as _pytest
+
+    from pagerank_cuda_dynamic_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/bmp", b"x")],
+        "media_id long, kind string, mime string, content binary",
+    )
+    with _pytest.raises(ValueError, match="feat_dim"):
+        extract_features(media, feat_dim=16)

@@ -82,3 +82,49 @@ def test_temporal_batches_match_static(spark):
         assert all(mm.seconds > 0 for mm in metrics)
     for tech in ["nd", "dt", "df", "dfp"]:
         assert np.allclose(finals[tech], finals["static"], atol=1e-6), tech
+
+
+def _iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def test_detect_iceberg_catalog_absent(spark):
+    """Sandbox has no Iceberg catalog conf — detection must say so and the
+    manager must fall back to Parquet snapshot dirs."""
+    from pagerank_cuda_dynamic_spark.streaming.checkpoint import (
+        CheckpointManager,
+        detect_iceberg_catalog,
+    )
+
+    assert detect_iceberg_catalog(spark) is None
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        cm = CheckpointManager(spark, d)
+        assert cm.catalog is None
+
+
+def test_kill_and_resume_iceberg_mode(spark):
+    """Same kill/resume contract through a real Iceberg catalog — runs only
+    when the Iceberg jars are on the classpath (skipped in this sandbox)."""
+    import pytest as _pytest
+
+    if not _iceberg_available(spark):
+        _pytest.skip("Iceberg jars not on classpath")
+    import numpy as np
+
+    from pagerank_cuda_dynamic_spark.streaming.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark, "/tmp/pr_iceberg_ckpt", catalog="iceberg_cat")
+    r = np.linspace(0.0, 1.0, 50)
+    vaff = np.zeros(50, dtype=bool)
+    vaff[[3, 7]] = True
+    cm.save(0, r, vaff, 0.5, 0.01)
+    got = cm.load()
+    assert got is not None
+    l, ranks, vaff2, movers, meta = got
+    assert l == 0 and np.allclose(ranks, r) and vaff2[3] and vaff2[7]
