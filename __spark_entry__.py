@@ -57,10 +57,13 @@ from pagerank_cuda_dynamic_spark.operators.similarity import (
 )
 from pagerank_cuda_dynamic_spark.operators.text import (
     BPE_ISH_RE,
+    PII_PATTERNS,
     STOPWORDS,
+    chunk_documents,
     fingerprints,
     language_id,
     quality_score,
+    text_scrub,
     token_stats,
 )
 
@@ -318,6 +321,19 @@ def q_l1_norm_1iter(spark, sf_dir):
     )
 
 
+def q_l2_norm_1iter(spark, sf_dir):
+    """A4 l2Norm delta analog (reference inc/_vector.hxx:975 l2Norm): L2
+    distance between 1-iteration ranks and the uniform init.  Same shape as
+    the L1 query — one declarative agg over the rank vector."""
+    ranks = _pagerank_k(spark, sf_dir, 1)
+    nn = ranks.count()
+    return ranks.agg(
+        F.round(
+            F.sqrt(F.sum(F.pow(F.col("rank") - F.lit(1.0 / nn), F.lit(2.0)))), 6
+        ).alias("l2")
+    )
+
+
 def q_bfs_reachable(spark, sf_dir):
     """G6 multi-source BFS closure: entities reachable from customer c1."""
     from pagerank_cuda_dynamic_spark.operators.graph import bfs_reachable
@@ -372,6 +388,29 @@ def q_quality(spark, sf_dir):
 
 def q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_text_scrub(spark, sf_dir):
+    """PII scrub over documents with injected synthetic PII (one email +
+    one IPv4 per doc — the synthetic corpus contains none, so redaction
+    gets real evidence).  Pure JVM regexp chain (operators/text.text_scrub)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return text_scrub(docs)
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Context-window packing: 32-token chunks advancing by 24 (8-token
+    overlap) — the training-example explode (operators/text.chunk_documents)."""
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=32, overlap=8)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -544,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_filter": q_subgraph_filter,
         "degree_histogram": q_degree_histogram,
         "l1_norm_1iter": q_l1_norm_1iter,
+        "l2_norm_1iter": q_l2_norm_1iter,
         "bfs_reachable": q_bfs_reachable,
         "modularity_cc": q_modularity_cc,
         "dedup_exact": q_dedup_exact,
@@ -552,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality,
         "language_id": q_language_id,
+        "text_scrub": q_text_scrub,
+        "doc_chunks": q_doc_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "pagerank_weighted": q_pagerank_weighted,
         "dedup_clusters": q_dedup_clusters,
@@ -792,6 +834,48 @@ SELECT v AS doc_id, min(r) AS keeper_id FROM reach GROUP BY v
 """
 
 
+def _text_scrub_sql() -> str:
+    """DuckDB twin of q_text_scrub: same PII patterns (RE2/Java-compatible
+    by construction), same replacement order, counts on the original text."""
+    clean = "text"
+    count_terms = []
+    for pat, tag in PII_PATTERNS:
+        count_terms.append(f"len(regexp_extract_all(text, '{pat}'))")
+        clean = f"regexp_replace({clean}, '{pat}', '{tag}', 'g')"
+    counts = " + ".join(count_terms)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' mail user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace({clean}, '\\s+', ' ', 'g')) AS clean_text,
+       CAST({counts} AS BIGINT) AS n_redactions
+FROM aug
+"""
+
+
+def _doc_chunks_sql(chunk_size: int = 32, overlap: int = 8) -> str:
+    stride = chunk_size - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), {stride})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {stride} AS BIGINT) AS chunk_id,
+       array_to_string(toks[start:start + {chunk_size - 1}], ' ') AS chunk_text,
+       CAST(least({chunk_size}, len(toks) - start + 1) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
 def _corpus_filter_sql() -> str:
     hit_cols, case = _lang_case()
     en_pat = r"(?i)\b(" + "|".join(STOPWORDS["en"]) + r")\b"
@@ -926,6 +1010,10 @@ SELECT outdeg, count(*) AS n_vertices FROM deg GROUP BY outdeg
             "SELECT v AS entity, round(rank, 6) AS rank FROM r1",
             "SELECT round(sum(abs(round(rank, 6) - 1.0/(SELECT n FROM nn))), 6) AS l1 FROM r1",
         ),
+        "l2_norm_1iter": _pr_sql(1).replace(
+            "SELECT v AS entity, round(rank, 6) AS rank FROM r1",
+            "SELECT round(sqrt(sum(pow(round(rank, 6) - 1.0/(SELECT n FROM nn), 2))), 6) AS l2 FROM r1",
+        ),
         "bfs_reachable": f"""
 WITH RECURSIVE e AS MATERIALIZED ({ENTITY_EDGES_SQL}),
 reach(v) AS (
@@ -1005,6 +1093,8 @@ SELECT doc_id,
 FROM t
 """,
         "language_id": _lang_sql(),
+        "text_scrub": _text_scrub_sql(),
+        "doc_chunks": _doc_chunks_sql(32, 8),
         "dedup_clusters": _dedup_clusters_sql(),
         "corpus_filter": _corpus_filter_sql(),
         "ngram_jaccard": f"""

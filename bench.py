@@ -397,7 +397,11 @@ def section_ops(spark, results: dict) -> None:
     )
     from pagerank_cuda_dynamic_spark.operators.dedup import minhash_dedup_pairs
     from pagerank_cuda_dynamic_spark.operators.similarity import brute_force_topk
-    from pagerank_cuda_dynamic_spark.operators.text import token_stats
+    from pagerank_cuda_dynamic_spark.operators.text import (
+        chunk_documents,
+        text_scrub,
+        token_stats,
+    )
 
     def timed(name, fn):
         t0 = time.time()
@@ -426,6 +430,11 @@ def section_ops(spark, results: dict) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_dedup", lambda: minhash_dedup_pairs(docs, threshold=0.5).count())
     timed("token_stats", lambda: token_stats(docs).agg(F.sum("n_bpe_tokens")).collect())
+    timed("text_scrub", lambda: text_scrub(docs).agg(F.sum("n_redactions")).collect())
+    timed(
+        "doc_chunks",
+        lambda: chunk_documents(docs).agg(F.sum("n_tokens")).collect(),
+    )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("ann_topk", lambda: brute_force_topk(emb, k=10).count())
     g.unpersist()
@@ -433,16 +442,30 @@ def section_ops(spark, results: dict) -> None:
 
 def main() -> None:
     t_all = time.time()
+    # Section gating for local iteration (the driver always runs the full
+    # suite): SPARK_GRAFT_BENCH_SECTIONS=sweep python bench.py reruns just
+    # the dynamic sweep (e.g. with a higher SPARK_GRAFT_DYN_BATCHES).
+    sections = set(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_SECTIONS", "scaling,dynamic,sweep,ops,tcp"
+        ).split(",")
+    )
     results: dict = {"queries": {}}
-    section_scaling(results)
-    spark = _mk_spark(CPUS, "bench-main")
-    try:
-        section_dynamic(spark, results)
-        section_dynamic_sweep(spark, results)
-        section_ops(spark, results)
-    finally:
-        spark.stop()
-    section_tcp(results)
+    if "scaling" in sections:
+        section_scaling(results)
+    if sections & {"dynamic", "sweep", "ops"}:
+        spark = _mk_spark(CPUS, "bench-main")
+        try:
+            if "dynamic" in sections:
+                section_dynamic(spark, results)
+            if "sweep" in sections:
+                section_dynamic_sweep(spark, results)
+            if "ops" in sections:
+                section_ops(spark, results)
+        finally:
+            spark.stop()
+    if "tcp" in sections:
+        section_tcp(results)
     full = {
         "metric": "headline_suite_seconds",
         "value": round(time.time() - t_all, 1),

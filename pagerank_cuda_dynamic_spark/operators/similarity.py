@@ -201,6 +201,65 @@ def pairwise_cosine_sql(
     )
 
 
+def _lloyd_refine(
+    embeddings: DataFrame,
+    cm: np.ndarray,
+    n_iters: int,
+    vec_col: str,
+) -> np.ndarray:
+    """Distributed Lloyd refinement of IVF centroids (spherical k-means).
+
+    Each pass assigns every vector to its nearest centroid inside an Arrow
+    kernel and emits per-batch PARTIAL sums (≤ n_cells rows per batch); the
+    driver reduces the O(partitions × n_cells × dim) partials and
+    re-normalizes.  Driver traffic is independent of corpus size — the
+    map-side combine is the same shape Spark's own HashAggregate would
+    produce, kept in numpy because the value is a dense vector."""
+    sc = embeddings.sparkSession.sparkContext
+    dim = cm.shape[1]
+    for _ in range(n_iters):
+        bc = sc.broadcast(cm)
+
+        def partial(batches, bc=bc):
+            cmat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+                cell = np.argmax(mn @ cmat.T, axis=1)
+                sums = np.zeros((cmat.shape[0], cmat.shape[1]), np.float64)
+                np.add.at(sums, cell, mn.astype(np.float64))
+                cnts = np.bincount(cell, minlength=cmat.shape[0]).astype(np.int64)
+                nz = np.flatnonzero(cnts)
+                yield pd.DataFrame(
+                    {
+                        "cell": nz.astype("int32"),
+                        "psum": list(sums[nz]),
+                        "pcnt": cnts[nz],
+                    }
+                )
+
+        parts = embeddings.select(vec_col).mapInPandas(
+            partial, "cell int, psum array<double>, pcnt long"
+        ).toPandas()
+        bc.destroy()
+        if not len(parts):
+            break
+        accum = np.zeros((cm.shape[0], dim), np.float64)
+        counts = np.zeros(cm.shape[0], np.int64)
+        for row in parts.itertuples(index=False):
+            accum[row.cell] += np.asarray(row.psum)
+            counts[row.cell] += row.pcnt
+        new = cm.astype(np.float64).copy()  # empty cells keep their centroid
+        nz = counts > 0
+        new[nz] = accum[nz] / counts[nz, None]
+        cm = (
+            new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-30)
+        ).astype(np.float32)
+    return cm
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 10,
@@ -209,13 +268,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    lloyd_iters: int = 2,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantization into n_cells around
-    deterministically sampled centroids (hash-picked rows — no k-means
-    iterations needed for a recall baseline); every vector is indexed into
-    its nearest cell and QUERIES probe their n_probe nearest cells.  The
-    GEMM never exceeds (cell population × probing queries) — the IVF scale
-    shape; raise n_cells with corpus size to bound cell population."""
+    hash-picked seed centroids refined by `lloyd_iters` distributed
+    spherical-k-means passes (deterministic given the seed); every vector is
+    indexed into its nearest cell and QUERIES probe their n_probe nearest
+    cells.  The GEMM never exceeds (cell population × probing queries) — the
+    IVF scale shape; raise n_cells with corpus size to bound cell
+    population.  `lloyd_iters=0` recovers the raw hash-pick baseline."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -232,6 +293,8 @@ def ivf_topk(
     )
     cm = np.stack(cents_pdf[vec_col].to_numpy()).astype(np.float32)
     cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+    if lloyd_iters > 0:
+        cm = _lloyd_refine(embeddings, cm, lloyd_iters, vec_col)
     sc = embeddings.sparkSession.sparkContext
     bc = sc.broadcast(cm)
     npb = min(n_probe, len(cm))

@@ -56,11 +56,10 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic [0,1] quality heuristic: longer docs with moderate
-    punctuation and healthy English-stopword density score higher.
+def quality_expr(text_col: str) -> F.Column:
+    """The quality heuristic as a composable column expression (un-rounded):
     score = 0.4·min(n_ws_tokens/100,1) + 0.3·min(stop_ratio·5,1)
-          + 0.3·(1 − min(punct_ratio·4,1)); rounded to 6 dp."""
+          + 0.3·(1 − min(punct_ratio·4,1))."""
     t = F.col(text_col)
     n_tok = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
@@ -68,12 +67,17 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     safe_tok = F.greatest(n_tok, F.lit(1))
     stop_ratio = n_stop / safe_tok
     punct_ratio = n_punct / F.greatest(F.length(t), F.lit(1))
-    score = (
+    return (
         0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
         + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
         + 0.3 * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0)))
     )
-    return docs.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic [0,1] quality heuristic: longer docs with moderate
+    punctuation and healthy English-stopword density score higher; 6 dp."""
+    return docs.select(F.col(id_col), F.round(quality_expr(text_col), 6).alias("quality"))
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -81,12 +85,97 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(F.col(id_col), fingerprint_key(text_col).alias("fingerprint"))
 
 
+# PII scrub patterns: ordered, mutually non-overlapping by construction
+# (phone requires a leading '+', so it never matches an SSN-shaped string;
+# counts are taken per-pattern on the ORIGINAL text so sequential
+# replacement and counting agree).  RE2-and-Java compatible — no
+# lookaround/backrefs — so the DuckDB oracle runs the very same patterns.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}", "<PHONE>"),
+]
+
+
+def scrub_exprs(text_col: str) -> tuple[F.Column, F.Column]:
+    """(clean_text, n_redactions) as composable column expressions —
+    sequential PII replacement plus whitespace normalization; counts taken
+    per-pattern on the original text (patterns are mutually
+    non-overlapping, so the tallies agree with the replacements)."""
+    clean = F.col(text_col)
+    counts = []
+    for pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)))
+        clean = F.regexp_replace(clean, pat, repl)
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    n_red = counts[0]
+    for c in counts[1:]:
+        n_red = n_red + c
+    return clean, n_red.cast("long")
+
+
+def text_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, clean_text, n_redactions) — PII redaction (email / IPv4 / SSN /
+    intl phone → typed placeholder tokens) followed by whitespace
+    normalization (collapse runs, trim).  Pure JVM regexp_replace chain —
+    whole-stage codegen, no Python, no shuffle; the canonical pre-training
+    scrub pass shape."""
+    clean, n_red = scrub_exprs(text_col)
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_red.alias("n_redactions"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens) — split each document into
+    whitespace-token windows of `chunk_size` tokens advancing by
+    `chunk_size - overlap` (context-window packing for training).  Fully
+    declarative: split → sequence of starts → posexplode → slice/array_join,
+    all JVM expressions.  Row count grows ~n_tokens/stride per doc — the
+    intended training-example shape; no Python, no extra shuffle (the
+    explode is pipelined into the scan)."""
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(stride))
+    return base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(F.slice("_toks", F.col("_start"), F.lit(chunk_size)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_size), F.size("_toks") - F.col("_start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
 __all__ = [
     "STOPWORDS",
     "BPE_ISH_RE",
     "TOKEN_RE",
+    "PII_PATTERNS",
     "language_id",
     "token_stats",
+    "quality_expr",
     "quality_score",
     "fingerprints",
+    "scrub_exprs",
+    "text_scrub",
+    "chunk_documents",
 ]

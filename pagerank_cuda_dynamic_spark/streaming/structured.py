@@ -131,6 +131,55 @@ def windowed_edge_stats(
     )
 
 
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def streaming_corpus_filter(
+    doc_stream: DataFrame,
+    min_quality: float = 0.25,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming ingest twin of the batch `corpus_filter` pipeline:
+    scrub → cross-micro-batch exact dedup → language-ID → quality gate.
+
+    Every stage except the dedup is the SAME stateless column-expression
+    vocabulary the batch operators use (operators/text.scrub_exprs /
+    language_id / quality_expr), applied to a streaming DataFrame — they
+    are streaming-safe by construction (no windows, no collect).  The one
+    stateful op is the built-in `dropDuplicatesWithinWatermark` keyed on
+    the xxhash64 of the normalization fingerprint: constant-size state
+    per distinct doc, aged out by the watermark — the bounded-state
+    streaming shape (batch dedup's keeper=min(doc_id) becomes
+    keeper=first-arrival, the streaming-correct semantics)."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import fingerprint_key
+    from pagerank_cuda_dynamic_spark.operators.text import (
+        language_id,
+        quality_expr,
+        scrub_exprs,
+    )
+
+    clean, n_red = scrub_exprs("text")
+    deduped = (
+        doc_stream.withColumn("clean_text", clean)
+        .withColumn("n_redactions", n_red)
+        .withColumn("fp64", F.xxhash64(fingerprint_key("clean_text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp64"])
+    )
+    tagged = language_id(deduped, text_col="clean_text").withColumn(
+        "quality", F.round(quality_expr("clean_text"), 6)
+    )
+    return tagged.where(F.col("quality") >= min_quality).select(
+        "doc_id", "clean_text", "n_redactions", "lang_pred", "quality", "ts"
+    )
+
+
 class StreamingPagerankDriver:
     """foreachBatch sink maintaining (dictionary, graph snapshot, ranks).
 

@@ -133,6 +133,54 @@ def test_token_stats_and_quality(spark, docs):
     assert q[0] > q[5]  # English stopword-rich beats German text on en-quality
 
 
+def test_text_scrub_redacts_and_counts(spark):
+    from pagerank_cuda_dynamic_spark.operators.text import text_scrub
+
+    rows = [
+        (0, "reach me at jane.doe+x@corp.example.org  or   +1 555 0100 999"),
+        (1, "server at 192.168.1.17 holds ssn 123-45-6789"),
+        (2, "nothing sensitive   here\tjust   whitespace"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in text_scrub(
+            spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        ).collect()
+    }
+    assert got[0]["clean_text"] == "reach me at <EMAIL> or <PHONE>"
+    assert got[0]["n_redactions"] == 2
+    assert got[1]["clean_text"] == "server at <IP> holds ssn <SSN>"
+    assert got[1]["n_redactions"] == 2
+    assert got[2]["clean_text"] == "nothing sensitive here just whitespace"
+    assert got[2]["n_redactions"] == 0
+
+
+def test_chunk_documents_windows(spark):
+    from pagerank_cuda_dynamic_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    rows = [(0, " ".join(words)), (1, "single")]
+    out = chunk_documents(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])),
+        chunk_size=4,
+        overlap=1,
+    ).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("chunk_id")
+    # starts 1,4,7,10 (stride 3 over 10 tokens)
+    assert list(d0.chunk_text) == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+        "w9",
+    ]
+    assert list(d0.n_tokens) == [4, 4, 4, 1]
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.iloc[0].chunk_text == "single"
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(list(d0.chunk_text), list(d0.chunk_text)[1:]):
+        assert a.split()[-1:] == b.split()[:1]
+
+
 def test_multimodal_plumbing(spark):
     media = synthesize_media(spark, n=30)
     feats = extract_features(media).toPandas()
@@ -168,6 +216,35 @@ def test_ivf_topk_recall(spark):
         hits += len(true_top & approx)
         total += 5
     assert hits / total > 0.5
+
+
+def test_ivf_lloyd_refinement(spark):
+    """Lloyd-refined IVF is deterministic and does not lose recall vs the
+    hash-pick baseline on the same cell/probe budget."""
+    from pagerank_cuda_dynamic_spark.operators.similarity import ivf_topk
+
+    df, m = _embeddings_df(spark, n=120, dim=8, seed=5)
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    np.fill_diagonal(sims, -np.inf)
+
+    def recall(got):
+        hits = total = 0
+        for q in range(len(m)):
+            true_top = set(np.argsort(-sims[q])[:5])
+            hits += len(true_top & set(got[got.query_id == q].neighbor_id))
+            total += 5
+        return hits / total
+
+    base = ivf_topk(df, k=5, n_cells=4, n_probe=2, lloyd_iters=0).toPandas()
+    ref = ivf_topk(df, k=5, n_cells=4, n_probe=2, lloyd_iters=2).toPandas()
+    ref2 = ivf_topk(df, k=5, n_cells=4, n_probe=2, lloyd_iters=2).toPandas()
+    key = ["query_id", "neighbor_id"]
+    assert sorted(map(tuple, ref[key].to_numpy())) == sorted(
+        map(tuple, ref2[key].to_numpy())
+    )
+    assert recall(ref) > 0.5
+    assert recall(ref) >= recall(base) - 0.05
 
 
 def test_dedup_clusters_transitive(spark):

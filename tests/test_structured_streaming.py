@@ -96,6 +96,75 @@ def test_windowed_edge_stats(spark, staged_transcripts, tmp_path):
     assert set(stats.schema.fieldNames()) == {"window_start", "etype", "n_edges"}
 
 
+def test_streaming_corpus_filter(spark, tmp_path):
+    """Scrub → cross-micro-batch dedup → langID → quality gate on a doc
+    stream: the duplicate arriving in a LATER file is dropped by the
+    watermarked state, junk is quality-gated, PII is redacted."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.streaming.structured import (
+        DOC_STREAM_SCHEMA,
+        streaming_corpus_filter,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    f1 = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                base,
+                base + "  ",  # whitespace variant → same fingerprint, in-batch dup
+                "!!! ??? !!!",  # junk: quality-gated
+                base + " write to jane@example.com from 10.1.2.3",
+            ],
+            "ts": [t0, t0, t0, t0],
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": [
+                base,  # cross-micro-batch dup of doc 0
+                "spark engines shuffle data with the fast plans that scale today",
+            ],
+            "ts": [t0 + dt.timedelta(minutes=1)] * 2,
+        }
+    )
+    root = tmp_path / "docs_in"
+    spark.createDataFrame(f1, DOC_STREAM_SCHEMA).coalesce(1).write.parquet(
+        str(root / "f1")
+    )
+    spark.createDataFrame(f2, DOC_STREAM_SCHEMA).coalesce(1).write.parquet(
+        str(root / "f2")
+    )
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/*")
+    )
+    q = (
+        streaming_corpus_filter(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_kept")
+        .option("checkpointLocation", str(tmp_path / "ck_corpus"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kept = {r["doc_id"]: r for r in spark.table("corpus_kept").collect()}
+    # one survivor of the {0,1,10} fingerprint class; junk doc 2 gated out
+    assert len(set(kept) & {0, 1, 10}) == 1
+    assert 2 not in kept
+    assert 3 in kept and 11 in kept
+    assert kept[3]["n_redactions"] == 2
+    assert "<EMAIL>" in kept[3]["clean_text"] and "<IP>" in kept[3]["clean_text"]
+    assert "jane@example.com" not in kept[3]["clean_text"]
+    assert kept[11]["lang_pred"] == "en" and kept[11]["quality"] >= 0.25
+
+
 def test_streaming_pagerank_matches_batch(spark, staged_transcripts, tmp_path):
     t, root = staged_transcripts
     edges_stream = turn_adjacency_stream(_stream(spark, root))
