@@ -64,8 +64,21 @@ def tidy_batch(
     Sorting (O1) is unnecessary in the set-semantics DataFrame world — kept
     only at materialization for deterministic output."""
     on = ["src", "dst"]
-    dels = deletions.select(on).join(edges.select(on), on, "left_semi").dropDuplicates(on)
-    ins = insertions.select(on).join(edges.select(on), on, "left_anti").dropDuplicates(on)
+    d = deletions.select(on).dropDuplicates(on)
+    i = insertions.select(on).dropDuplicates(on)
+    # Existence probe oriented for scale: ONE pass over the (huge) edge
+    # table with the (small, by the dynamic-batch contract) union of batch
+    # pairs broadcast — never a plan that must build/shuffle the edge side.
+    # `hits` is bounded by the batch size, so the follow-up joins broadcast
+    # it too (the identical broadcast subplan is reused via ReusedExchange).
+    pairs = d.unionByName(i).dropDuplicates(on)
+    hits = (
+        edges.select(on)
+        .join(F.broadcast(pairs), on, "left_semi")
+        .dropDuplicates(on)
+    )
+    dels = d.join(F.broadcast(hits), on, "left_semi")
+    ins = i.join(F.broadcast(hits), on, "left_anti")
     return dels, ins
 
 

@@ -1,0 +1,99 @@
+"""Physical-plan regression tests — the PLANS.md audit, enforced.
+
+These never execute the queries (explain only), so they are cheap; they
+fail if a future change drops a hot path out of whole-stage codegen
+(row-at-a-time `BatchEvalPython`), loses parquet pushdown/pruning, or
+turns a tidy-batch semi/anti join into a shuffle join.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_text_ops_stay_jvm_side(spark, docs):
+    """The whole text family must compile to JVM expressions — no
+    BatchEvalPython (row-at-a-time Python) anywhere."""
+    from pagerank_cuda_dynamic_spark.operators.text import (
+        chunk_documents,
+        fingerprints,
+        language_id,
+        quality_score,
+        text_scrub,
+        token_stats,
+    )
+
+    for op in (token_stats, quality_score, language_id, fingerprints, text_scrub, chunk_documents):
+        p = plan_of(op(docs))
+        assert "BatchEvalPython" not in p, op.__name__
+
+def test_dedup_joins_stay_jvm_side(spark, docs):
+    from pagerank_cuda_dynamic_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_dedup_pairs,
+    )
+
+    assert "BatchEvalPython" not in plan_of(exact_duplicates(docs))
+    assert "BatchEvalPython" not in plan_of(minhash_dedup_pairs(docs, threshold=0.5))
+
+
+def test_filter_pushdown_and_column_pruning(spark, docs):
+    """A filtered 2-column projection must reach the parquet scan as
+    PushedFilters + a pruned ReadSchema (not a post-scan Filter over all
+    columns)."""
+    p = plan_of(docs.where(F.col("doc_id") < 200).select("doc_id", "text"))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" in p
+    # pruned read schema: only the two selected columns
+    assert "ReadSchema" in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_tidy_batch_uses_broadcast_anti_join(spark):
+    """Batch tidying (J3/G10) must broadcast the small batch side — a
+    SortMergeJoin here would shuffle the full edge table per batch, and a
+    build-side flip would try to hash the whole graph."""
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.graph import tidy_batch
+
+    edges = spark.range(0, 10000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 10000).alias("dst")
+    )
+    dels_in = spark.createDataFrame(pd.DataFrame({"src": [1, 2], "dst": [8, 15]}))
+    ins_in = spark.createDataFrame(pd.DataFrame({"src": [3, 4], "dst": [22, 29]}))
+    for df in tidy_batch(edges, dels_in, ins_in):
+        p = plan_of(df)
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        # every broadcast must build the batch-derived (right) side
+        assert "BuildLeft" not in p
+
+
+def test_entity_edges_broadcast_dims(spark):
+    """The TPC-H-ish entity-edge derivation joins fact tables to small
+    dims — every join must be broadcast at sf0.001."""
+    from pagerank_cuda_dynamic_spark.sources.edges import derive_entity_edges
+
+    p = plan_of(derive_entity_edges(spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
