@@ -66,36 +66,63 @@ def bsp_static_run(spark, n_conv: int, hops: int):
 
 
 def section_scaling(results: dict) -> None:
+    # The per-loop superstep median is stable WITHIN a run (75+ samples) but
+    # host/JVM state drifts ACROSS runs by ±20%, which whipsaws the N→4N
+    # efficiency ratio when N and 4N are measured minutes apart.  So the
+    # section runs PAIRED repeats — each repeat measures local[N] then
+    # local[4N] back-to-back (fresh session each) — and the efficiency is
+    # the median of the per-pair ratios: drift that moves both members of a
+    # pair cancels; every raw value is recorded in the JSON.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     lo_cpus = max(CPUS // 4, 1)
+    meds: dict[int, list[float]] = {lo_cpus: [], CPUS: []}
+    runs: dict[int, list[dict]] = {lo_cpus: [], CPUS: []}
+    firsts: dict[int, dict] = {}
+    for rep in range(repeats):
+        for cpus in (lo_cpus, CPUS):
+            spark = _mk_spark(cpus, f"bench-scale-{cpus}-r{rep}")
+            g, m, res = bsp_static_run(spark, BENCH_CONVS, HOPS)
+            med = _median_steady(res.superstep_seconds)
+            meds[cpus].append(med)
+            runs[cpus].append(
+                {
+                    "median_superstep_sec": round(med, 4),
+                    "mean_superstep_sec": round(float(np.mean(res.superstep_seconds)), 4),
+                    "loop_wall_sec": round(res.time, 1),
+                }
+            )
+            if rep == 0:
+                firsts[cpus] = {"edges": m, "vertices": g.n, "iterations": res.iterations}
+                results["queries"][f"pagerank_bsp_static_local{cpus}"] = round(res.time, 2)
+            g.unpersist()
+            spark.stop()
     stats = {}
     for cpus in (lo_cpus, CPUS):
-        t0 = time.time()
-        spark = _mk_spark(cpus, f"bench-scale-{cpus}")
-        g, m, res = bsp_static_run(spark, BENCH_CONVS, HOPS)
-        med = _median_steady(res.superstep_seconds)
+        med = float(np.median(meds[cpus]))
         stats[cpus] = {
-            "edges": m,
-            "vertices": g.n,
-            "iterations": res.iterations,
+            **firsts[cpus],
             "median_superstep_sec": round(med, 4),
-            "mean_superstep_sec": round(float(np.mean(res.superstep_seconds)), 4),
-            "edges_per_sec_per_superstep": round(m / med, 0),
-            "loop_wall_sec": round(res.time, 1),
+            "mean_superstep_sec": runs[cpus][0]["mean_superstep_sec"],
+            "edges_per_sec_per_superstep": round(firsts[cpus]["edges"] / med, 0),
+            "loop_wall_sec": runs[cpus][0]["loop_wall_sec"],
         }
-        results["queries"][f"pagerank_bsp_static_local{cpus}"] = round(res.time, 2)
-        g.unpersist()
-        spark.stop()
+        if repeats > 1:
+            stats[cpus]["repeat_runs"] = runs[cpus]
         print(f"# scaling local[{cpus}]: {stats[cpus]}", file=sys.stderr)
-    eff = (
-        stats[lo_cpus]["median_superstep_sec"] / stats[CPUS]["median_superstep_sec"]
-    ) / (CPUS / lo_cpus)
+    ratios = [
+        (meds[lo_cpus][i] / meds[CPUS][i]) / (CPUS / lo_cpus) for i in range(repeats)
+    ]
+    eff = float(np.median(ratios))
     results["scaling"] = {
         "n_cores": lo_cpus,
         "n4_cores": CPUS,
+        "scaling_repeats": repeats,
+        "pair_ratios": [round(r, 3) for r in ratios],
         "stats": stats,
         "efficiency_median_superstep": round(eff, 3),
     }
     results["edges_per_sec_per_superstep"] = stats[CPUS]["edges_per_sec_per_superstep"]
+    print(f"# scaling efficiency: pairs={[round(r,3) for r in ratios]} median={eff:.3f}", file=sys.stderr)
 
 
 def section_dynamic(spark, results: dict) -> None:
@@ -393,10 +420,14 @@ def section_ops(spark, results: dict) -> None:
     from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import pagerank_static_bsp
     from pagerank_cuda_dynamic_spark.operators.components import (
         connected_components_np,
+        connected_components_pointer_jump,
         triangle_count,
     )
     from pagerank_cuda_dynamic_spark.operators.dedup import minhash_dedup_pairs
-    from pagerank_cuda_dynamic_spark.operators.similarity import brute_force_topk
+    from pagerank_cuda_dynamic_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
     from pagerank_cuda_dynamic_spark.operators.text import (
         chunk_documents,
         text_scrub,
@@ -427,6 +458,16 @@ def section_ops(spark, results: dict) -> None:
 
     timed("connected_components", cc)
 
+    def cc_pj():
+        et = edges_from_events(spark, SF_DIR).select("src", "dst").distinct()
+        d = build_vertex_dictionary(et, src="src", dst="dst")
+        n = d.count()
+        return connected_components_pointer_jump(
+            encode_edges(et, d, src="src", dst="dst"), n
+        ).count()
+
+    timed("cc_pointer_jump", cc_pj)
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_dedup", lambda: minhash_dedup_pairs(docs, threshold=0.5).count())
     timed("token_stats", lambda: token_stats(docs).agg(F.sum("n_bpe_tokens")).collect())
@@ -437,6 +478,10 @@ def section_ops(spark, results: dict) -> None:
     )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("ann_topk", lambda: brute_force_topk(emb, k=10).count())
+    timed(
+        "ann_ivf_topk",
+        lambda: ivf_topk(emb, k=10, n_cells=64, n_probe=4, lloyd_iters=2).count(),
+    )
     g.unpersist()
 
 

@@ -59,6 +59,12 @@ def generate(
     a("evidenced as the sandbox proxy for two cluster sizes: identical job +")
     a("input at two parallelism levels.  Shared-host noise moves individual")
     a("runs; the per-loop medians are the stable statistic.")
+    if sc.get("scaling_repeats", 1) > 1 and sc.get("pair_ratios"):
+        a(f"Methodology: {sc['scaling_repeats']} PAIRED repeats (each pair runs local[N] then")
+        a("local[4N] back-to-back, fresh sessions); the efficiency is the median of the")
+        a("per-pair ratios, so cross-run host drift that moves both members of a pair")
+        a(f"cancels.  Pair ratios this run: {sc['pair_ratios']}; every raw repeat is in")
+        a("the committed JSON (`repeat_runs`).")
     if sc["efficiency_median_superstep"] > 1.0:
         a("(>1 = mildly superlinear: at N cores each worker owns 4× the stripes,")
         a("and the random-gather working set of the Zipf/mention edges thrashes")
@@ -188,12 +194,14 @@ def generate(
         "entity_graph_build": "entity graph build (derive + dictionary + snapshot)",
         "pagerank_converged_bsp": "PageRank converged (entity graph)",
         "triangles": "triangle count (degree-oriented wedges)",
-        "connected_components": "connected components (events graph)",
+        "connected_components": "connected components (events graph, np labels)",
+        "cc_pointer_jump": "connected components (distributed pointer-jump)",
         "minhash_dedup": "MinHash-LSH dedup + exact-Jaccard verify (50 k docs)",
         "token_stats": "token stats (50 k docs)",
         "text_scrub": "PII scrub + whitespace normalization (50 k docs)",
         "doc_chunks": "context-window chunking 32/24 (50 k docs)",
         "ann_topk": "brute-force cosine top-10 (50 k × 64-d embeddings)",
+        "ann_ivf_topk": "IVF cosine top-10 (64 Lloyd-refined cells, 4 probes)",
         "pagerank_tcp_static": "PageRank static via TCP ring exchange",
     }
     for k, lbl in label.items():
