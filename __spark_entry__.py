@@ -390,6 +390,46 @@ def q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination flags: docs 0..19 play the held-out eval
+    set; the training corpus is docs 20+ UNIONed with id-shifted copies of
+    the eval docs (guaranteed contamination, containment 1.0).  Flags =
+    (train_id, eval_id, containment ≥ 0.5) — operators/dedup.
+    contamination_flags (containment of the EVAL doc's shingle set, the
+    decontamination metric, not Jaccard)."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import contamination_flags
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    heldout = docs.where(F.col("doc_id") < 20)
+    train = docs.where(F.col("doc_id") >= 20).unionByName(
+        heldout.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return contamination_flags(train, heldout, threshold=0.5)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic training-mix sampling: keep all en, 30% of de, none
+    of the rest — kept rows are a pure function of doc_id (reruns and
+    repartitions agree row-for-row; operators/sampling)."""
+    from pagerank_cuda_dynamic_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, {"en": 1.0, "de": 0.3}, strata_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
+def q_split_corpus(spark, sf_dir):
+    """Deterministic train/val/test split assignment (10%/10%/80%) keyed
+    on the same id mixer — no doc can leak between splits across reruns."""
+    from pagerank_cuda_dynamic_spark.operators.sampling import split_corpus
+
+    docs = _docs(spark, sf_dir)
+    return split_corpus(docs, val_fraction=0.1, test_fraction=0.1).select(
+        "doc_id", "split"
+    )
+
+
 def q_text_scrub(spark, sf_dir):
     """PII scrub over documents with injected synthetic PII (one email +
     one IPv4 per doc — the synthetic corpus contains none, so redaction
@@ -594,6 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "text_scrub": q_text_scrub,
         "doc_chunks": q_doc_chunks,
+        "decontamination": q_decontamination,
+        "stratified_sample": q_stratified_sample,
+        "split_corpus": q_split_corpus,
         "ngram_jaccard": q_ngram_jaccard,
         "pagerank_weighted": q_pagerank_weighted,
         "dedup_clusters": q_dedup_clusters,
@@ -832,6 +875,37 @@ reach(v, r) AS (
 )
 SELECT v AS doc_id, min(r) AS keeper_id FROM reach GROUP BY v
 """
+
+
+def _decontamination_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin of q_decontamination: same distinct-3-gram shingles,
+    same containment-of-eval-set metric, same injected contamination."""
+    shingle = (
+        "unnest(list_distinct(list_transform("
+        "range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 1) + 1), "
+        "i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i+2), ' ')"
+        "))) AS s"
+    )
+    return f"""
+WITH ev AS (SELECT doc_id, {shingle} FROM documents WHERE doc_id < 20),
+train_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+),
+tr AS (SELECT doc_id, {shingle} FROM train_docs),
+evs AS (SELECT doc_id AS eval_id, count(*) AS esz FROM ev GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS i
+  FROM tr t JOIN ev e USING (s) GROUP BY 1, 2
+)
+SELECT train_id, eval_id, round(i * 1.0 / esz, 6) AS containment
+FROM inter JOIN evs USING (eval_id)
+WHERE i * 1.0 / esz >= {threshold}
+"""
+
+
+_MIX_SQL = "(doc_id * 2654435761 + 12345) % 1000000"
 
 
 def _text_scrub_sql() -> str:
@@ -1095,6 +1169,19 @@ FROM t
         "language_id": _lang_sql(),
         "text_scrub": _text_scrub_sql(),
         "doc_chunks": _doc_chunks_sql(32, 8),
+        "decontamination": _decontamination_sql(0.5),
+        "stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {_MIX_SQL} < CASE lang WHEN 'en' THEN 1000000
+                             WHEN 'de' THEN 300000 ELSE 0 END
+""",
+        "split_corpus": f"""
+SELECT doc_id,
+       CASE WHEN {_MIX_SQL} < 100000 THEN 'val'
+            WHEN {_MIX_SQL} < 200000 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+""",
         "dedup_clusters": _dedup_clusters_sql(),
         "corpus_filter": _corpus_filter_sql(),
         "ngram_jaccard": f"""

@@ -248,6 +248,80 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     )
 
 
+def contamination_flags(
+    docs: DataFrame,
+    heldout: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    heldout_id_col: str = "doc_id",
+    heldout_text_col: str = "text",
+    max_train_df: int = 100_000,
+) -> DataFrame:
+    """Benchmark decontamination flags: (train_id, eval_id, containment)
+    for every training doc whose k-gram shingle CONTAINMENT of a held-out
+    (eval) document reaches `threshold` — containment = |S_train ∩ S_eval|
+    / |S_eval|, not Jaccard, because a long training doc that fully embeds
+    a short eval doc must be caught even though its Jaccard is tiny.
+
+    Scale shape: the held-out set (eval benchmarks) is tiny next to the
+    corpus, so the train side is semi-joined against the broadcast eval
+    shingle vocabulary FIRST — only training docs sharing ≥1 eval shingle
+    ever reach the candidate join; the corpus is scanned once.
+    `max_train_df` drops shingles carried by more than that many training
+    docs (boilerplate trigrams are not contamination evidence and would
+    pull |corpus|-sized candidate sets); containment is exact whenever no
+    shared shingle exceeds the cap."""
+    tr = docs.select(
+        F.col(id_col).alias("train_id"), F.explode(_shingles(text_col, k)).alias("s")
+    )
+    ev = heldout.select(
+        F.col(heldout_id_col).alias("eval_id"),
+        F.explode(_shingles(heldout_text_col, k)).alias("s"),
+    )
+    ev_sizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("esz"))
+    tr = tr.join(F.broadcast(ev.select("s").distinct()), "s", "left_semi")
+    rare = (
+        tr.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_train_df)
+        .select("s")
+    )
+    tr = tr.join(rare, "s", "left_semi")
+    inter = (
+        tr.join(ev, "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(ev_sizes, "eval_id")
+        .withColumn("containment", F.col("inter") / F.col("esz"))
+        .where(F.col("containment") >= threshold)
+        .select(
+            "train_id", "eval_id", F.round("containment", 6).alias("containment")
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    heldout: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Training docs with every contaminated document removed (anti-join
+    against contamination_flags) — the actual decontamination pass."""
+    flagged = (
+        contamination_flags(docs, heldout, threshold, k, id_col=id_col, **kwargs)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
 def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc via an Arrow-vectorized kernel (bit unpacking
     is genuinely awkward in SQL expressions).  Deterministic: token hash =

@@ -247,6 +247,71 @@ def test_ivf_lloyd_refinement(spark):
     assert recall(ref) >= recall(base) - 0.05
 
 
+def test_contamination_containment_not_jaccard(spark):
+    """A long training doc embedding a short eval doc verbatim must be
+    flagged (containment 1.0) even though its Jaccard similarity is low;
+    unrelated docs survive decontamination."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    eval_text = "the capital of france is paris"
+    padding = " ".join(f"filler{i} token{i} words{i}" for i in range(30))
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": [
+                    padding + " " + eval_text + " " + padding,  # embeds eval doc
+                    "completely unrelated text about spark shuffle plans today",
+                ],
+            }
+        )
+    )
+    heldout = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [eval_text]})
+    )
+    flags = contamination_flags(train, heldout, threshold=0.5).toPandas()
+    assert set(flags.train_id) == {100}
+    assert flags.iloc[0].containment == 1.0
+    clean = decontaminate(train, heldout, threshold=0.5).toPandas()
+    assert set(clean.doc_id) == {101}
+
+
+def test_sampling_deterministic_under_repartition(spark):
+    from pagerank_cuda_dynamic_spark.operators.sampling import (
+        split_corpus,
+        stratified_sample,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            "lang": ["en", "de", "fr", "zh"] * 500,
+            "text": ["x"] * 2000,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    frac = {"en": 1.0, "de": 0.5}
+    a = set(stratified_sample(docs, frac).toPandas().doc_id)
+    b = set(stratified_sample(docs.repartition(7, "lang"), frac).toPandas().doc_id)
+    assert a == b  # pure function of doc_id — layout-independent
+    kept = stratified_sample(docs, frac).groupBy("lang").count().toPandas()
+    by_lang = dict(zip(kept.lang, kept["count"]))
+    assert by_lang["en"] == 500            # fraction 1.0 keeps everything
+    assert 150 < by_lang.get("de", 0) < 350  # ~250 expected
+    assert "fr" not in by_lang and "zh" not in by_lang
+
+    s = split_corpus(docs, 0.1, 0.1).toPandas()
+    assert set(s.split) == {"train", "val", "test"}
+    assert len(s) == 2000  # partition of the corpus, nothing dropped
+    s2 = split_corpus(docs.repartition(13), 0.1, 0.1).toPandas()
+    assert dict(zip(s.doc_id, s.split)) == dict(zip(s2.doc_id, s2.split))
+    counts = s.split.value_counts()
+    assert 120 < counts["val"] < 280 and 120 < counts["test"] < 280
+
+
 def test_dedup_clusters_transitive(spark):
     """Chains A~B~C collapse to one keeper even though A and C never
     paired; disjoint clusters keep separate keepers."""
