@@ -430,6 +430,24 @@ def q_split_corpus(spark, sf_dir):
     )
 
 
+_SPAM_TEXT = "buy now buy now buy now buy now buy now buy now"
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition metrics over documents plus one
+    injected spam doc (id 999999) so the boilerplate gates have real
+    evidence (operators/text.repetition_stats)."""
+    from pagerank_cuda_dynamic_spark.operators.text import repetition_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = docs.unionByName(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [999999], "text": [_SPAM_TEXT]})
+        )
+    )
+    return repetition_stats(aug)
+
+
 def q_text_scrub(spark, sf_dir):
     """PII scrub over documents with injected synthetic PII (one email +
     one IPv4 per doc — the synthetic corpus contains none, so redaction
@@ -635,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": q_text_scrub,
         "doc_chunks": q_doc_chunks,
         "decontamination": q_decontamination,
+        "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "split_corpus": q_split_corpus,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1170,6 +1189,37 @@ FROM t
         "text_scrub": _text_scrub_sql(),
         "doc_chunks": _doc_chunks_sql(32, 8),
         "decontamination": _decontamination_sql(0.5),
+        "repetition_stats": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 999999, '{_SPAM_TEXT}'
+),
+t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM aug
+),
+base AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(lines)) * 1.0 / greatest(len(lines), 1), 6) AS dup_line_frac,
+         round(1.0 - len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6) AS dup_token_frac,
+         len(toks) AS n
+  FROM t
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+  FROM t, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+),
+top AS (
+  SELECT doc_id, max(c) AS top_bg
+  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT base.doc_id, dup_line_frac, dup_token_frac,
+       round(coalesce(top_bg, 0) * 2.0 / greatest(n, 1), 6) AS top_bigram_frac
+FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+""",
         "stratified_sample": f"""
 SELECT doc_id, lang FROM documents
 WHERE {_MIX_SQL} < CASE lang WHEN 'en' THEN 1000000

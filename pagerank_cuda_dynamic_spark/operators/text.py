@@ -165,6 +165,91 @@ def chunk_documents(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher-rules family):
+
+      dup_line_frac   1 − |distinct lines| / |lines|
+      dup_token_frac  1 − |distinct tokens| / |tokens|
+      top_bigram_frac fraction of tokens covered by the single most
+                      frequent adjacent token bigram
+
+    Line/token fractions are per-row array expressions (no shuffle).  The
+    bigram mode is the relational shape — explode bigrams → count per
+    (doc, bigram) → max per doc — NOT a per-doc quadratic scan, so a
+    1k-token document costs 1k rows, not 10⁶ comparisons; one shuffle
+    keyed by doc id.  Returns (id, dup_line_frac, dup_token_frac,
+    top_bigram_frac), all rounded to 6 dp."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    lines = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        F.col(id_col),
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)) / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+        F.size(toks).alias("_n_toks"),
+        toks.alias("_toks"),
+    )
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.col("_n_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n_toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bg"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "dup_line_frac",
+            "dup_token_frac",
+            F.round(
+                F.coalesce(F.col("top_bg"), F.lit(0)) * 2.0
+                / F.greatest(F.col("_n_toks"), F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    max_dup_line_frac: float = 0.3,
+    max_dup_token_frac: float = 0.9,
+    max_top_bigram_frac: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents whose repetition metrics exceed the Gopher-style
+    gates — the standard boilerplate/spam pass of a pre-training corpus."""
+    stats = repetition_stats(docs, id_col, text_col)
+    keep = stats.where(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    ).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
 __all__ = [
     "STOPWORDS",
     "BPE_ISH_RE",
@@ -178,4 +263,6 @@ __all__ = [
     "scrub_exprs",
     "text_scrub",
     "chunk_documents",
+    "repetition_stats",
+    "repetition_filter",
 ]

@@ -247,6 +247,38 @@ def test_ivf_lloyd_refinement(spark):
     assert recall(ref) >= recall(base) - 0.05
 
 
+def test_repetition_filter_gates_spam(spark):
+    """The injected spam doc (one bigram covering the text) is gated; a
+    normal doc passes; metrics match hand computation."""
+    from pagerank_cuda_dynamic_spark.operators.text import (
+        repetition_filter,
+        repetition_stats,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog near the bank today"),
+        (1, "buy now buy now buy now buy now"),          # top bigram dominates
+        (2, "line one\nline one\nline two"),              # duplicate line
+        (3, "word"),                                       # single token edge
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    stats = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: 8 tokens, "buy now" appears 4x -> 4*2/8 = 1.0
+    assert stats[1]["top_bigram_frac"] == 1.0
+    assert stats[1]["dup_token_frac"] == 0.75  # 2 distinct of 8
+    # doc 2: 3 lines, 2 distinct -> 1/3 dup
+    assert abs(stats[2]["dup_line_frac"] - 1 / 3) < 1e-6
+    assert stats[3]["top_bigram_frac"] == 0.0  # no bigram, no crash
+    kept = set(
+        r["doc_id"]
+        for r in repetition_filter(
+            docs, max_dup_line_frac=0.3, max_top_bigram_frac=0.5
+        ).collect()
+    )
+    assert 0 in kept and 3 in kept
+    assert 1 not in kept and 2 not in kept
+
+
 def test_contamination_containment_not_jaccard(spark):
     """A long training doc embedding a short eval doc verbatim must be
     flagged (containment 1.0) even though its Jaccard similarity is low;
