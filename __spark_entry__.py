@@ -433,6 +433,15 @@ def q_split_corpus(spark, sf_dir):
 _SPAM_TEXT = "buy now buy now buy now buy now buy now buy now"
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training: docs salted into 8 shards, packed
+    into 512-token budgets by running cumsum within each shard
+    (operators/text.pack_sequences)."""
+    from pagerank_cuda_dynamic_spark.operators.text import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), token_budget=512, n_shards=8)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition metrics over documents plus one
     injected spam doc (id 999999) so the boilerplate gates have real
@@ -654,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "decontamination": q_decontamination,
         "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "split_corpus": q_split_corpus,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1219,6 +1229,19 @@ top AS (
 SELECT base.doc_id, dup_line_frac, dup_token_frac,
        round(coalesce(top_bg, 0) * 2.0 / greatest(n, 1), 6) AS top_bigram_frac
 FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+""",
+        "pack_sequences": """
+WITH base AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761 + 12345) % 8 AS INT) AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id,
+       n_tokens
+FROM base
 """,
         "stratified_sample": f"""
 SELECT doc_id, lang FROM documents

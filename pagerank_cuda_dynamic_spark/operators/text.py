@@ -165,6 +165,48 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (in deterministic
+    order) and cut at fixed token budgets — each doc gets the pack index
+    where its tokens START (floor(cumsum_before / budget)).  Returns
+    (id, shard, pack_id, n_tokens).
+
+    Scale shape: docs are first salted into `n_shards` deterministic
+    shards by an id mix, and the running-token cumsum window runs WITHIN a
+    shard — never a global single-partition window; each shard's sort is
+    an ordinary shuffle partition.  Shard and pack assignment are pure
+    functions of (id, corpus content), so reruns and layouts agree."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col) * F.lit(2654435761) + F.lit(12345), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        id_col,
+        "shard",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / token_budget)
+        .cast("long")
+        .alias("pack_id"),
+        "n_tokens",
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -263,6 +305,7 @@ __all__ = [
     "scrub_exprs",
     "text_scrub",
     "chunk_documents",
+    "pack_sequences",
     "repetition_stats",
     "repetition_filter",
 ]

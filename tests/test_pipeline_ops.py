@@ -247,6 +247,36 @@ def test_ivf_lloyd_refinement(spark):
     assert recall(ref) >= recall(base) - 0.05
 
 
+def test_pack_sequences_invariants(spark):
+    """Pack ids are contiguous per shard, start at 0, every pack except
+    the last holds ≥ budget tokens counting the straddling doc, and
+    assignment is layout-independent."""
+    from pagerank_cuda_dynamic_spark.operators.text import pack_sequences
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "text": [" ".join(["w"] * int(rng.integers(5, 60))) for _ in range(300)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    out = pack_sequences(docs, token_budget=100, n_shards=4).toPandas()
+    out2 = pack_sequences(docs.repartition(11), token_budget=100, n_shards=4).toPandas()
+    key = ["doc_id", "shard", "pack_id"]
+    assert sorted(map(tuple, out[key].to_numpy())) == sorted(
+        map(tuple, out2[key].to_numpy())
+    )
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values("doc_id")
+        packs = g.pack_id.to_numpy()
+        assert packs[0] == 0
+        assert (np.diff(packs) >= 0).all()
+        # cumsum-before of the first doc of pack p is >= p*budget
+        csum = g.n_tokens.cumsum() - g.n_tokens
+        assert (np.floor(csum / 100) == packs).all()
+
+
 def test_repetition_filter_gates_spam(spark):
     """The injected spam doc (one bigram covering the text) is gated; a
     normal doc passes; metrics match hand computation."""
