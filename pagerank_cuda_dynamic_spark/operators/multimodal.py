@@ -300,6 +300,87 @@ def extract_features(media: DataFrame, feat_dim: int = 64) -> DataFrame:
     )
 
 
+def perceptual_hash_64(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per image: decode → grayscale → 8×8
+    area-mean thumbnail → bit i set iff pixel i > thumbnail mean.  Robust
+    to resizing/re-encoding/brightness scaling — the canonical image
+    near-dup key.  Undecodable payloads get a deterministic sha256-derived
+    hash with decoded=false (flagged, never silently mixed).  Returns
+    (media_id, phash: long, decoded: boolean)."""
+    imgs = media.where(F.col("kind") == "image")
+
+    def kernel(batches):
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            hashes, decs = [], []
+            for c, k, mm in zip(pdf["content"], pdf["kind"], pdf["mime"]):
+                decoded, ok = _decode(bytes(c), k, mm)
+                if ok and not isinstance(decoded, tuple):
+                    gray = decoded.astype(np.float32).mean(axis=2)
+                    thumb = resample_area_mean(
+                        (gray[..., None]).astype(np.uint8).repeat(3, axis=2), 8, 8
+                    )[:, :, 0].astype(np.float32)
+                    bits = (thumb.ravel() > thumb.mean()).astype(np.uint64)
+                    h = np.uint64((bits * weights).sum())
+                    decs.append(True)
+                else:
+                    digest = hashlib.sha256(bytes(c)).digest()
+                    h = np.frombuffer(digest[:8], dtype=np.uint64)[0]
+                    decs.append(False)
+                hashes.append(np.int64(h))  # two's-complement into Spark long
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": np.array(hashes, dtype=np.int64),
+                    "decoded": decs,
+                }
+            )
+
+    return imgs.mapInPandas(kernel, "media_id long, phash long, decoded boolean")
+
+
+def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs with hamming(aHash) ≤ max_hamming, found with
+    the same 4×16-bit pigeonhole banding as the text SimHash path
+    (dedup.simhash_near_duplicates): ≤3 differing bits ⇒ ≥1 identical
+    chunk, so candidates come from an equi-join on (chunk, key) — never a
+    cross join — and are verified with bit_count.  Composes with
+    dedup.dedup_clusters for transitive keeper selection."""
+    ph = perceptual_hash_64(media).persist()
+    chunks = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("phash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("media_id", "phash", "cc.chunk", "cc.ckey")
+    a = chunks.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("ph_a"), "chunk", "ckey"
+    )
+    b = chunks.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("ph_b"), "chunk", "ckey"
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Real image resize: decode (BMP/PPM) → area-mean resample → re-encode
     BMP.  Undecodable image formats raise — installing a codec via
@@ -354,3 +435,20 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
             )
 
     return vids.mapInPandas(kernel, "media_id long, frame_ts int, frame binary")
+
+
+# Python workers deserialize kernels BEFORE any code can amend their
+# sys.path, so when the driver put the repo on sys.path at runtime (no
+# --py-files) the default by-reference pickling of this module's codec
+# helpers dies in the worker with ModuleNotFoundError.  Registering the
+# module for BY-VALUE pickling makes every kernel closure self-contained
+# (the helpers travel inside the serialized task, a few KB) regardless of
+# how the driver was launched.
+import sys as _sys  # noqa: E402
+
+try:
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover — older pyspark without the API
+    pass

@@ -76,3 +76,45 @@ def test_undecodable_flagged():
     assert not ok
     feats = _featurize(decoded, ok, "video", 64)
     assert feats.shape == (64,)
+
+
+def test_perceptual_hash_near_duplicates(spark):
+    """A re-encoded resized copy of an image pairs with the original at
+    small hamming distance; a structurally different image does not."""
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        image_near_duplicates,
+        perceptual_hash_64,
+        resample_area_mean,
+    )
+
+    rng = np.random.default_rng(9)
+    base = (rng.random((48, 64, 3)) * 80).astype(np.uint8)
+    base[:, :32, :] += 120  # strong left/right structure for stable bits
+    near = resample_area_mean(base, 32, 24)  # resized copy, re-encoded
+    other = np.flip(base, axis=1).copy()  # mirrored: different structure
+    rows = [
+        (0, "image", bytearray(encode_bmp(base)), "image/bmp", 64, 48, None),
+        (1, "image", bytearray(encode_bmp(near)), "image/bmp", 32, 24, None),
+        (2, "image", bytearray(encode_bmp(other)), "image/bmp", 64, 48, None),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "kind", "content", "mime", "width", "height", "duration_ms",
+            ],
+        ),
+        MEDIA_SCHEMA,
+    )
+    ph = {r["media_id"]: r for r in perceptual_hash_64(media).collect()}
+    assert all(ph[i]["decoded"] for i in (0, 1, 2))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_duplicates(media, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
