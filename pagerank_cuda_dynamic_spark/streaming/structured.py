@@ -295,3 +295,19 @@ class StreamingPagerankDriver:
             .join(self.dict_df, "v")
             .select("entity", "rank")
         )
+
+
+# `_chain_turns` is a module-level function handed to
+# applyInPandasWithState, so workers deserialize it BY REFERENCE and must
+# import this module — which fails when the driver put the repo on
+# sys.path at runtime (no --py-files).  Register the module for by-value
+# pickling so the stateful kernel travels inside the serialized task
+# (same fix as operators/multimodal.py; reproduced driving from /tmp).
+import sys as _sys  # noqa: E402
+
+try:
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover — older pyspark without the API
+    pass
