@@ -69,3 +69,32 @@ def test_ragged_take_equals_naive(data):
     got = _ragged_take(starts, lens)
     want = np.concatenate([np.arange(s, s + l) for s, l in zip(starts, lens)])
     assert np.array_equal(got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120
+    ),
+    inject=st.integers(0, 4),
+)
+def test_pii_scrub_idempotent(text, inject):
+    """Applying the PII replacement chain twice equals once for arbitrary
+    printable text with injected PII-ish fragments — placeholders must
+    never re-match and replacements must never juxtapose new matches.
+    Python `re` is the model; the patterns are shared verbatim with the
+    Spark (Java) and DuckDB (RE2) implementations by design."""
+    import re
+
+    from pagerank_cuda_dynamic_spark.operators.text import PII_PATTERNS
+
+    samples = ["a.b@c.de", "10.1.2.3", "123-45-6789", "+1 555 123 4567", ""]
+    t = text + " " + samples[inject] + " " + text
+
+    def scrub(s):
+        for pat, repl in PII_PATTERNS:
+            s = re.sub(pat, repl, s)
+        return re.sub(r"\s+", " ", s).strip()
+
+    once = scrub(t)
+    assert scrub(once) == once
