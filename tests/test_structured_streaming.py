@@ -165,6 +165,60 @@ def test_streaming_corpus_filter(spark, tmp_path):
     assert kept[11]["lang_pred"] == "en" and kept[11]["quality"] >= 0.25
 
 
+def test_streaming_corpus_filter_state_survives_restart(spark, tmp_path):
+    """The dedup state store is part of the streaming checkpoint: a doc
+    seen before the query STOPPED still suppresses its duplicate after a
+    new query restarts from the same checkpoint."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.streaming.structured import (
+        DOC_STREAM_SCHEMA,
+        streaming_corpus_filter,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    root = tmp_path / "docs_in"
+    ck = str(tmp_path / "ck_restart")
+    out = str(tmp_path / "kept_out")  # file sink: supports ck recovery
+
+    def arrive(name, rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "ts"]),
+            DOC_STREAM_SCHEMA,
+        ).coalesce(1).write.parquet(str(root / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(DOC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/*")
+        )
+        q = (
+            streaming_corpus_filter(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    arrive("f1", [(0, base, t0)])
+    assert run_once() == {0}
+    # second incarnation: duplicate of doc 0 plus one new doc
+    arrive("f2", [(10, base, t0 + dt.timedelta(minutes=1)),
+                  (11, base + " with a brand new ending sentence attached",
+                   t0 + dt.timedelta(minutes=1))])
+    second = run_once()
+    # the dup of doc 0 must be suppressed by the RESTORED state store of
+    # the fresh query; the genuinely new doc must pass
+    assert second == {0, 11}
+
+
 def test_streaming_pagerank_matches_batch(spark, staged_transcripts, tmp_path):
     t, root = staged_transcripts
     edges_stream = turn_adjacency_stream(_stream(spark, root))
