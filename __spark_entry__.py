@@ -433,6 +433,14 @@ def q_split_corpus(spark, sf_dir):
 _SPAM_TEXT = "buy now buy now buy now buy now buy now buy now"
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (operators/text.tfidf_keywords):
+    explode → tf/df aggs → per-doc window top-k."""
+    from pagerank_cuda_dynamic_spark.operators.text import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), top_k=5)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for training: docs salted into 8 shards, packed
     into 512-token budgets by running cumsum within each shard
@@ -664,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
+        "tfidf_keywords": q_tfidf_keywords,
         "stratified_sample": q_stratified_sample,
         "split_corpus": q_split_corpus,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1229,6 +1238,26 @@ top AS (
 SELECT base.doc_id, dup_line_frac, dup_token_frac,
        round(coalesce(top_bg, 0) * 2.0 / greatest(n, 1), 6) AS top_bigram_frac
 FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+""",
+        "tfidf_keywords": """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT doc_id, term,
+         tf * ln((SELECT n FROM n) * 1.0 / df) AS score
+  FROM tf JOIN df USING (term)
+),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM s
+)
+SELECT doc_id, term, round(score, 6) AS score FROM r WHERE rn <= 5
 """,
         "pack_sequences": """
 WITH base AS (

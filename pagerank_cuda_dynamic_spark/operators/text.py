@@ -165,6 +165,41 @@ def chunk_documents(
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document: tf = in-doc term count, idf =
+    ln(N / df) (natural log, no smoothing — deterministic and
+    SQL-portable), score = tf·idf, ties broken by term.  The relational
+    staple: explode lowercase tokens → (doc, term) counts → document
+    frequencies → score → per-doc window top-k (partitioned by doc id, so
+    the window never concentrates on one task).  Returns
+    (id, term, score) with score rounded to 6 dp."""
+    from pyspark.sql import Window
+
+    from pagerank_cuda_dynamic_spark.functions import tokens
+
+    n_docs = docs.count()
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select(id_col, "term", F.round("score", 6).alias("score"))
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_budget: int = 2048,

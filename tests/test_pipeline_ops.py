@@ -247,6 +247,29 @@ def test_ivf_lloyd_refinement(spark):
     assert recall(ref) >= recall(base) - 0.05
 
 
+def test_tfidf_keywords_hand_computed(spark):
+    """Terms unique to a doc outscore corpus-wide terms; idf = ln(N/df)."""
+    import math
+
+    from pagerank_cuda_dynamic_spark.operators.text import tfidf_keywords
+
+    rows = [
+        (0, "alpha alpha alpha shared"),
+        (1, "beta shared"),
+        (2, "gamma shared"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = tfidf_keywords(docs, top_k=2).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("score", ascending=False)
+    assert list(d0.term) == ["alpha", "shared"]
+    assert abs(d0.iloc[0].score - 3 * math.log(3 / 1)) < 1e-6
+    assert d0.iloc[1].score == 0.0  # df = N → idf 0
+    assert list(out[out.doc_id == 1].sort_values("score", ascending=False).term) == [
+        "beta",
+        "shared",
+    ]
+
+
 def test_pack_sequences_invariants(spark):
     """Pack ids are contiguous per shard, start at 0, every pack except
     the last holds ≥ budget tokens counting the straddling doc, and
