@@ -55,8 +55,8 @@ def connected_components_np(
     """Min-label propagation to fixpoint (G11/properties.hxx:379–401 shape).
     Returns component id per vertex = min vertex id in the component (exact,
     deterministic).  edges: dense-id (src,dst)."""
-    und = edges if presymmetrized else symmetrize(edges)
-    und = und.persist()
+    # only persist a frame we created; a presymmetrized caller owns its cache
+    und = edges if presymmetrized else symmetrize(edges).persist()
     und.count()
     labels = np.arange(n, dtype=np.int64)
     while True:
@@ -203,8 +203,7 @@ def connected_components_joinagg(
             .transform(materialize)
         )
         frontier = improved
-    if not presymmetrized:
-        und.unpersist()
+    und.unpersist()  # repartitioned frame is ours in both branches
     return labels.select("v", F.col("lab").alias("component"))
 
 
@@ -278,8 +277,7 @@ def connected_components_pointer_jump(
         labels = jumped
         if stop:
             break
-    if not presymmetrized:
-        und.unpersist()
+    und.unpersist()  # repartitioned frame is ours in both branches
     out = labels.select("v", F.col("lab").alias("component"))
     return (out, rounds) if with_rounds else out
 
@@ -331,8 +329,7 @@ def label_propagation_joinagg(
         labels = new_labels
         if stop:
             break
-    if not presymmetrized:
-        und.unpersist()
+    und.unpersist()  # repartitioned frame is ours in both branches
     return labels.select("v", F.col("lab").alias("label"))
 
 

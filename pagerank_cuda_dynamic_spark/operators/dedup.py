@@ -322,6 +322,12 @@ def decontaminate(
     return docs.join(flagged, id_col, "left_anti")
 
 
+# cap on tokens unpacked at once in the simhash kernel: peak transient is
+# ~65 bytes/token (uint8 bit matrix + the int64 hash slab), so 1M tokens
+# ≈ 65 MB — bounded regardless of Arrow batch size or document length
+SIMHASH_CHUNK_TOKENS = 1 << 20
+
+
 def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc via an Arrow-vectorized kernel (bit unpacking
     is genuinely awkward in SQL expressions).  Deterministic: token hash =
@@ -331,33 +337,72 @@ def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.transform(_tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
     )
 
+    # capture module constant at plan time so the kernel closure is
+    # self-contained (workers may not re-import this module)
+    CHUNK_TOKENS = SIMHASH_CHUNK_TOKENS
+
     def kernel(batches):
-        shifts = np.arange(64, dtype=np.uint64)
-        weights = np.left_shift(np.uint64(1), shifts)
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             th = pdf["th"]
             lens = np.fromiter((len(h) for h in th), dtype=np.int64, count=len(th))
             out_sh = np.zeros(len(ids), dtype=np.int64)
             nz = np.flatnonzero(lens > 0)
-            if nz.size:
-                # one batch-wide bit unpack + segmented vote sum: no
-                # per-document Python loop in the bit math
+            # greedy doc-aligned chunks so reduceat segments never straddle
+            # a chunk boundary; a single huge doc still goes alone but its
+            # bit matrix is uint8 (64 B/token), not int64 (512 B/token)
+            start = 0
+            while start < nz.size:
+                stop = start + 1
+                tok = lens[nz[start]]
+                while stop < nz.size and tok + lens[nz[stop]] <= CHUNK_TOKENS:
+                    tok += lens[nz[stop]]
+                    stop += 1
+                sel = nz[start:stop]
                 flat = np.concatenate(
-                    [np.asarray(th.iloc[i], dtype=np.int64) for i in nz]
-                ).view(np.uint64)
-                steps = (
-                    2 * ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64) - 1
+                    [np.asarray(th.iloc[i], dtype=np.int64) for i in sel]
                 )
-                offs = np.concatenate([[0], np.cumsum(lens[nz])[:-1]]).astype(np.int64)
-                votes = np.add.reduceat(steps, offs, axis=0)
+                # little-endian byte view + LSB-first unpack: column k of
+                # `bits` is bit k of the uint64 hash (matches 1<<k weights)
+                bits = np.unpackbits(
+                    flat.astype("<i8", copy=False).view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
+                )
+                offs = np.concatenate([[0], np.cumsum(lens[sel])[:-1]]).astype(
+                    np.int64
+                )
+                ones = np.add.reduceat(bits, offs, axis=0, dtype=np.int64)
+                # votes = sum of (2*bit - 1) = 2*ones - token_count
+                votes = 2 * ones - lens[sel][:, None]
                 sh = ((votes > 0).astype(np.uint64) * weights).sum(
                     axis=1, dtype=np.uint64
                 )
-                out_sh[nz] = sh.view(np.int64)
+                out_sh[sel] = sh.view(np.int64)
+                start = stop
             yield pd.DataFrame({"id": ids, "simhash": out_sh})
 
     return tok_hashes.mapInPandas(kernel, "id long, simhash long")
+
+
+def _band_exprs(col_name: str, nbands: int):
+    """Pigeonhole bands over a 64-bit hash column: `nbands` contiguous bit
+    ranges, as even as possible.  hamming ≤ nbands-1 ⇒ ≥1 identical band,
+    so deriving nbands = max_hamming + 1 makes candidate recall exact for
+    ANY max_hamming (the old fixed 4×16 layout silently lost pairs past
+    hamming 3).  Returns an explode() of (chunk, ckey) structs."""
+    nbands = max(1, min(int(nbands), 64))
+    base, rem = divmod(64, nbands)
+    exprs, off = [], 0
+    for c in range(nbands):
+        w = base + (1 if c < rem else 0)
+        e = F.shiftrightunsigned(F.col(col_name), off)
+        if w < 64:
+            e = e.bitwiseAND(F.lit((1 << w) - 1))
+        exprs.append(F.struct(F.lit(c).alias("chunk"), e.alias("ckey")))
+        off += w
+    return F.explode(F.array(*exprs))
 
 
 def simhash_near_duplicates(
@@ -367,23 +412,14 @@ def simhash_near_duplicates(
     text_col: str = "text",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by banding
-    the 64-bit hash into 4 16-bit chunks (pigeonhole: ≤3 differing bits ⇒
-    ≥1 identical chunk) and verifying with bit_count."""
+    the 64-bit hash into max_hamming+1 contiguous chunks (pigeonhole: ≤h
+    differing bits ⇒ ≥1 identical chunk of h+1) and verifying with
+    bit_count.  Default max_hamming=3 keeps the canonical 4×16-bit layout."""
     sh = simhash_64(docs, id_col, text_col).persist()
     chunks = sh.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
+        _band_exprs("simhash", max_hamming + 1).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.ckey")
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey")

@@ -341,28 +341,19 @@ def perceptual_hash_64(media: DataFrame) -> DataFrame:
 
 def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-dup pairs with hamming(aHash) ≤ max_hamming, found with
-    the same 4×16-bit pigeonhole banding as the text SimHash path
-    (dedup.simhash_near_duplicates): ≤3 differing bits ⇒ ≥1 identical
-    chunk, so candidates come from an equi-join on (chunk, key) — never a
-    cross join — and are verified with bit_count.  Composes with
-    dedup.dedup_clusters for transitive keeper selection."""
+    the same pigeonhole banding as the text SimHash path
+    (dedup._band_exprs, max_hamming+1 chunks): ≤h differing bits ⇒ ≥1
+    identical chunk, so candidates come from an equi-join on (chunk, key)
+    — never a cross join — and are verified with bit_count; recall is
+    exact for ANY max_hamming.  Composes with dedup.dedup_clusters for
+    transitive keeper selection."""
+    from .dedup import _band_exprs
+
     ph = perceptual_hash_64(media).persist()
     chunks = ph.select(
         "media_id",
         "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("phash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ckey"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
+        _band_exprs("phash", max_hamming + 1).alias("cc"),
     ).select("media_id", "phash", "cc.chunk", "cc.ckey")
     a = chunks.select(
         F.col("media_id").alias("id_a"), F.col("phash").alias("ph_a"), "chunk", "ckey"

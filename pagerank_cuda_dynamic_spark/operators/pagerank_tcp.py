@@ -76,6 +76,12 @@ def _tcp_loop(
 ) -> PagerankResult:
     """Generalized TCP-ring convergence loop (static/ND/DT/DF/DF-P)."""
     assert opts.dangling == "selfloop", "TCP mode assumes self-looped graphs"
+    # the ring path does not read bsp_pack's w_bin/hub_w_bin blobs yet; a
+    # weighted graph would silently compute UNWEIGHTED ranks (the BSP twin
+    # gates this with an explicit weighted flag) — refuse loudly instead
+    assert "w" not in graph.edges.columns, (
+        "TCP ring path is unweighted; use the BSP/joinagg weighted paths"
+    )
     t_all = time.time()
     spark = graph.edges.sparkSession
     sc = spark.sparkContext

@@ -56,13 +56,25 @@ class CheckpointManager:
         spark: SparkSession,
         root: str,
         every: int = 1,
-        catalog: str | None = None,
+        catalog: str | None = "auto",
         namespace: str = "pr_ckpt",
     ):
+        """catalog: "auto" (default) detects a configured Iceberg catalog
+        but STILL uses Parquet when `root` already holds iter=* snapshots
+        (a resume must see prior state, not silently restart); None or ""
+        forces the Parquet backend; any other string names the catalog
+        explicitly."""
         self.spark = spark
         self.root = root
         self.every = max(every, 1)
-        self.catalog = catalog if catalog is not None else detect_iceberg_catalog(spark)
+        if catalog == "auto":
+            catalog = detect_iceberg_catalog(spark)
+            if catalog and os.path.isdir(root) and any(
+                x.startswith("iter=") and not x.endswith(".tmp")
+                for x in os.listdir(root)
+            ):
+                catalog = None
+        self.catalog = catalog or None
         # table-name prefix derived from root so concurrent runs don't collide
         safe = "".join(c if c.isalnum() else "_" for c in os.path.basename(root.rstrip("/")))
         self.namespace = f"{namespace}_{safe}" if safe else namespace

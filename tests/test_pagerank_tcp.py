@@ -206,3 +206,22 @@ def test_tcp_warm_start(spark):
     assert warm.iterations <= 2
     assert np.allclose(warm.ranks, base.ranks, atol=1e-9)
     g.unpersist()
+
+
+def test_tcp_rejects_weighted_graphs(spark):
+    """The ring path never reads bsp_pack's w_bin blobs, so a weighted
+    snapshot must be refused loudly instead of silently computing
+    unweighted ranks (the BSP twin gates this with its weighted flag)."""
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import WeightedSnapshot
+
+    edges_w = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0], "w": [0.5, 1.5, 2.0]})
+    )
+    g = WeightedSnapshot(edges_w, n=3)
+    try:
+        with pytest.raises(AssertionError, match="unweighted"):
+            pagerank_static_tcp(g)
+    finally:
+        g.unpersist()

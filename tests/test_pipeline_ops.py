@@ -431,3 +431,40 @@ def test_extract_features_rejects_narrow_dim(spark):
     )
     with _pytest.raises(ValueError, match="feat_dim"):
         extract_features(media, feat_dim=16)
+
+
+def test_simhash_chunk_boundaries_do_not_change_hashes(spark, docs, monkeypatch):
+    """The memory-bounded chunked vote kernel must yield byte-identical
+    hashes when documents are forced to split across many tiny chunks."""
+    import pagerank_cuda_dynamic_spark.operators.dedup as dd
+
+    base = dd.simhash_64(docs).toPandas().set_index("id")["simhash"].to_dict()
+    monkeypatch.setattr(dd, "SIMHASH_CHUNK_TOKENS", 3)
+    tiny = dd.simhash_64(docs).toPandas().set_index("id")["simhash"].to_dict()
+    assert base == tiny and len(base) == 7
+
+
+def test_band_exprs_pigeonhole_holds_past_hamming_3(spark):
+    """Two hashes differing in 5 bits spread one-per-16-bit-chunk defeat the
+    old fixed 4x16 banding (every chunk differs -> pair silently dropped);
+    the derived max_hamming+1 banding must still produce a candidate."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pagerank_cuda_dynamic_spark.operators.dedup import _band_exprs
+
+    h_b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48) | (1 << 63)
+    h_b -= 1 << 64  # two's complement into a Spark long
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": np.array([0, 1]), "h": np.array([0, h_b], dtype=np.int64)})
+    )
+
+    def n_matching_bands(nbands):
+        ch = df.select("id", _band_exprs("h", nbands).alias("cc")).select(
+            "id", "cc.chunk", "cc.ckey"
+        )
+        a = ch.select(F.col("id").alias("ia"), "chunk", "ckey")
+        b = ch.select(F.col("id").alias("ib"), "chunk", "ckey")
+        return a.join(b, ["chunk", "ckey"]).where("ia < ib").count()
+
+    assert n_matching_bands(4) == 0   # the old layout's blind spot
+    assert n_matching_bands(6) >= 1   # hamming 5 <= nbands-1 -> guaranteed
