@@ -529,16 +529,37 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def _md5_hash64(col):
+    """Cross-engine 60-bit token hash: first 15 hex chars of md5 parsed as
+    an integer.  Spark's conv(hex,16,10) and DuckDB's CAST('0x…') agree
+    exactly, so operators built on this hash get FULL value oracles; the
+    production default stays xxhash64 (cheaper, 64-bit)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5_seeded_hash64(s, j: int):
+    """Seeded variant for minhash signature rows: md5('<j>#' || shingle)."""
+    return _md5_hash64(F.concat(F.lit(f"{j}#"), s))
+
+
 def q_minhash_candidates(spark, sf_dir):
-    """MinHash LSH candidates (xxhash64-based — rows-only check; verified
-    pairs are asserted against exact Jaccard in pytest)."""
+    """MinHash LSH candidate pairs over the md5-derived cross-engine hash:
+    the ENTIRE pipeline (shingle → 32 seeded minhashes → 8 banded bucket
+    joins → distinct pairs) is value-checked against a DuckDB
+    reimplementation.  The banding machinery is identical to the xxhash64
+    production path — only the hash primitive differs."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
-    return minhash_lsh_candidates(docs)
+    return minhash_lsh_candidates(docs, hash_fn=_md5_seeded_hash64)
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """All pairs with hamming(simhash) ≤ 8 over the md5-derived
+    cross-engine token hash.  Banding recall is exact (max_hamming+1
+    chunks), so the output is a pure function of the token hashes and the
+    DuckDB oracle recomputes the full simhash (bit votes included) in
+    SQL."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
-    return simhash_near_duplicates(docs, max_hamming=8)
+    return simhash_near_duplicates(docs, max_hamming=8, token_hash=_md5_hash64)
 
 
 def q_cosine_pairs(spark, sf_dir):
@@ -1351,6 +1372,57 @@ reach(v, r) AS (
 SELECT v, min(r) AS component FROM reach GROUP BY v
 """,
         "minhash_verified": _jaccard_pairs_sql(300, 0.5),
+        # full reimplementation of the banded-LSH candidate pipeline on the
+        # md5 cross-engine hash: 32 seeded minhashes, 8 bands of 4, pairs
+        # sharing any band (band-key hashing on the Spark side is a pure
+        # bucketing detail — equal slices ⇔ equal keys)
+        "minhash_candidates": """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 1) + 1),
+      i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i+2), ' ')
+  ))) AS s
+  FROM documents WHERE doc_id < 300
+),
+mh AS (
+  SELECT doc_id, j,
+         min(CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '#', s)), 1, 15)) AS BIGINT)) AS h
+  FROM sh, range(32) r(j) GROUP BY doc_id, j
+),
+band AS (
+  SELECT doc_id, CAST(j // 4 AS INTEGER) AS b,
+         list(h ORDER BY j) AS slice
+  FROM mh GROUP BY doc_id, CAST(j // 4 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM band a JOIN band c ON a.b = c.b AND a.slice = c.slice AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b FROM cand
+""",
+        # full simhash recomputation in SQL: per-occurrence 60-bit md5 token
+        # hashes (bits 60–63 of the 64-bit kernel are vote-negative zeros),
+        # per-bit majority votes, then exhaustive hamming ≤ 8 pairs —
+        # matches the banded Spark query because banding recall is exact
+        "simhash_pairs": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents WHERE doc_id < 300
+),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok),
+bits AS (
+  SELECT doc_id, k, SUM(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, range(60) r(k) GROUP BY doc_id, k
+),
+sim AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS sh
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 8
+""",
     }
 
 

@@ -140,13 +140,19 @@ def minhash_signatures(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn=None,
 ) -> DataFrame:
     """(id, sig: array<long>) — sig[j] = min over shingles of
-    xxhash64(shingle, seed=j).  Entirely JVM-side expressions."""
+    hash_fn(shingle, seed=j) (default xxhash64).  Entirely JVM-side
+    expressions.  hash_fn: (Column, int) -> int64 Column; a cross-engine
+    hash (e.g. md5-derived) makes the whole LSH pipeline reproducible in
+    ANSI SQL for oracle checking."""
+    if hash_fn is None:
+        hash_fn = lambda s, j: F.xxhash64(s, F.lit(j))  # noqa: E731
     sh = F.col("_sh")
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
+            F.array_min(F.transform(sh, lambda s, j=j: hash_fn(s, j)))
             for j in range(num_hashes)
         ]
     )
@@ -162,6 +168,7 @@ def minhash_lsh_candidates(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn=None,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into `bands` bands of
     num_hashes/bands rows; docs colliding in ANY band are candidates.
@@ -169,7 +176,7 @@ def minhash_lsh_candidates(
     the shuffle key; at 100 TB this is the only join, and its key space is
     wide (bands × 2^64)."""
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, k, id_col, text_col)
+    sigs = minhash_signatures(docs, num_hashes, k, id_col, text_col, hash_fn)
     banded = sigs.select(
         "id",
         F.explode(
@@ -328,13 +335,22 @@ def decontaminate(
 SIMHASH_CHUNK_TOKENS = 1 << 20
 
 
-def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
+) -> DataFrame:
     """64-bit SimHash per doc via an Arrow-vectorized kernel (bit unpacking
     is genuinely awkward in SQL expressions).  Deterministic: token hash =
-    xxhash64 computed JVM-side first; the kernel only does popcount math."""
+    xxhash64 (or a caller-supplied Column fn — a cross-engine md5-derived
+    hash makes the result reproducible in ANSI SQL) computed JVM-side
+    first; the kernel only does popcount math."""
+    if token_hash is None:
+        token_hash = F.xxhash64
     tok_hashes = docs.select(
         F.col(id_col).alias("id"),
-        F.transform(_tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
+        F.transform(_tokens(text_col), lambda t: token_hash(t)).alias("th"),
     )
 
     # capture module constant at plan time so the kernel closure is
@@ -410,12 +426,15 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by banding
     the 64-bit hash into max_hamming+1 contiguous chunks (pigeonhole: ≤h
     differing bits ⇒ ≥1 identical chunk of h+1) and verifying with
-    bit_count.  Default max_hamming=3 keeps the canonical 4×16-bit layout."""
-    sh = simhash_64(docs, id_col, text_col).persist()
+    bit_count.  Default max_hamming=3 keeps the canonical 4×16-bit layout.
+    Recall is exact, so the output is precisely the set of pairs with
+    hamming(simhash) ≤ max_hamming — a pure function of the token hashes."""
+    sh = simhash_64(docs, id_col, text_col, token_hash).persist()
     chunks = sh.select(
         "id",
         "simhash",
