@@ -27,35 +27,91 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_block: int = 131072,
     dtype=np.float32,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for every query vector (default: self top-k,
-    excluding identity).  Queries stream to the driver in `query_block`-row
-    blocks via toLocalIterator — driver peak memory is one block, never the
-    whole query table — and each block is broadcast as a dense matrix; each
-    corpus partition computes a local GEMM + argpartition.  The distributed
-    baseline every ANN variant is validated against.
+    excluding identity).  Each query block is broadcast as a dense matrix;
+    each corpus partition computes a local GEMM + argpartition.  The
+    distributed baseline every ANN variant is validated against.
+
+    Block handling keeps BOTH the driver and the plan bounded:
+      * ≤ query_block queries — ONE parallel collect (no toLocalIterator
+        partition-by-partition drain), one mapInPandas pass, one window.
+      * more — queries stream to the driver block-wise via toLocalIterator
+        (driver peak = one block) and each block's per-partition partials
+        are WRITTEN to `scratch_dir` (append) instead of stacked into an
+        N-leg union: the final plan is one flat scan + one window no
+        matter how many blocks ran.  scratch_dir defaults to a local temp
+        dir (fine on local[*]); pass a shared-filesystem path on a real
+        cluster.
 
     dtype=np.float64 gives oracle-grade numerics (DuckDB parity); float32
     is the throughput default.
 
     Output: (query_id, neighbor_id, cosine), k rows per query."""
+    self_query = queries is None
     queries = queries if queries is not None else embeddings
-    sc = embeddings.sparkSession.sparkContext
+    spark = embeddings.sparkSession
+    sc = spark.sparkContext
     kk = k
-    partials = []
-    rows_it = queries.select(id_col, vec_col).toLocalIterator(prefetchPartitions=True)
-    while True:
-        import itertools
+    idc, vcc = id_col, vec_col
+    dt = dtype
 
-        rows = list(itertools.islice(rows_it, query_block))
-        if not rows:
-            break
+    if self_query and embeddings.rdd.getNumPartitions() == 1:
+        # self top-k over a single-partition corpus: every row is local to
+        # the one task, so ONE mapInPandas job computes the exact answer —
+        # no query collect, no broadcast, no merge shuffle
+        qb = query_block
+
+        def self_kernel(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            ids = pdf[idc].to_numpy()
+            m = np.stack(pdf[vcc].to_numpy()).astype(dt)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            # query-chunked GEMM: sims memory stays n_local × qb, not n²
+            for s in range(0, len(ids), qb):
+                qs = slice(s, s + qb)
+                sims = m @ m[qs].T
+                sims[ids[:, None] == ids[qs][None, :]] = -np.inf
+                kloc = min(kk, sims.shape[0])
+                part = np.argpartition(-sims, kloc - 1, axis=0)[:kloc]
+                qi = np.repeat(np.arange(sims.shape[1]), kloc)
+                li = part.T.ravel()
+                out = pd.DataFrame(
+                    {
+                        "query_id": ids[qs][qi],
+                        "neighbor_id": ids[li],
+                        "cosine": sims[li, qi].astype(np.float64),
+                    }
+                )
+                out = out[np.isfinite(out["cosine"].to_numpy())]
+                out["cosine"] = out["cosine"].round(6)
+                yield out.sort_values(
+                    ["query_id", "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
+                    kind="stable",
+                ).groupby("query_id", sort=False).head(kloc)
+
+        return embeddings.select(id_col, vec_col).mapInPandas(
+            self_kernel, "query_id long, neighbor_id long, cosine double"
+        )
+
+    def _pack(rows):
         q_ids = np.array([r[0] for r in rows], dtype=np.int64)
         qm = np.stack([np.asarray(r[1], dtype=dtype) for r in rows])
         qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+        return q_ids, qm
+
+    def _block_partials(q_ids, qm, exact=False):
+        # exact=True (single corpus partition): the local top-k IS the
+        # global answer, so the kernel emits it sorted/rounded and the
+        # caller can skip the merge window — one job, zero shuffles
         bc = sc.broadcast((q_ids, qm))
 
-        def kernel(batches, bc=bc):
+        def kernel(batches, bc=bc, exact=exact):
             ids_q, mat_q = bc.value
             for pdf in batches:
                 if not len(pdf):
@@ -70,40 +126,71 @@ def brute_force_topk(
                 part = np.argpartition(-sims, kloc - 1, axis=0)[:kloc]
                 qi = np.repeat(np.arange(sims.shape[1]), kloc)
                 li = part.T.ravel()
-                yield pd.DataFrame(
+                out = pd.DataFrame(
                     {
                         "query_id": ids_q[qi],
                         "neighbor_id": ids[li],
                         "cosine": sims[li, qi].astype(np.float64),
                     }
                 )
+                if exact:
+                    out = out[np.isfinite(out["cosine"].to_numpy())]
+                    out["cosine"] = out["cosine"].round(6)
+                    out = out.sort_values(
+                        ["query_id", "cosine", "neighbor_id"],
+                        ascending=[True, False, True],
+                        kind="stable",
+                    ).groupby("query_id", sort=False).head(kk)
+                yield out
 
-        partials.append(
-            embeddings.mapInPandas(
-                kernel, "query_id long, neighbor_id long, cosine double"
+        return embeddings.mapInPandas(
+            kernel, "query_id long, neighbor_id long, cosine double"
+        )
+
+    def _topk(partial):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            partial.where(F.col("cosine") > float("-inf"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select(
+                "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
             )
         )
-    # global top-k per query over the per-partition, per-block partials
-    # (a query lives in exactly one block, so blocks never mix per query)
-    from functools import reduce
 
-    from pyspark.sql import Window
+    empty = spark.createDataFrame([], "query_id long, neighbor_id long, cosine double")
+    # probe with limit(query_block+1): cheaper than a full count and enough
+    # to pick the path (a count would scan everything just to learn "big")
+    probe = queries.select(id_col, vec_col).limit(query_block + 1).collect()
+    if not probe:
+        return empty
+    if len(probe) <= query_block:
+        if embeddings.rdd.getNumPartitions() == 1:
+            return _block_partials(*_pack(probe), exact=True)
+        return _topk(_block_partials(*_pack(probe)))
 
-    if not partials:
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double"
-        )
-    partial = reduce(lambda a, b: a.unionByName(b), partials)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+    # block-streaming path; per-block partial writes keep the plan flat
+    import itertools
+    import tempfile
+
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="bftopk_partials_")
+    rows_it = queries.select(id_col, vec_col).toLocalIterator(
+        prefetchPartitions=True
     )
-    out = (
-        partial.where(F.col("cosine") > float("-inf"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-    )
-    return out
+    wrote = False
+    while True:
+        rows = list(itertools.islice(rows_it, query_block))
+        if not rows:
+            break
+        _block_partials(*_pack(rows)).write.mode("append").parquet(scratch)
+        wrote = True
+    if not wrote:
+        return empty
+    return _topk(spark.read.parquet(scratch))
 
 
 def hyperplane_signature(

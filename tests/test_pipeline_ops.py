@@ -468,3 +468,21 @@ def test_band_exprs_pigeonhole_holds_past_hamming_3(spark):
 
     assert n_matching_bands(4) == 0   # the old layout's blind spot
     assert n_matching_bands(6) >= 1   # hamming 5 <= nbands-1 -> guaranteed
+
+
+def test_brute_force_topk_single_partition_fast_path(spark):
+    """The one-partition self top-k shortcut (single job, no merge window)
+    must agree exactly with the general multi-partition path, including
+    when the in-task GEMM is query-chunked."""
+    df, _ = _embeddings_df(spark, n=30)
+    one = df.coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    many = df.repartition(4)
+    a = brute_force_topk(one, k=3, dtype=np.float64).toPandas()
+    b = brute_force_topk(many, k=3, dtype=np.float64).toPandas()
+    c = brute_force_topk(one, k=3, dtype=np.float64, query_block=7).toPandas()
+    key = ["query_id", "cosine", "neighbor_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    c = c.sort_values(key).reset_index(drop=True)
+    assert a.equals(b) and a.equals(c) and len(a) == 90
