@@ -85,6 +85,9 @@ def _scratch_dir() -> str:
 
 
 def _indegrees(graph) -> np.ndarray:
+    """Dense |V| in-degree histogram on the driver.  NOT on the perf path —
+    bsp_pack derives bounds/hubs distributedly; this remains as the exact
+    cross-check used by the pack parity tests."""
     pdf = (
         graph.edges.groupBy(F.col("dst").alias("v"))
         .agg(F.count(F.lit(1)).alias("indeg"))
@@ -113,31 +116,47 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
     that receive no edges get an empty stub row) — the barrier loop waits
     on every stripe's flag, so a missing stripe would deadlock it.
 
-    Scale note: the in-degree histogram is collected to the driver here —
-    the same |V|-fits-one-node assumption the whole BSP mode makes (the
-    reference assumes one GPU, pagerankCuda.hxx:798).  Past that, bounds
-    come from `approx_percentile` over dst (weighted by indegree) and hub
-    detection from a `HAVING count > cut` filter — both fully distributed,
-    same stripe semantics; the loop itself then needs the TCP exchange
-    (pagerank_tcp) or the joinagg family."""
+    Scale note: bounds and hubs are derived DISTRIBUTEDLY — hub detection
+    is a `HAVING count > cut` aggregate that ships only the (tiny, ≤
+    ~p/hub_factor) hub list to the driver, and stripe bounds are
+    approxQuantile percentiles of non-hub edge dst values (≡ balancing
+    cumulative non-hub in-degree).  Nothing O(|V|) touches the driver in
+    the pack; the loop's own |V|-fits-one-node assumption (the reference
+    assumes one GPU, pagerankCuda.hxx:798) is now the only one left."""
     spark = graph.edges.sparkSession
     if p is None:
         p = spark.sparkContext.defaultParallelism
     weighted = "w" in graph.edges.columns
-    indeg = _indegrees(graph)
-    total = int(indeg.sum())
+    e = graph.edges
+    total = e.count()
     hub_cut = max(hub_factor * total / max(p, 1), 64)
-    hubs = np.flatnonzero(indeg > hub_cut).astype(np.int64)
-    # balance boundaries over NON-hub in-edges (hub edges are salted away)
-    bal = indeg.copy()
-    if hubs.size:
-        bal[hubs] = 0
-    cum = np.cumsum(bal)
-    tot_bal = cum[-1] if len(cum) else 0
-    targets = np.arange(1, p) * (tot_bal / max(p, 1))
-    cuts = np.searchsorted(cum, targets)
+    hub_pdf = (
+        e.groupBy(F.col("dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("indeg"))
+        .where(F.col("indeg") > hub_cut)
+        .select("v")
+        .toPandas()
+    )
+    hubs = np.sort(hub_pdf["v"].to_numpy().astype(np.int64))
+    # balance boundaries over NON-hub in-edges (hub edges are salted away):
+    # the i/p percentile of non-hub edges' dst IS the cumulative-indegree
+    # cut the old driver-side histogram computed
+    if hubs.size == 0:
+        nonhub = e
+    elif hubs.size <= 4096:
+        nonhub = e.where(~F.col("dst").isin([int(h) for h in hubs]))
+    else:
+        hub_df = spark.createDataFrame(pd.DataFrame({"dst": hubs}))
+        nonhub = e.join(F.broadcast(hub_df), "dst", "left_anti")
+    cuts: list[float] = []
+    if total and p > 1:
+        cuts = nonhub.select("dst").approxQuantile(
+            "dst", [i / p for i in range(1, p)], 0.001
+        )
     bounds = np.unique(
-        np.concatenate([[0], cuts, [graph.n]]).astype(np.int64)
+        np.concatenate(
+            [[0], np.asarray(cuts, dtype=np.float64).astype(np.int64), [graph.n]]
+        ).astype(np.int64)
     )
     n_stripes = len(bounds) - 1
     sc = spark.sparkContext

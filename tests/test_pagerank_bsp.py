@@ -95,3 +95,51 @@ def test_bsp_salted_hubs_parity(spark):
     assert np.allclose(bsp.ranks, csr.ranks, atol=1e-9)
     g.unpersist()
     g2.unpersist()
+
+
+def test_bsp_pack_distributed_derivation_parity(spark):
+    """bsp_pack must derive hubs/bounds without any O(|V|) driver collect:
+    hub set identical to the exact driver-side histogram, bounds a strict
+    partition of [0, n), one packed row per stripe, and ranks at 1e-10 vs
+    the csr twin on a hub-heavy graph."""
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
+        _indegrees,
+        bsp_pack,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 2000
+    # two strong hubs + uniform background
+    src = np.concatenate(
+        [rng.integers(2, n, 900), rng.integers(2, n, 700), rng.integers(0, n, 3000)]
+    )
+    dst = np.concatenate(
+        [np.zeros(900, np.int64), np.ones(700, np.int64), rng.integers(0, n, 3000)]
+    )
+    g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
+    try:
+        p = 8
+        hub_factor = 0.05  # low cut so the fixture's 900/700-indegree stars salt
+        packed, bounds, n_stripes, hubs = bsp_pack(g, p=p, hub_factor=hub_factor)
+        # exact cross-check of the distributed HAVING-filter hub detection
+        indeg = _indegrees(g)
+        total = int(indeg.sum())
+        cut = max(hub_factor * total / p, 64)
+        assert list(hubs) == list(np.flatnonzero(indeg > cut))
+        assert {0, 1} <= set(hubs.tolist())
+        # bounds: strict partition of the vertex space
+        assert bounds[0] == 0 and bounds[-1] == n
+        assert (np.diff(bounds) > 0).all()
+        assert n_stripes == len(bounds) - 1
+        assert packed.count() == n_stripes
+        # approxQuantile balance: non-hub in-edges per stripe near-uniform
+        bal = indeg.copy()
+        bal[hubs] = 0
+        per_stripe = np.add.reduceat(bal, bounds[:-1])
+        assert per_stripe.max() <= 3.0 * max(per_stripe.mean(), 1.0)
+        packed.unpersist()
+        a = pagerank_static_bsp(g)
+        b = pagerank_static(g, PagerankOptions(mode="csr"))
+        assert np.allclose(a.ranks, b.ranks, atol=1e-10)
+    finally:
+        g.unpersist()
