@@ -37,9 +37,7 @@ from pagerank_cuda_dynamic_spark.operators.pagerank import (
 )
 from pagerank_cuda_dynamic_spark.operators.components import (
     connected_components_joinagg,
-    connected_components_np,
     label_propagation_joinagg,
-    label_propagation_np,
     triangle_count as _tri,
 )
 from pagerank_cuda_dynamic_spark.operators.dedup import (

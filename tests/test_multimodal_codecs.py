@@ -118,3 +118,106 @@ def test_perceptual_hash_near_duplicates(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# set_decoder end-to-end with a real external codec (minimal pure-python PNG)
+# ---------------------------------------------------------------------------
+
+def _png_encode(img):
+    """Minimal PNG writer: 8-bit RGB, non-interlaced, filter 0 rows."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    h, w = img.shape[:2]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(content, kind, mime):
+    """Minimal PNG reader (the 'external codec' a user would plug in via
+    set_decoder): 8-bit RGB, non-interlaced, filter-0 rows only — raises
+    on anything else so the stub fallback stays honest."""
+    import struct
+    import zlib
+
+    assert content[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, ihdr, idat = 8, None, b""
+    while pos < len(content):
+        (ln,) = struct.unpack(">I", content[pos : pos + 4])
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        pos += 12 + ln
+    w, h, depth, ctype, _, _, interlace = ihdr
+    assert depth == 8 and ctype == 2 and interlace == 0, "unsupported PNG"
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = []
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        assert line[0] == 0, "only filter 0 supported"
+        rows.append(np.frombuffer(line[1:], dtype=np.uint8).reshape(w, 3))
+    return np.stack(rows)
+
+
+def test_set_decoder_real_png_codec_end_to_end(spark):
+    """A real (pure-python) PNG codec installed via set_decoder must flow
+    decoded=true through extract_features AND produce the same perceptual
+    hash as the identical pixels encoded as BMP — codec independence."""
+    from pagerank_cuda_dynamic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        extract_features,
+        perceptual_hash_64,
+        set_decoder,
+        synthesize_media,
+    )
+
+    rng = np.random.default_rng(17)
+    imgs = [
+        (rng.integers(0, 256, (48, 64, 3))).astype(np.uint8) for _ in range(4)
+    ]
+    # roundtrip sanity of the test codec itself
+    assert np.array_equal(_png_decode(_png_encode(imgs[0]), "image", None), imgs[0])
+
+    rows = []
+    for i, img in enumerate(imgs):
+        rows.append((2 * i, "image", bytearray(_png_encode(img)), "image/png", 64, 48, None))
+        rows.append((2 * i + 1, "image", bytearray(encode_bmp(img)), "image/bmp", 64, 48, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    set_decoder(_png_decode)
+    try:
+        feats = extract_features(media).toPandas()
+        assert bool(feats["decoded"].all())  # PNGs decoded by the plugin
+        ph = perceptual_hash_64(media).toPandas().set_index("media_id")
+        assert bool(ph["decoded"].all())
+        for i in range(4):  # same pixels -> same aHash regardless of codec
+            assert ph.loc[2 * i, "phash"] == ph.loc[2 * i + 1, "phash"]
+    finally:
+        set_decoder(None)
+
+    # with the codec removed, PNG payloads fall back to the flagged stub
+    stub = perceptual_hash_64(media).toPandas()
+    png_rows = stub[stub["media_id"] % 2 == 0]
+    assert not bool(png_rows["decoded"].any())
