@@ -376,9 +376,19 @@ def section_tcp(results: dict) -> None:
         g.unpersist()
     finally:
         spark.stop()
+    # two-JVM graph size/master are overridable so the full bench graph can
+    # run cross-JVM (SPARK_GRAFT_TCP_2PROC_CONVS=BENCH_CONVS): at 200k
+    # convs the ring then carries the full 53 MB |V|·8B rank vector per
+    # iteration between separate executor JVMs
+    tcp2_convs = int(
+        os.environ.get("SPARK_GRAFT_TCP_2PROC_CONVS", str(max(BENCH_CONVS // 16, 1000)))
+    )
+    tcp2_master = os.environ.get(
+        "SPARK_GRAFT_TCP_2PROC_MASTER", "local-cluster[2,8,4096]"
+    )
     try:
         spark2 = (
-            SparkSession.builder.master("local-cluster[2,8,4096]")
+            SparkSession.builder.master(tcp2_master)
             .appName("bench-tcp-2proc")
             .config("spark.sql.shuffle.partitions", "16")
             .config("spark.executorEnv.PYTHONPATH", str(Path(__file__).resolve().parent))
@@ -387,14 +397,14 @@ def section_tcp(results: dict) -> None:
         )
         spark2.sparkContext.setLogLevel("ERROR")
         e, n = dense_transcript_graph(
-            spark2, max(BENCH_CONVS // 16, 1000), adjacency_hops=HOPS, seed=SEED
+            spark2, tcp2_convs, adjacency_hops=HOPS, seed=SEED
         )
         g2 = GraphSnapshot.build(e, n=n)
         m2 = g2.edges.count()
         res2 = pagerank_static_tcp(g2)
         med2 = _median_steady(res2.superstep_seconds)
         results["tcp"]["two_process"] = {
-            "master": "local-cluster[2,8,4096]",
+            "master": tcp2_master,
             "edges": m2,
             "iterations": res2.iterations,
             "median_superstep_sec": round(med2, 4),
