@@ -608,6 +608,23 @@ def q_pagerank_weighted(spark, sf_dir):
     return _ranks_as_entities(spark, None, d, res.ranks)
 
 
+def q_pagerank_weighted_tcp(spark, sf_dir):
+    """Same 10-iteration weighted PR through the TCP ring exchange (no
+    shared filesystem; w_bin blobs + locally-computed dangling share) —
+    the cross-node twin shares the weighted SQL oracle value-for-value."""
+    from pagerank_cuda_dynamic_spark.operators.pagerank_tcp import pagerank_weighted_tcp
+
+    e = _weighted_edges(spark, sf_dir)
+    d = build_vertex_dictionary(e, src="src", dst="dst").persist()
+    n = d.count()
+    enc = encode_edges(e, d, src="src", dst="dst", keep=("w",))
+    res = pagerank_weighted_tcp(
+        enc, n,
+        PagerankOptions(dangling="redistribute", tolerance=0.0, max_iterations=10),
+    )
+    return _ranks_as_entities(spark, None, d, res.ranks)
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5, float64 GEMM (block-broadcast queries) —
     value-checked against a DuckDB list_cosine_similarity window oracle."""
@@ -696,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": q_split_corpus,
         "ngram_jaccard": q_ngram_jaccard,
         "pagerank_weighted": q_pagerank_weighted,
+        "pagerank_weighted_tcp": q_pagerank_weighted_tcp,
         "dedup_clusters": q_dedup_clusters,
         "corpus_filter": q_corpus_filter,
         "minhash_candidates": q_minhash_candidates,
@@ -1094,6 +1112,7 @@ SELECT count(*) AS n_edges_after FROM after
         # both sides round identically (boundary-collision odds ~1e-3)
         "pagerank_converged": _pr_sql(80),
         "pagerank_weighted": _wpr_sql(10),
+        "pagerank_weighted_tcp": _wpr_sql(10),
         "triangles": f"""
 WITH e0 AS MATERIALIZED ({ENTITY_EDGES_SQL}),
 und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),

@@ -73,15 +73,28 @@ def _tcp_loop(
     expand: bool = False,
     prune: bool = False,
     movers0: np.ndarray | None = None,
+    weighted: bool = False,
 ) -> PagerankResult:
-    """Generalized TCP-ring convergence loop (static/ND/DT/DF/DF-P)."""
-    assert opts.dangling == "selfloop", "TCP mode assumes self-looped graphs"
-    # the ring path does not read bsp_pack's w_bin/hub_w_bin blobs yet; a
-    # weighted graph would silently compute UNWEIGHTED ranks (the BSP twin
-    # gates this with an explicit weighted flag) — refuse loudly instead
-    assert "w" not in graph.edges.columns, (
-        "TCP ring path is unweighted; use the BSP/joinagg weighted paths"
-    )
+    """Generalized TCP-ring convergence loop (static/ND/DT/DF/DF-P, ±w).
+
+    Weighted mode mirrors pagerank_weighted_bsp: contributions are
+    w_uv·r[u]/wdeg(u) from bsp_pack's w_bin/hub_w_bin blobs, no self-loop
+    injection, dangling mass redistributed per superstep.  The dangling
+    share needs NO extra ring traffic: after the allgather every task
+    holds the full rank vector, so each computes the identical global
+    dangling sum locally from the broadcast dangling-id list."""
+    dynamic = vaff0 is not None
+    if weighted:
+        assert opts.dangling == "redistribute", "weighted TCP redistributes dangling mass"
+        assert not dynamic, "TCP dynamic modes are unweighted (reference regime)"
+    else:
+        assert opts.dangling == "selfloop", "TCP mode assumes self-looped graphs"
+        # without the flag the loop would ignore the w_bin blobs and
+        # silently compute UNWEIGHTED ranks — refuse loudly instead
+        assert "w" not in graph.edges.columns, (
+            "TCP ring path got a weighted graph without weighted=True; "
+            "unweighted entry points reject 'w' — use pagerank_weighted_tcp"
+        )
     t_all = time.time()
     spark = graph.edges.sparkSession
     sc = spark.sparkContext
@@ -92,7 +105,6 @@ def _tcp_loop(
     D_TOL = opts.frontier_tolerance
     C_TOL = opts.prune_tolerance
     C0 = (1.0 - P_DAMP) / N
-    dynamic = vaff0 is not None
     do_expand = expand
     do_prune = prune
     do_corr = corrected
@@ -104,6 +116,9 @@ def _tcp_loop(
     # dangling-only guard; np.maximum would clamp weighted degrees in (0,1)
     safe_deg = np.where(_deg > 0, _deg, 1.0)
     r0 = np.full(N, 1.0 / N) if q is None else np.asarray(q, dtype=np.float64)
+    WEIGHTED = weighted
+    REDIST = weighted  # redistribute iff weighted (BSP weighted contract)
+    bc_dang = sc.broadcast(np.flatnonzero(_deg == 0)) if REDIST else None
     bc_deg = sc.broadcast(safe_deg)
     bc_r0 = sc.broadcast(r0)
     bc_hubs = sc.broadcast(hubs)
@@ -211,6 +226,8 @@ def _tcp_loop(
             if do_prune and NH and hubcol.size:
                 hsrcs_exp = _np.repeat(husrc, (huoff[1:] - huoff[:-1]))
                 hself_srcord = hsrcs_exp == hub_ids[hubcol]
+            w_reg = _np.frombuffer(row["w_bin"], dtype=_np.float64) if WEIGHTED else None
+            w_hub = _np.frombuffer(row["hub_w_bin"], dtype=_np.float64) if WEIGHTED else None
             own_cols = (
                 _np.flatnonzero((hub_ids >= lo) & (hub_ids < hi))
                 if NH
@@ -228,6 +245,7 @@ def _tcp_loop(
                     "hridx": hridx, "hempty": hempty,
                     "husrc": husrc, "huoff": huoff, "hubcol": hubcol,
                     "hself_srcord": hself_srcord,
+                    "w_reg": w_reg, "w_hub": w_hub,
                     "own_cols": own_cols, "own_offs": own_offs,
                 }
             )
@@ -294,6 +312,7 @@ def _tcp_loop(
                 out_cv.notify()
 
         deg = _np.asarray(bc_deg.value)
+        dang_idx = _np.asarray(bc_dang.value) if REDIST else None
         r = _np.array(bc_r0.value)
         rdiv = r / deg
         if dynamic:
@@ -338,7 +357,10 @@ def _tcp_loop(
                     if not hsrc.size:
                         continue
                     if needed is None or int(hcounts[needed].sum()) >= 0.6 * hsrc.size:
-                        part = _np.add.reduceat(rdiv[hsrc], st["hridx"])
+                        wsrc = rdiv[hsrc]
+                        if WEIGHTED:
+                            wsrc = wsrc * st["w_hub"]
+                        part = _np.add.reduceat(wsrc, st["hridx"])
                         part[st["hempty"]] = 0.0
                         local_part += part
                     elif needed.size:
@@ -361,6 +383,11 @@ def _tcp_loop(
                     hub_tot += _np.frombuffer(cur_h)
             # ---- phase B: rank update per owned stripe ----
             el_local = 0.0
+            # dangling share of the CURRENT rank vector — every task holds
+            # the full post-allgather r, so this is bit-identical ring-wide
+            dsh = (
+                P_DAMP * float(r[dang_idx].sum()) / N if REDIST else 0.0
+            )
             if not dynamic:
                 my_slices = []
                 for st in stripes:
@@ -369,13 +396,16 @@ def _tcp_loop(
                     own_cols, own_offs = st["own_cols"], st["own_offs"]
                     width = hi - lo
                     if src.size:
-                        sums = _np.add.reduceat(rdiv[src], ridx)
+                        wsrc = rdiv[src]
+                        if WEIGHTED:
+                            wsrc = wsrc * st["w_reg"]
+                        sums = _np.add.reduceat(wsrc, ridx)
                         sums[empty] = 0.0
                     else:
                         sums = _np.zeros(width)
                     if NH and own_cols.size:
                         sums[own_offs] += hub_tot[own_cols]
-                    a = C0 + P_DAMP * sums
+                    a = C0 + dsh + P_DAMP * sums
                     eu = _np.abs(a - r[lo:hi])
                     if width:
                         el_local = max(el_local, float(eu.max()))
@@ -552,6 +582,8 @@ def _tcp_loop(
     bc_deg.destroy()
     bc_r0.destroy()
     bc_hubs.destroy()
+    if bc_dang is not None:
+        bc_dang.destroy()
     if bc_vaff is not None:
         bc_vaff.destroy()
     if bc_movers is not None:
@@ -628,3 +660,21 @@ def pagerank_dynamic_frontier_prune_tcp(
         expand=True,
         prune=True,
     )
+
+
+def pagerank_weighted_tcp(
+    edges_w, n: int, opts: PagerankOptions | None = None
+) -> PagerankResult:
+    """Weighted pull PageRank over the TCP ring — cross-node twin of
+    pagerank_weighted_bsp (a[v] = C0 + dsh + P·Σ w_uv·r[u]/wdeg(u), dangling
+    mass redistributed each superstep).  Same w_bin/hub_w_bin stripe blobs;
+    the ring still carries exactly |V|·8 bytes per iteration."""
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import WeightedSnapshot
+
+    opts = opts or PagerankOptions(dangling="redistribute")
+    assert opts.dangling == "redistribute", "weighted TCP redistributes dangling mass"
+    g = WeightedSnapshot(edges_w, n)
+    try:
+        return _tcp_loop(g, opts, weighted=True)
+    finally:
+        g.unpersist()

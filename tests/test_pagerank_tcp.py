@@ -209,9 +209,9 @@ def test_tcp_warm_start(spark):
 
 
 def test_tcp_rejects_weighted_graphs(spark):
-    """The ring path never reads bsp_pack's w_bin blobs, so a weighted
-    snapshot must be refused loudly instead of silently computing
-    unweighted ranks (the BSP twin gates this with its weighted flag)."""
+    """The UNWEIGHTED ring entry points must refuse a weighted snapshot
+    loudly (they would ignore the w_bin blobs and silently compute
+    unweighted ranks) — weighted graphs go through pagerank_weighted_tcp."""
     import pandas as pd
 
     from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import WeightedSnapshot
@@ -225,3 +225,77 @@ def test_tcp_rejects_weighted_graphs(spark):
             pagerank_static_tcp(g)
     finally:
         g.unpersist()
+
+
+def test_tcp_weighted_matches_bsp(spark):
+    """Weighted ring PageRank (w_bin blobs + per-superstep dangling
+    redistribution computed locally from the allgathered r) matches the
+    memmap weighted BSP twin to 1e-10.  Fractional weighted out-degrees
+    and dangling vertices are both present (src range excludes [n-40,n))."""
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
+        pagerank_weighted_bsp,
+    )
+    from pagerank_cuda_dynamic_spark.operators.pagerank_tcp import (
+        pagerank_weighted_tcp,
+    )
+
+    rng = np.random.default_rng(67)
+    n, m = 250, 1500
+    pdf = pd.DataFrame(
+        {
+            "src": rng.integers(0, n - 40, m).astype(np.int64),  # 40 dangling
+            "dst": rng.integers(0, n, m).astype(np.int64),
+            "w": rng.uniform(0.01, 0.4, m),  # mostly fractional wdeg
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    opts = PagerankOptions(dangling="redistribute", max_iterations=200)
+    a = pagerank_weighted_tcp(df, n, opts)
+    b = pagerank_weighted_bsp(df, n, opts)
+    assert np.allclose(a.ranks, b.ranks, atol=1e-10)
+    assert a.iterations == b.iterations
+    assert a.state.get("exchange") == "tcp-ring"
+
+
+def test_tcp_weighted_salted_hubs_matches_bsp(spark):
+    """Forced hub salting on a weighted star-heavy graph: the ring's A1
+    partial-allreduce must multiply by the hub weight blob (hub_w_bin)."""
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators import pagerank_tcp as PT
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
+        WeightedSnapshot,
+        _bsp_loop,
+        bsp_pack,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 300
+    src = np.concatenate([rng.integers(2, n, 150), rng.integers(2, n, 120),
+                          rng.integers(0, n - 30, 400)])
+    dst = np.concatenate([np.zeros(150, np.int64), np.ones(120, np.int64),
+                          rng.integers(0, n, 400)])
+    pdf = pd.DataFrame(
+        {"src": src, "dst": dst, "w": rng.uniform(0.05, 3.0, src.size)}
+    )
+    df = spark.createDataFrame(pdf)
+    opts = PagerankOptions(dangling="redistribute", max_iterations=200)
+
+    gb = WeightedSnapshot(df, n)
+    packed = gb.bsp_packed(hub_factor=0.05)  # prime cache with forced salting
+    assert packed[3].size > 0, "fixture must actually salt hubs"
+    b = _bsp_loop(gb, opts, weighted=True)
+    gb.unpersist()
+
+    gt = WeightedSnapshot(df, n)
+    orig = PT.bsp_pack
+    PT.bsp_pack = lambda gr: bsp_pack(gr, hub_factor=0.05)
+    try:
+        a = PT._tcp_loop(gt, opts, weighted=True)
+    finally:
+        PT.bsp_pack = orig
+        gt.unpersist()
+    assert np.allclose(a.ranks, b.ranks, atol=1e-10)
+    assert a.iterations == b.iterations
