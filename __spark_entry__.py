@@ -672,6 +672,73 @@ def q_minhash_verified(spark, sf_dir):
     return minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b", "jaccard")
 
 
+def q_token_vocabulary(spark, sf_dir):
+    """Top-200 tokenizer vocabulary (token, tf, df) with a deterministic
+    (tf desc, token asc) boundary — operators/text.token_vocabulary."""
+    from pagerank_cuda_dynamic_spark.operators.text import token_vocabulary
+
+    return token_vocabulary(_docs(spark, sf_dir), top_n=200)
+
+
+_BOILERPLATE = "\nsubscribe to our newsletter today\ncopyright example corp 2026"
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-corpus line dedup with INJECTED boilerplate: the
+    same two footer lines are appended to every even doc_id; line_dedup
+    must strip every line occurring in >1 document while preserving each
+    doc's surviving line order — operators/dedup.line_dedup."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(_BOILERPLATE))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return line_dedup(injected, max_doc_occurrences=1)
+
+
+def q_session_stats(spark, sf_dir):
+    """30-minute gap sessionization over the events stream + per-session
+    aggregates (operators/temporal.session_stats); the gap compare runs
+    on integer microseconds so the window-SQL oracle matches exactly."""
+    from pagerank_cuda_dynamic_spark.operators.temporal import epoch_us, session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = session_stats(ev, gap_seconds=1800)
+    return s.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        epoch_us(F.col("t_start")).alias("t_start_us"),
+        epoch_us(F.col("t_end")).alias("t_end_us"),
+        F.round("duration_sec", 6).alias("duration_sec"),
+        "n_event_types",
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward ASOF join: each click event picks up the user's most
+    recent purchase value (operators/temporal.asof_join — union-tag, one
+    keyed shuffle) vs DuckDB's NATIVE ASOF JOIN as the oracle."""
+    from pagerank_cuda_dynamic_spark.operators.temporal import asof_join, epoch_us
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(left, right, key_col="user_id", ts_col="ts", value_cols=("value",))
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        F.round("value_asof", 6).alias("value_asof"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -723,6 +790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "connected_components_pj": q_connected_components_pj,
         "minhash_verified": q_minhash_verified,
+        "token_vocabulary": q_token_vocabulary,
+        "line_dedup": q_line_dedup,
+        "session_stats": q_session_stats,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1439,6 +1510,85 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 8
+""",
+        "token_vocabulary": """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 200
+""",
+        "line_dedup": """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || 'subscribe to our newsletter today'
+                        || chr(10) || 'copyright example corp 2026'
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM injected
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN len(trim(lower(line))) >= 5
+              THEN md5(trim(lower(line))) END AS lkey
+  FROM lines
+),
+hot AS (
+  SELECT lkey FROM keyed WHERE lkey IS NOT NULL
+  GROUP BY lkey HAVING count(DISTINCT doc_id) > 1
+),
+kept AS (
+  SELECT k.* FROM keyed k LEFT JOIN hot h ON k.lkey = h.lkey
+  WHERE h.lkey IS NULL
+),
+reass AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN reass r ON d.doc_id = r.doc_id
+""",
+        "session_stats": """
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+s2 AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM s
+),
+s3 AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s2
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
+       round((max(ts_us) - min(ts_us)) / 1000000.0, 6) AS duration_sec,
+       count(DISTINCT event_type) AS n_event_types
+FROM s3 GROUP BY user_id, session_seq
+""",
+        "asof_join": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       round(r.value, 6) AS value_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
     }
 

@@ -452,3 +452,61 @@ def simhash_near_duplicates(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_occurrences: int = 1,
+    min_line_chars: int = 5,
+) -> DataFrame:
+    """CCNet-style cross-corpus line deduplication: drop every line whose
+    normalized key appears in MORE THAN `max_doc_occurrences` distinct
+    documents (nav menus, cookie banners, signatures — the classic web
+    boilerplate), then reassemble each document's surviving lines in
+    their original order.  Returns (id, text) for every input document
+    (text = '' when all its lines were boilerplate).
+
+    Keys are md5 of the trimmed lowercased line — constant 32-byte
+    shuffle keys, never raw lines (a 100 TB corpus shuffles hashes, not
+    strings).  Lines shorter than `min_line_chars` after trimming are
+    passed through unkeyed: blanks and bullets carry no boilerplate
+    signal and would otherwise all collide on a handful of keys (skew).
+
+    Plan: posexplode → distinct-doc count per key (two-phase agg) →
+    hot-key anti-join → ordered reassembly via array_sort over
+    (pos, line) structs.  All JVM expressions, one shuffle per stage."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.trim(F.lower(F.col("line")))
+    keyed = lines.select(
+        id_col,
+        "pos",
+        "line",
+        F.when(F.length(norm) >= min_line_chars, F.md5(norm)).alias("lkey"),
+    )
+    hot = (
+        keyed.where(F.col("lkey").isNotNull())
+        .groupBy("lkey")
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") > max_doc_occurrences)
+        .select("lkey")
+    )
+    kept = keyed.join(hot, "lkey", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

@@ -327,6 +327,31 @@ def repetition_filter(
     return docs.join(keep, id_col, "left_semi")
 
 
+def token_vocabulary(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Tokenizer-vocabulary counting: (token, tf, df) over the corpus —
+    tf = total occurrences, df = documents containing the token — with a
+    DETERMINISTIC top-N cut ordered by (tf desc, token asc) so boundary
+    ties never flap between runs.  This is the frequency table a BPE/
+    unigram tokenizer trainer consumes.
+
+    Plan: explode(lowercased alnum tokens) → one token-keyed aggregate
+    (tf partial-aggregates map-side; df is the standard two-phase
+    count-distinct expansion) → global top-N.  All JVM expressions."""
+    from pagerank_cuda_dynamic_spark.functions import tokens
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    return agg.orderBy(F.desc("tf"), F.asc("token")).limit(top_n)
+
+
 __all__ = [
     "STOPWORDS",
     "BPE_ISH_RE",
@@ -334,6 +359,7 @@ __all__ = [
     "PII_PATTERNS",
     "language_id",
     "token_stats",
+    "token_vocabulary",
     "quality_expr",
     "quality_score",
     "fingerprints",

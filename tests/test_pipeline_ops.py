@@ -486,3 +486,150 @@ def test_brute_force_topk_single_partition_fast_path(spark):
     b = b.sort_values(key).reset_index(drop=True)
     c = c.sort_values(key).reset_index(drop=True)
     assert a.equals(b) and a.equals(c) and len(a) == 90
+
+
+# ---------------------------------------------------------------------------
+# temporal: sessionize / session_stats / asof_join
+# ---------------------------------------------------------------------------
+
+
+def _events_df(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions split by a 3600s gap (gap=1800)
+        (1, 1, base, "view", 1.0),
+        (2, 1, base + dt.timedelta(seconds=100), "click", 2.0),
+        (3, 1, base + dt.timedelta(seconds=100 + 3601), "click", 3.0),
+        # user 2: single session, boundary-exact gap (1800s is NOT > gap)
+        (4, 2, base, "view", 1.0),
+        (5, 2, base + dt.timedelta(seconds=1800), "purchase", 9.5),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type", "value"])
+    )
+
+
+def test_sessionize_gap_boundaries(spark):
+    from pagerank_cuda_dynamic_spark.operators.temporal import sessionize
+
+    s = sessionize(_events_df(spark), gap_seconds=1800).toPandas()
+    seq = dict(zip(s.event_id, s.session_seq))
+    assert seq[1] == 1 and seq[2] == 1 and seq[3] == 2  # 3601s > gap splits
+    assert seq[4] == 1 and seq[5] == 1  # exactly-gap does NOT split
+
+
+def test_session_stats_aggregates(spark):
+    from pagerank_cuda_dynamic_spark.operators.temporal import session_stats
+
+    st = session_stats(_events_df(spark), gap_seconds=1800).toPandas()
+    st = st.set_index(["user_id", "session_seq"])
+    assert st.loc[(1, 1), "n_events"] == 2
+    assert st.loc[(1, 1), "duration_sec"] == 100.0
+    assert st.loc[(1, 2), "n_events"] == 1
+    assert st.loc[(2, 1), "duration_sec"] == 1800.0
+    assert st.loc[(2, 1), "n_event_types"] == 2
+
+
+def test_asof_join_backward_semantics(spark):
+    """Equal-ts right rows match (<=); rows before any right row get null;
+    the LATEST right row at or before each left ts wins."""
+    import datetime as dt
+
+    from pagerank_cuda_dynamic_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [1, 1, 1, 2],
+                "ts": [
+                    base,                                 # before any right -> null
+                    base + dt.timedelta(seconds=50),      # == right ts -> 10.0
+                    base + dt.timedelta(seconds=500),     # after both -> 20.0
+                    base + dt.timedelta(seconds=500),     # other key -> null
+                ],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "ts": [base + dt.timedelta(seconds=50), base + dt.timedelta(seconds=100)],
+                "value": [10.0, 20.0],
+            }
+        )
+    )
+    out = asof_join(left, right).toPandas().set_index("event_id")
+    assert pd.isna(out.loc[1, "value_asof"])
+    assert out.loc[2, "value_asof"] == 10.0
+    assert out.loc[3, "value_asof"] == 20.0
+    assert pd.isna(out.loc[4, "value_asof"])
+    assert len(out) == 4  # left rows preserved exactly
+
+
+# ---------------------------------------------------------------------------
+# line_dedup / token_vocabulary
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_strips_cross_corpus_boilerplate(spark):
+    from pagerank_cuda_dynamic_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "unique first line\nshared footer line\nunique last line",
+                    "another doc body\nshared footer line",
+                    "shared footer line\nSHARED FOOTER LINE",  # only boilerplate (case-insens)
+                ],
+            }
+        )
+    )
+    out = line_dedup(docs, max_doc_occurrences=1).toPandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "unique first line\nunique last line"  # order kept
+    assert out.loc[2, "text"] == "another doc body"
+    assert out.loc[3, "text"] == ""  # fully-boilerplate doc survives as empty
+    assert len(out) == 3
+
+
+def test_line_dedup_short_lines_pass_through(spark):
+    """Blank/short lines are unkeyed: they never count as boilerplate even
+    when every doc contains them (they'd all collide on a handful of keys)."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["alpha body text\n\n- x", "beta body text\n\n- x"],
+            }
+        )
+    )
+    out = line_dedup(docs, max_doc_occurrences=1).toPandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "alpha body text\n\n- x"
+    assert out.loc[2, "text"] == "beta body text\n\n- x"
+
+
+def test_token_vocabulary_deterministic_boundary(spark):
+    from pagerank_cuda_dynamic_spark.operators.text import token_vocabulary
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["aa bb cc aa", "bb dd cc"],
+            }
+        )
+    )
+    out = token_vocabulary(docs, top_n=3).toPandas()
+    # tf: aa=2 bb=2 cc=2 dd=1; top-3 tie broken by token asc -> aa, bb, cc
+    assert list(out.token) == ["aa", "bb", "cc"]
+    assert list(out.tf) == [2, 2, 2]
+    assert dict(zip(out.token, out.df))["aa"] == 1
+    assert dict(zip(out.token, out.df))["bb"] == 2

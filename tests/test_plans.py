@@ -119,3 +119,51 @@ def test_driver_queries_never_route_to_np_twins():
         elif isinstance(node, ast.Attribute) and node.attr in banned:
             hits.append(node.attr)
     assert not hits, f"driver entry references np twins: {hits}"
+
+
+def test_temporal_ops_single_shuffle_jvm_side(spark):
+    """Sessionization and the union-tag ASOF join must stay JVM-side and
+    shuffle exactly ONCE on the key column — the whole point of the
+    union-tag formulation is avoiding a range join / second exchange."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.temporal import asof_join, sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "user_id": [1, 1],
+                "ts": [base, base + dt.timedelta(seconds=10)],
+                "event_type": ["a", "b"],
+                "value": [1.0, 2.0],
+            }
+        )
+    )
+    p = plan_of(sessionize(ev))
+    assert "BatchEvalPython" not in p
+    # tree lines render as "+- Exchange (n)" — count those, not the
+    # per-node detail headers "(n) Exchange"
+    assert p.count("Exchange (") == 1, "one keyed shuffle"
+
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", "value")
+    p = plan_of(asof_join(left, right))
+    assert "BatchEvalPython" not in p
+    # both union legs hash-partition on the key into ONE window exchange
+    # (no range/cartesian product anywhere)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") >= 1
+
+
+def test_line_dedup_jvm_side_no_raw_line_shuffle(spark, docs):
+    """line_dedup's hot-key aggregate must group on the 32-byte md5 key,
+    never the raw line text, and stay out of Python."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import line_dedup
+
+    p = plan_of(line_dedup(docs.select("doc_id", "text")))
+    assert "BatchEvalPython" not in p
+    assert "md5" in p  # the constant-size key is what shuffles
