@@ -66,7 +66,8 @@ PACK_SCHEMA = (
     "usrc_bin binary, uoff_bin binary, dstloc_bin binary, "
     "hub_src_bin binary, hub_src32 boolean, hub_offsets_bin binary, "
     "husrc_bin binary, huoff_bin binary, hubcol_bin binary, "
-    "w_bin binary, hub_w_bin binary"
+    "w_bin binary, hub_w_bin binary, "
+    "srcb_bin binary, runoff_bin binary, rundst_bin binary, rboff_bin binary"
 )
 
 _PACK_COLS = [
@@ -76,6 +77,7 @@ _PACK_COLS = [
     "hub_src_bin", "hub_src32", "hub_offsets_bin",
     "husrc_bin", "huoff_bin", "hubcol_bin",
     "w_bin", "hub_w_bin",
+    "srcb_bin", "runoff_bin", "rundst_bin", "rboff_bin",
 ]
 
 
@@ -98,7 +100,12 @@ def _indegrees(graph) -> np.ndarray:
     return indeg
 
 
-def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
+def bsp_pack(
+    graph,
+    p: int | None = None,
+    hub_factor: float = 4.0,
+    block_width: int = 1 << 18,
+):
     """Stripe-packed CSR blobs + salted hub blocks, one row per dst stripe,
     repartitioned so each stripe is whole in one task.  Returns
     (packed_df, bounds, n_stripes, hubs).
@@ -115,6 +122,19 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
     Exactly ONE row per stripe id 0..n_stripes-1 is guaranteed (stripes
     that receive no edges get an empty stub row) — the barrier loop waits
     on every stripe's flag, so a missing stripe would deadlock it.
+
+    Cache-blocked gather layout (unweighted): each stripe's regular edges
+    are ALSO packed reordered by (src // block_width, dst) with run
+    boundaries (srcb/runoff/rundst/rboff blobs).  The static loop gathers
+    rdiv through this order, so the random reads walk one
+    block_width·8-byte window of the rank vector at a time instead of the
+    whole |V|·8 bytes — the difference between cache-resident and
+    DRAM-random gathers once |V|·8 outgrows LLC, which is what caps N→4N
+    scaling efficiency on one node (and cross-node, keeps the gather
+    NUMA/bandwidth-friendly).  Per-(block,dst) runs reduce exactly like
+    CSR rows; per-block partials accumulate into the stripe's sums with
+    unique-index adds, so results are 1e-10-identical to the row-order
+    gather (summation regrouping only).
 
     Scale note: bounds and hubs are derived DISTRIBUTEDLY — hub detection
     is a `HAVING count > cut` aggregate that ships only the (tiny, ≤
@@ -215,8 +235,34 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
         dstloc = dstoff[order2].astype(np.int32)
         usrc, ucnt = np.unique(src_by_src, return_counts=True)
         uoff = np.concatenate([[0], np.cumsum(ucnt)]).astype(np.int64)
+        # cache-blocked gather order: (src block, dst), with run boundaries
+        # at every (block, dst) change — see the docstring's layout note.
+        # Weighted graphs keep the row-order path (weights would need the
+        # same reorder; the weighted family is not the scaling hot path).
+        if src.size and not weighted:
+            blk = src // block_width
+            order3 = np.lexsort((dstoff, blk))
+            src_blk = src[order3]
+            dst3 = dstoff[order3].astype(np.int32)
+            blk3 = blk[order3]
+            change = np.empty(src.size, dtype=bool)
+            change[0] = True
+            change[1:] = (dst3[1:] != dst3[:-1]) | (blk3[1:] != blk3[:-1])
+            run_off = np.flatnonzero(change).astype(np.int64)
+            run_dst = dst3[run_off]
+            run_blk = blk3[run_off]
+            bchange = np.empty(run_off.size, dtype=bool)
+            bchange[0] = True
+            bchange[1:] = run_blk[1:] != run_blk[:-1]
+            rb_off = np.append(np.flatnonzero(bchange), run_off.size).astype(np.int64)
+        else:
+            src_blk = np.empty(0, np.int64)
+            run_off = np.empty(0, np.int64)
+            run_dst = np.empty(0, np.int32)
+            rb_off = np.empty(0, np.int64)
         if src.size and src.max() < 2**31:
             src = src.astype(np.int32)
+            src_blk = src_blk.astype(np.int32)
         # hub rows → hub-block CSR over the full hub list (col order)
         hsrc = src_all[is_h]
         hcol = hub_col[is_h] if hub_ids.size else np.empty(0, np.int64)
@@ -255,6 +301,10 @@ def bsp_pack(graph, p: int | None = None, hub_factor: float = 4.0):
                 "hubcol_bin": [hubcol.tobytes()],
                 "w_bin": [w_reg.tobytes() if weighted else b""],
                 "hub_w_bin": [w_hub.tobytes() if weighted else b""],
+                "srcb_bin": [src_blk.tobytes()],
+                "runoff_bin": [run_off.tobytes()],
+                "rundst_bin": [run_dst.tobytes()],
+                "rboff_bin": [rb_off.tobytes()],
             }
         )
 
@@ -489,6 +539,14 @@ def _bsp_loop(
                 hself_srcord = hsrcs_exp == _np.asarray(hub_ids)[hubcol]
             w_reg = _np.frombuffer(row["w_bin"], dtype=_np.float64) if WEIGHTED else None
             w_hub = _np.frombuffer(row["hub_w_bin"], dtype=_np.float64) if WEIGHTED else None
+            # cache-blocked gather order (static fast path; empty when
+            # weighted or the stripe has no edges)
+            srcb = _np.frombuffer(
+                row["srcb_bin"], dtype=_np.int32 if row["src32"] else _np.int64
+            )
+            run_off = _np.frombuffer(row["runoff_bin"], dtype=_np.int64)
+            run_dst = _np.frombuffer(row["rundst_bin"], dtype=_np.int32)
+            rb_off = _np.frombuffer(row["rboff_bin"], dtype=_np.int64)
             # hubs homed in this stripe (owner combines partials)
             own_cols = (
                 _np.flatnonzero((_np.asarray(hub_ids) >= lo) & (_np.asarray(hub_ids) < hi))
@@ -508,6 +566,8 @@ def _bsp_loop(
                     "husrc": husrc, "huoff": huoff, "hubcol": hubcol,
                     "hself_srcord": hself_srcord,
                     "w_reg": w_reg, "w_hub": w_hub,
+                    "srcb": srcb, "run_off": run_off,
+                    "run_dst": run_dst, "rb_off": rb_off,
                     "own_cols": own_cols, "own_offs": own_offs,
                 }
             )
@@ -642,7 +702,17 @@ def _bsp_loop(
                 width = hi - lo
                 if not dyn:
                     r_slice = _np.array(ranks[cur][lo:hi])
-                    if src.size:
+                    if st["srcb"].size:
+                        # blocked gather: rdiv reads walk one block_width
+                        # window at a time; per-block partials land on
+                        # unique dst rows, so += is a plain fancy add
+                        partial = _np.add.reduceat(rdiv[st["srcb"]], st["run_off"])
+                        sums = _np.zeros(width)
+                        rb, rd = st["rb_off"], st["run_dst"]
+                        for bi in range(rb.size - 1):
+                            sl = slice(rb[bi], rb[bi + 1])
+                            sums[rd[sl]] += partial[sl]
+                    elif src.size:
                         wsrc = rdiv[src]
                         if WEIGHTED:
                             wsrc = wsrc * st["w_reg"]

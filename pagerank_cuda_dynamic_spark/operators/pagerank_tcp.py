@@ -228,6 +228,14 @@ def _tcp_loop(
                 hself_srcord = hsrcs_exp == hub_ids[hubcol]
             w_reg = _np.frombuffer(row["w_bin"], dtype=_np.float64) if WEIGHTED else None
             w_hub = _np.frombuffer(row["hub_w_bin"], dtype=_np.float64) if WEIGHTED else None
+            # cache-blocked gather order (static fast path; empty when
+            # weighted or the stripe has no edges) — see bsp_pack docstring
+            srcb = _np.frombuffer(
+                row["srcb_bin"], dtype=_np.int32 if row["src32"] else _np.int64
+            )
+            run_off = _np.frombuffer(row["runoff_bin"], dtype=_np.int64)
+            run_dst = _np.frombuffer(row["rundst_bin"], dtype=_np.int32)
+            rb_off = _np.frombuffer(row["rboff_bin"], dtype=_np.int64)
             own_cols = (
                 _np.flatnonzero((hub_ids >= lo) & (hub_ids < hi))
                 if NH
@@ -246,6 +254,8 @@ def _tcp_loop(
                     "husrc": husrc, "huoff": huoff, "hubcol": hubcol,
                     "hself_srcord": hself_srcord,
                     "w_reg": w_reg, "w_hub": w_hub,
+                    "srcb": srcb, "run_off": run_off,
+                    "run_dst": run_dst, "rb_off": rb_off,
                     "own_cols": own_cols, "own_offs": own_offs,
                 }
             )
@@ -395,7 +405,15 @@ def _tcp_loop(
                     src, ridx, empty = st["src"], st["ridx"], st["empty"]
                     own_cols, own_offs = st["own_cols"], st["own_offs"]
                     width = hi - lo
-                    if src.size:
+                    if st["srcb"].size:
+                        # blocked gather (see bsp_pack): windowed rdiv reads
+                        partial = _np.add.reduceat(rdiv[st["srcb"]], st["run_off"])
+                        sums = _np.zeros(width)
+                        rb, rd = st["rb_off"], st["run_dst"]
+                        for bi in range(rb.size - 1):
+                            sl = slice(rb[bi], rb[bi + 1])
+                            sums[rd[sl]] += partial[sl]
+                    elif src.size:
                         wsrc = rdiv[src]
                         if WEIGHTED:
                             wsrc = wsrc * st["w_reg"]

@@ -143,3 +143,61 @@ def test_bsp_pack_distributed_derivation_parity(spark):
         assert np.allclose(a.ranks, b.ranks, atol=1e-10)
     finally:
         g.unpersist()
+
+
+def test_bsp_blocked_gather_parity(spark):
+    """Force the cache-blocked gather layout into MANY small blocks
+    (block_width=64 on a 3000-vertex graph ≈ 47 rdiv windows) on both the
+    memmap BSP and the TCP ring paths: per-(block,dst) run regrouping must
+    reproduce the row-order csr gather to 1e-10 with identical iteration
+    counts, and the pack must actually have produced multi-block stripes."""
+    from pagerank_cuda_dynamic_spark.operators import pagerank_bsp as PB
+    from pagerank_cuda_dynamic_spark.operators import pagerank_tcp as PT
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import bsp_pack
+    from pagerank_cuda_dynamic_spark.operators.pagerank_tcp import pagerank_static_tcp
+
+    rng = np.random.default_rng(23)
+    n, m = 3000, 20000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
+    packed, bounds, n_stripes, hubs = bsp_pack(g, block_width=64)
+    rows = packed.collect()
+    multi = 0
+    for row in rows:
+        rb = np.frombuffer(row["rboff_bin"], dtype=np.int64)
+        if rb.size > 2:  # >1 block in this stripe
+            multi += 1
+        srcb = np.frombuffer(
+            row["srcb_bin"], dtype=np.int32 if row["src32"] else np.int64
+        )
+        sref = np.frombuffer(
+            row["src_bin"], dtype=np.int32 if row["src32"] else np.int64
+        )
+        assert srcb.size == sref.size  # every regular edge is in the layout
+    assert multi > 0, "fixture must produce multi-block stripes"
+
+    class Forced:
+        def __init__(self, gr):
+            self._g = gr
+            self.edges, self.n = gr.edges, gr.n
+
+        def outdeg_array(self):
+            return self._g.outdeg_array()
+
+        def bsp_packed(self):
+            return packed, bounds, n_stripes, hubs
+
+    f = Forced(g)
+    a = pagerank_static_bsp(f, PagerankOptions())
+    orig = PT.bsp_pack
+    PT.bsp_pack = lambda gr: (packed, bounds, n_stripes, hubs)
+    try:
+        t = pagerank_static_tcp(f)
+    finally:
+        PT.bsp_pack = orig
+    b = pagerank_static(g, PagerankOptions(mode="csr"))
+    assert np.allclose(a.ranks, b.ranks, atol=1e-10)
+    assert np.allclose(t.ranks, b.ranks, atol=1e-10)
+    assert a.iterations == b.iterations == t.iterations
+    g.unpersist()
