@@ -104,7 +104,7 @@ def bsp_pack(
     graph,
     p: int | None = None,
     hub_factor: float = 4.0,
-    block_width: int = 1 << 18,
+    block_width: int | None = None,
 ):
     """Stripe-packed CSR blobs + salted hub blocks, one row per dst stripe,
     repartitioned so each stripe is whole in one task.  Returns
@@ -146,6 +146,10 @@ def bsp_pack(
     spark = graph.edges.sparkSession
     if p is None:
         p = spark.sparkContext.defaultParallelism
+    if block_width is None:
+        # 2^18 rank entries = 2 MB rdiv window per block (LLC-slice sized);
+        # env override for layout experiments without code edits
+        block_width = int(os.environ.get("SPARK_GRAFT_BLOCK_WIDTH", str(1 << 18)))
     weighted = "w" in graph.edges.columns
     e = graph.edges
     total = e.count()
