@@ -486,6 +486,27 @@ def section_ops(spark, results: dict) -> None:
         "doc_chunks",
         lambda: chunk_documents(docs).agg(F.sum("n_tokens")).collect(),
     )
+    from pagerank_cuda_dynamic_spark.operators.dedup import line_dedup
+    from pagerank_cuda_dynamic_spark.operators.temporal import asof_join, session_stats
+
+    timed(
+        "line_dedup",
+        lambda: line_dedup(docs.select("doc_id", "text"))
+        .agg(F.sum(F.length("text")))
+        .collect(),
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed(
+        "sessionize",
+        lambda: session_stats(ev).agg(F.sum("n_events")).collect(),
+    )
+    timed(
+        "asof_join",
+        lambda: asof_join(
+            ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+            ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+        ).count(),
+    )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("ann_topk", lambda: brute_force_topk(emb, k=10).count())
     timed(
