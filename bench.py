@@ -386,11 +386,19 @@ def section_tcp(results: dict) -> None:
     tcp2_master = os.environ.get(
         "SPARK_GRAFT_TCP_2PROC_MASTER", "local-cluster[2,8,4096]"
     )
+    # local-cluster[n,cores,MB] sizes the WORKER pool only; executor JVMs
+    # still launch at the 1g default and heap-OOM caching the full bench
+    # graph — request (worker MB - 25% headroom) explicitly
+    worker_mb = int(tcp2_master.rstrip("]").split(",")[-1])
+    exec_mb = os.environ.get(
+        "SPARK_GRAFT_TCP_2PROC_EXEC_MB", str(max(worker_mb * 3 // 4, 1024))
+    )
     try:
         spark2 = (
             SparkSession.builder.master(tcp2_master)
             .appName("bench-tcp-2proc")
             .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.executor.memory", f"{exec_mb}m")
             .config("spark.executorEnv.PYTHONPATH", str(Path(__file__).resolve().parent))
             .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()

@@ -17,4 +17,11 @@ run () {
 
 run r4b_scaling10 SPARK_GRAFT_BENCH_SECTIONS=scaling SPARK_GRAFT_SCALING_REPEATS=10
 
+# full-bench-size two-JVM retry: run 3 of r4_evidence heap-OOMed because
+# local-cluster worker MB never reached the executor JVMs (-Xmx1024M
+# default); bench.py now sets spark.executor.memory from the master string
+run r4b_tcp2full SPARK_GRAFT_BENCH_SECTIONS=tcp \
+    SPARK_GRAFT_TCP_2PROC_CONVS=200000 \
+    "SPARK_GRAFT_TCP_2PROC_MASTER=local-cluster[2,16,8192]"
+
 echo "ALL DONE $(date -u +%H:%M:%S)" >> "$LOG"
