@@ -123,18 +123,18 @@ def bsp_pack(
     that receive no edges get an empty stub row) — the barrier loop waits
     on every stripe's flag, so a missing stripe would deadlock it.
 
-    Cache-blocked gather layout (unweighted): each stripe's regular edges
-    are ALSO packed reordered by (src // block_width, dst) with run
-    boundaries (srcb/runoff/rundst/rboff blobs).  The static loop gathers
-    rdiv through this order, so the random reads walk one
-    block_width·8-byte window of the rank vector at a time instead of the
-    whole |V|·8 bytes — the difference between cache-resident and
-    DRAM-random gathers once |V|·8 outgrows LLC, which is what caps N→4N
-    scaling efficiency on one node (and cross-node, keeps the gather
-    NUMA/bandwidth-friendly).  Per-(block,dst) runs reduce exactly like
-    CSR rows; per-block partials accumulate into the stripe's sums with
-    unique-index adds, so results are 1e-10-identical to the row-order
-    gather (summation regrouping only).
+    Cache-blocked gather layout (OPT-IN via block_width>0 or
+    SPARK_GRAFT_BLOCK_WIDTH): each stripe's regular edges are ALSO packed
+    reordered by (src // block_width, dst) with run boundaries
+    (srcb/runoff/rundst/rboff blobs); the static loop then gathers rdiv
+    one block_width·8-byte rank-vector window at a time instead of
+    random-accessing all |V|·8 bytes.  Per-(block,dst) runs reduce
+    exactly like CSR rows; per-block partials accumulate with
+    unique-index adds (1e-10-identical, summation regrouping only).
+    MEASURED on the Zipf bench family this is ~35% SLOWER than row order
+    (hot head keeps the gather cache-resident; see BENCH records r4 vs
+    r4b), hence opt-in — it targets flat/uniform src distributions whose
+    working set genuinely exceeds LLC.
 
     Scale note: bounds and hubs are derived DISTRIBUTEDLY — hub detection
     is a `HAVING count > cut` aggregate that ships only the (tiny, ≤
@@ -147,9 +147,15 @@ def bsp_pack(
     if p is None:
         p = spark.sparkContext.defaultParallelism
     if block_width is None:
-        # 2^18 rank entries = 2 MB rdiv window per block (LLC-slice sized);
-        # env override for layout experiments without code edits
-        block_width = int(os.environ.get("SPARK_GRAFT_BLOCK_WIDTH", str(1 << 18)))
+        # 0 = row-order gather (default).  The blocked layout was built for
+        # the N→4N scaling bottleneck but MEASURED SLOWER on the bench
+        # family (local[8] 0.114→0.155 s, local[32] 0.039→0.055 s median
+        # superstep; BENCH_r4_scaling10 vs the r4b record): the Zipf head
+        # keeps the hot rank entries cache-resident already, so blocking
+        # only adds run-accumulation overhead.  Kept opt-in for flatter
+        # src distributions (env/param), with forced-multi-block parity
+        # tests either way.
+        block_width = int(os.environ.get("SPARK_GRAFT_BLOCK_WIDTH", "0"))
     weighted = "w" in graph.edges.columns
     e = graph.edges
     total = e.count()
@@ -243,7 +249,7 @@ def bsp_pack(
         # at every (block, dst) change — see the docstring's layout note.
         # Weighted graphs keep the row-order path (weights would need the
         # same reorder; the weighted family is not the scaling hot path).
-        if src.size and not weighted:
+        if src.size and not weighted and block_width > 0:
             blk = src // block_width
             order3 = np.lexsort((dstoff, blk))
             src_blk = src[order3]
