@@ -201,3 +201,47 @@ def test_bsp_blocked_gather_parity(spark):
     assert np.allclose(t.ranks, b.ranks, atol=1e-10)
     assert a.iterations == b.iterations == t.iterations
     g.unpersist()
+
+
+def test_bsp_fine_stripes_parity(spark):
+    """Stripes finer than tasks (edge-budget striping): a pack with k~16
+    stripes per task must run the memmap AND TCP loops with identical
+    results to the csr path — tasks own several stripes, flags/movers/
+    slices are per-stripe."""
+    from pagerank_cuda_dynamic_spark.operators import pagerank_tcp as PT
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import bsp_pack
+    from pagerank_cuda_dynamic_spark.operators.pagerank_tcp import pagerank_static_tcp
+
+    rng = np.random.default_rng(41)
+    n, m = 3000, 20000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = GraphSnapshot.build(edges_df(spark, src, dst), n=n)
+    packed, bounds, n_stripes, hubs = bsp_pack(g, p=4, stripe_edges=50)
+    assert n_stripes > 8, "fixture must produce stripes finer than tasks"
+    assert packed.rdd.getNumPartitions() == 4
+
+    class Forced:
+        def __init__(self, gr):
+            self._g = gr
+            self.edges, self.n = gr.edges, gr.n
+
+        def outdeg_array(self):
+            return self._g.outdeg_array()
+
+        def bsp_packed(self):
+            return packed, bounds, n_stripes, hubs
+
+    f = Forced(g)
+    a = pagerank_static_bsp(f, PagerankOptions())
+    orig = PT.bsp_pack
+    PT.bsp_pack = lambda gr: (packed, bounds, n_stripes, hubs)
+    try:
+        t = pagerank_static_tcp(f)
+    finally:
+        PT.bsp_pack = orig
+    b = pagerank_static(g, PagerankOptions(mode="csr"))
+    assert np.allclose(a.ranks, b.ranks, atol=1e-10)
+    assert np.allclose(t.ranks, b.ranks, atol=1e-10)
+    assert a.iterations == b.iterations == t.iterations
+    g.unpersist()
