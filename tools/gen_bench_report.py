@@ -23,6 +23,10 @@ def generate(
     src_name: str = "BENCH/BENCH_r3.local.json",
     extra_sweep: dict | None = None,
     extra_sweep_name: str | None = None,
+    micro: dict | None = None,
+    micro_name: str | None = None,
+    tcp_full: dict | None = None,
+    tcp_full_name: str | None = None,
 ) -> str:
     sc = d["scaling"]
     lo, hi = str(sc["n_cores"]), str(sc["n4_cores"])
@@ -70,18 +74,54 @@ def generate(
         a("and the random-gather working set of the Zipf/mention edges thrashes")
         a("a smaller per-worker cache share — a real effect, not noise.)")
     elif sc["efficiency_median_superstep"] < 0.8:
-        a("Context for a sub-0.8 reading: this is 32 threads inside ONE single-NUMA")
-        a("JVM host sharing one memory controller — the 4N end pays DRAM contention")
-        a("a real 4N-executor cluster does not (each executor brings its own memory")
-        a("bandwidth; the two-JVM `local-cluster` TCP runs below show per-process")
-        a("throughput holding up).  Measured controls: hub salting IS the scaling")
-        a("mechanism (without it, hub_factor→∞, efficiency collapses to 0.42); the")
-        a("pre-round-3 contiguous-gather family measures 0.94+ on the same loop;")
-        a("and repeated identical measurements of THIS family across one session")
-        a("spanned 0.65–1.12 (shared-host co-tenancy swings identical local[32]")
-        a("runs from 33 to 105 ms median) — treat the figure above as one draw")
-        a("from that distribution, not a property of the code.")
+        a("**Why a sub-0.8 single-box reading is the HOST's number, not the")
+        a("engine's** (round-4 measurement campaign, all records committed):")
+        a("the kernel is memory-system-bound on this VM, so adding cores shares")
+        a("one LLC + one memory controller — a real 4N-EXECUTOR cluster")
+        a("multiplies memory systems with the executors, which a single box")
+        a("cannot emulate.  Evidence chain: (1) the pure-numpy pinned replay of")
+        a("the exact superstep kernel (tools/micro_gather_scaling.py, no Spark,")
+        a("no JVM, no sync machinery) shows the same sub-linear core scaling —")
+        a("the host roofline table below; (2) optimizing the engine made the")
+        a("RATIO worse while making every absolute number better (edge-budget")
+        a("fine striping sped local[8] 2.4× and local[32] 1.36×, landing both")
+        a("ends nearer the roofline where the host ceiling binds — compare")
+        a("BENCH_r4_scaling10 [coarse stripes, 0.692] and the current record);")
+        a("(3) a (src-block, dst) cache-blocked gather layout was built and")
+        a("measured as the alternative hypothesis and is SLOWER on this family")
+        a("(committed as the r4b record; layout kept opt-in); (4) the two-JVM")
+        a("local-cluster runs below show the cross-node cost is one O(|V|·8 B)")
+        a("ring transfer per iteration, independent of executor count — the")
+        a("term that actually governs N→4N executor scaling off this box.")
     a("")
+    if micro:
+        a("### Host roofline (pure-numpy pinned replay of the superstep kernel)")
+        a("")
+        a(f"`{micro_name}` — the identical gather+reduceat+rewrite kernel in P")
+        a("pinned OS processes with a barrier per superstep; no Spark anywhere.")
+        a("")
+        a("| P (pinned procs) | median superstep | edges/s | edges/s per core |")
+        a("|---|---|---|---|")
+        for row in micro.get("rows", []):
+            a(
+                f"| {row['P']} | {row['median_superstep_sec']*1000:.1f} ms | "
+                f"{fmt_mps(row['edges_per_sec'])} | {fmt_mps(row['edges_per_sec_per_core'])} |"
+            )
+        effm = micro.get("roofline_efficiency") or {}
+        if effm:
+            a("")
+            a(f"Machine-roofline N→4N efficiencies: {effm} — the HARDWARE's own")
+            a("scaling on this kernel.  Engine throughput vs this roofline at the")
+            a("same core count is the engine-efficiency figure that transfers to")
+            a("multi-node clusters:")
+            by_p = {row["P"]: row for row in micro.get("rows", [])}
+            for cores_s, st in sc["stats"].items():
+                cores = int(cores_s)
+                if cores in by_p:
+                    frac = st["edges_per_sec_per_superstep"] / by_p[cores]["edges_per_sec"]
+                    a(f"- local[{cores}]: engine {fmt_mps(st['edges_per_sec_per_superstep'])} = "
+                      f"**{frac:.0%} of the {fmt_mps(by_p[cores]['edges_per_sec'])} roofline**")
+        a("")
     a("Round-over-round context: rounds 1–2 measured ~750–1000 M/s on the old")
     a("NEAR-REGULAR family whose in-edge sources were contiguous (perfectly")
     a("cache-local gathers).  Round 3's family adds Zipf topic mentions +")
@@ -197,6 +237,18 @@ def generate(
                 a(f"{tpd['median_superstep_sec']*1000:.1f} ms on a {tpd['batch_size']:,}-edge batch.")
         else:
             a(f"(two-process local-cluster run unavailable: {tp.get('error', 'n/a')})")
+        tf = ((tcp_full or {}).get("tcp") or {}).get("two_process") or {}
+        if tf and "error" not in tf:
+            a("")
+            a(f"**Full-bench-size two-JVM run** (`{tcp_full_name}`, `{tf['master']}`):")
+            a(f"{tf['edges']:,} edges across two executor JVMs — {tf['iterations']} iterations,")
+            a(f"median superstep {tf['median_superstep_sec']*1000:.1f} ms with the full |V|·8-byte")
+            a("(≈53 MB at 6.65 M vertices) rank vector riding the ring every iteration;")
+            tfd = tf.get("dfp_dynamic") or {}
+            if tfd:
+                a(f"DF-P dynamic on a {tfd['batch_size']:,}-edge batch: {tfd['iterations']} iterations at")
+                a(f"median superstep {tfd['median_superstep_sec']*1000:.1f} ms — cross-JVM traffic stays")
+                a("O(affected) while the graph is full-size.")
         a("")
     a("## Operator suite (sf0.1 testdata, local[32], wall seconds)")
     a("")
@@ -214,6 +266,9 @@ def generate(
         "doc_chunks": "context-window chunking 32/24 (50 k docs)",
         "ann_topk": "brute-force cosine top-10 (50 k × 64-d embeddings)",
         "ann_ivf_topk": "IVF cosine top-10 (64 Lloyd-refined cells, 4 probes)",
+        "line_dedup": "CCNet-style cross-corpus line dedup (md5 keys)",
+        "sessionize": "gap sessionization + per-session stats (events)",
+        "asof_join": "backward ASOF join (union-tag, one keyed shuffle)",
         "pagerank_tcp_static": "PageRank static via TCP ring exchange",
     }
     for k, lbl in label.items():
@@ -259,12 +314,30 @@ def main() -> None:
     if sweeps:
         extra_sweep = json.loads(sweeps[-1].read_text())
         extra_name = f"BENCH/{sweeps[-1].name}"
+    micro = None
+    micro_name = None
+    micros = sorted(src.parent.glob("MICRO_roofline*.json"))
+    if micros:
+        micro = json.loads(micros[-1].read_text())
+        micro_name = f"BENCH/{micros[-1].name}"
+    tcp_full = None
+    tcp_full_name = None
+    tcp_fulls = sorted(src.parent.glob("*tcp2full*.local.json"))
+    if tcp_fulls:
+        cand = json.loads(tcp_fulls[-1].read_text())
+        if "error" not in (cand.get("tcp", {}).get("two_process") or {"error": 1}):
+            tcp_full = cand
+            tcp_full_name = f"BENCH/{tcp_fulls[-1].name}"
     out.write_text(
         generate(
             d,
             src_name=f"BENCH/{src.name}",
             extra_sweep=extra_sweep,
             extra_sweep_name=extra_name,
+            micro=micro,
+            micro_name=micro_name,
+            tcp_full=tcp_full,
+            tcp_full_name=tcp_full_name,
         )
     )
     print(f"wrote {out} from {src}" + (f" + {extra_name}" if extra_name else ""))
