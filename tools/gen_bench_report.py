@@ -113,7 +113,10 @@ def generate(
             a(f"Machine-roofline N→4N efficiencies: {effm} — the HARDWARE's own")
             a("scaling on this kernel.  Engine throughput vs this roofline at the")
             a("same core count is the engine-efficiency figure that transfers to")
-            a("multi-node clusters:")
+            a("multi-node clusters (both loops pay one sync per superstep —")
+            a("mp.Barrier in the replay, the /dev/shm flag spin in the engine —")
+            a("so a fraction ≥100% means Spark/JVM residency costs nothing beyond")
+            a("that sync):")
             by_p = {row["P"]: row for row in micro.get("rows", [])}
             for cores_s, st in sc["stats"].items():
                 cores = int(cores_s)
