@@ -123,6 +123,36 @@ def section_scaling(results: dict) -> None:
     }
     results["edges_per_sec_per_superstep"] = stats[CPUS]["edges_per_sec_per_superstep"]
     print(f"# scaling efficiency: pairs={[round(r,3) for r in ratios]} median={eff:.3f}", file=sys.stderr)
+    # host-roofline context: the same gather+reduceat+rewrite kernel as a
+    # pure-numpy pinned-process replay (no Spark/JVM/sync machinery beyond
+    # one barrier per superstep).  The N→4N ratio above is bounded by the
+    # HOST's own scaling on this kernel (one LLC + one memory controller
+    # shared by every core — a real 4N-executor cluster multiplies memory
+    # systems with executors); engine_fraction ≈ 1.0 at a core count means
+    # the engine sits AT that hardware ceiling there.
+    if os.environ.get("SPARK_GRAFT_ROOFLINE", "1") != "0":
+        import shutil
+
+        from tools.micro_gather_scaling import SHM, build_stripes, measure
+
+        try:
+            meta = build_stripes()
+            roof_rows = []
+            frac = {}
+            for cpus in (lo_cpus, CPUS):
+                row = measure(cpus, meta)
+                roof_rows.append(row)
+                frac[str(cpus)] = round(
+                    stats[cpus]["edges_per_sec_per_superstep"] / row["edges_per_sec"], 3
+                )
+            results["scaling"]["roofline"] = {
+                "kernel": "pure-numpy pinned replay (tools/micro_gather_scaling.py)",
+                "rows": roof_rows,
+                "engine_fraction_of_roofline": frac,
+            }
+            print(f"# roofline: {results['scaling']['roofline']}", file=sys.stderr)
+        finally:
+            shutil.rmtree(SHM, ignore_errors=True)
 
 
 def section_dynamic(spark, results: dict) -> None:
