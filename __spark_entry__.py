@@ -739,6 +739,57 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def _entity_edge_df(spark, sf_dir):
+    return derive_entity_edges(spark, sf_dir)
+
+
+def q_hits(spark, sf_dir):
+    """Kleinberg HITS, 20 L2-normalized power iterations over the entity
+    digraph (operators/centrality.hits — joinagg gather alternating E/Eᵀ)
+    vs a fully unrolled 40-half-step CTE oracle."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import hits
+
+    res = hits(_entity_edge_df(spark, sf_dir), iterations=20)
+    return res.select(
+        F.col("v").alias("entity"),
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+def q_ppr_suppliers(spark, sf_dir):
+    """Personalized PageRank, teleport uniform over the supplier vertices
+    ('s…' prefix), 30 sync iterations with universal self-loops
+    (operators/centrality.personalized_pagerank) vs the unrolled seeded
+    CTE oracle."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        personalized_pagerank,
+    )
+
+    e = _entity_edge_df(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("v").like("s%"))
+    res = personalized_pagerank(e, seeds, damping=DAMPING, iterations=30)
+    return res.select(
+        F.col("v").alias("entity"), F.round("rank", 6).alias("rank")
+    )
+
+
+def q_k_core(spark, sf_dir):
+    """30-core of the undirected entity graph (operators/centrality.k_core
+    — iterative degree peel, capped at 6 rounds ≡ the oracle's unroll;
+    fixpoint lands in 3 rounds at sf0.01) vs a 6-round peel-chain CTE
+    oracle.  Returns surviving vertices with their in-core degree."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import k_core
+
+    res = k_core(_entity_edge_df(spark, sf_dir), k=30, max_rounds=6)
+    return res.select(F.col("v").alias("entity"), F.col("deg"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -794,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
+        "hits": q_hits,
+        "ppr_suppliers": q_ppr_suppliers,
+        "k_core_30": q_k_core,
     }
 
 
@@ -886,6 +940,89 @@ def _wpr_sql(k: int) -> str:
         ",\n".join(ctes)
         + f"\nSELECT v AS entity, round(rank, 6) AS rank FROM r{k}"
     )
+
+
+def _hits_sql(k: int) -> str:
+    """Unrolled k-iteration HITS as chained CTEs: each iteration is one
+    authority gather over E + L2 normalize, then one hub gather over Eᵀ +
+    L2 normalize — the literal recurrence of operators/centrality.hits."""
+    ctes = [
+        f"WITH base_edges AS MATERIALIZED ({ENTITY_EDGES_SQL}),",
+        "e AS MATERIALIZED (SELECT src, dst FROM base_edges WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT count(*) AS n FROM verts),",
+        "h0 AS MATERIALIZED (SELECT v, 1.0/sqrt((SELECT n FROM nn)) AS s FROM verts)",
+    ]
+    body = "\n".join(ctes)
+    for i in range(1, k + 1):
+        body += f""",
+a{i}r AS MATERIALIZED (
+  SELECT verts.v, coalesce(sum(h{i-1}.s), 0) AS s
+  FROM verts LEFT JOIN e ON e.dst = verts.v
+  LEFT JOIN h{i-1} ON h{i-1}.v = e.src
+  GROUP BY verts.v),
+a{i} AS MATERIALIZED (
+  SELECT v, s / (SELECT sqrt(sum(s*s)) FROM a{i}r) AS s FROM a{i}r),
+h{i}r AS MATERIALIZED (
+  SELECT verts.v, coalesce(sum(a{i}.s), 0) AS s
+  FROM verts LEFT JOIN e ON e.src = verts.v
+  LEFT JOIN a{i} ON a{i}.v = e.dst
+  GROUP BY verts.v),
+h{i} AS MATERIALIZED (
+  SELECT v, s / (SELECT sqrt(sum(s*s)) FROM h{i}r) AS s FROM h{i}r)"""
+    body += f"""
+SELECT a{k}.v AS entity, round(a{k}.s, 6) AS auth, round(h{k}.s, 6) AS hub
+FROM a{k} JOIN h{k} ON h{k}.v = a{k}.v"""
+    return body
+
+
+def _ppr_sql(k: int) -> str:
+    """Unrolled k-iteration personalized PageRank (teleport uniform over
+    the 's…' supplier vertices, start at the teleport vector, universal
+    self-loops) — the literal recurrence of
+    operators/centrality.personalized_pagerank."""
+    body = f"""WITH {_GRAPH_CTES.strip()},
+seeds AS MATERIALIZED (SELECT v FROM verts WHERE v LIKE 's%'),
+tp AS MATERIALIZED (
+  SELECT verts.v,
+         CASE WHEN seeds.v IS NULL THEN 0.0
+              ELSE 1.0 / (SELECT count(*) FROM seeds) END AS p
+  FROM verts LEFT JOIN seeds ON seeds.v = verts.v),
+p0 AS MATERIALIZED (SELECT v, p AS rank FROM tp)"""
+    for i in range(1, k + 1):
+        body += f""",
+p{i} AS MATERIALIZED (
+  SELECT tp.v,
+         (1-{DAMPING})*tp.p
+           + {DAMPING} * coalesce(sum(p{i-1}.rank * ew.w), 0) AS rank
+  FROM tp LEFT JOIN ew ON ew.dst = tp.v
+  LEFT JOIN p{i-1} ON p{i-1}.v = ew.src
+  GROUP BY tp.v, tp.p)"""
+    body += f"\nSELECT v AS entity, round(rank, 6) AS rank FROM p{k}"
+    return body
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled `rounds`-round k-core peel over the undirected simple
+    entity graph — the literal chain of operators/centrality.k_core
+    (capped at the same round count, so cap-short-of-fixpoint inputs
+    still agree)."""
+    body = f"""WITH base_edges AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM base_edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM base_edges WHERE src <> dst)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+d{i} AS MATERIALIZED (
+  SELECT src AS v FROM e{i-1} GROUP BY src HAVING count(*) >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e{i-1}.src, e{i-1}.dst FROM e{i-1}
+  WHERE e{i-1}.src IN (SELECT v FROM d{i})
+    AND e{i-1}.dst IN (SELECT v FROM d{i}))"""
+    body += f"""
+SELECT src AS entity, count(*) AS deg FROM e{rounds} GROUP BY src"""
+    return body
 
 
 def _shingles_sql(id_limit: int) -> str:
@@ -1590,6 +1727,9 @@ SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
        round(r.value, 6) AS value_asof
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
+        "hits": _hits_sql(20),
+        "ppr_suppliers": _ppr_sql(30),
+        "k_core_30": _kcore_sql(30, 6),
     }
 
 

@@ -545,6 +545,15 @@ def section_ops(spark, results: dict) -> None:
             ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
         ).count(),
     )
+    from pagerank_cuda_dynamic_spark.operators.centrality import k_core
+    from pagerank_cuda_dynamic_spark.sources.edges import derive_entity_edges
+
+    timed(
+        "k_core_30",
+        lambda: k_core(derive_entity_edges(spark, SF_DIR), k=30, max_rounds=6)
+        .agg(F.sum("deg"))
+        .collect(),
+    )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("ann_topk", lambda: brute_force_topk(emb, k=10).count())
     timed(

@@ -1,0 +1,250 @@
+"""Centrality / structural-core operators beyond the PageRank family.
+
+The reference repo's rank machinery (pagerankCuda.hxx:676-692: one
+gather + one normalization barrier per superstep) generalizes to any
+linear fixpoint over the adjacency; these operators re-express three
+standard link-analysis siblings on the same declarative joinagg shape
+the engine already uses (operators/pagerank.py:261 `_loop_joinagg`):
+
+  * `hits`                  — Kleinberg hubs/authorities power iteration
+                              (mutually recursive gather over E and Eᵀ,
+                              L2 normalization barrier per half-step).
+  * `personalized_pagerank` — PageRank with the teleport vector
+                              concentrated on a seed set (the reference's
+                              uniform C0 = (1-P)/N becomes (1-P)·p[v];
+                              same pull update, same L∞ stop).
+  * `k_core`                — iterative degree peel to the k-core
+                              (monotone fixpoint: each round drops
+                              vertices whose surviving degree < k).
+
+All three are pure DataFrame plans — join / groupBy / agg supersteps
+with `materialize` lineage barriers, nothing per-row in Python, and the
+only driver traffic is one scalar per half-step (a norm or an edge
+count, exactly like the joinagg loop's L∞ collect).  They are
+key-type-agnostic: callers may pass entity-string edges directly (the
+driver gate does) or dictionary-encoded dense ids (plans/dictionary.py)
+for the 100 TB path, where the join keys become 8-byte longs.
+
+Scale posture: every superstep is one shuffle on the edge key plus a
+broadcast-sized scalar; skewed hubs hit the same AQE skew-join handling
+as the PageRank joinagg family.  `k_core`'s peel is a shrinking
+semi-join chain — each round's surviving-vertex set is a HAVING
+aggregate, never collected.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..plans.barrier import materialize
+
+
+def _distinct_edges(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").distinct()
+
+
+def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
+    """Kleinberg HITS: `iterations` synchronous rounds of
+
+        auth[v] ← Σ_{(u,v)∈E} hub[u]   then L2-normalize auth
+        hub[u]  ← Σ_{(u,v)∈E} auth[v]  then L2-normalize hub
+
+    starting from hub ≡ 1/√N.  Self-loops are excluded (a page endorsing
+    itself carries no hub/authority signal).  Returns (v, auth, hub).
+
+    Each half-step is the same shape as the reference's rank gather
+    (pagerankCuda.hxx:676-692) with the transpose alternating; the L2
+    norm is the normalization barrier (the reference folds its norm into
+    the teleport constant — HITS must renormalize explicitly or the
+    iteration diverges).
+    """
+    e = _distinct_edges(edges).where(F.col("src") != F.col("dst")).persist()
+    e.count()
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        return verts.select(
+            "v", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub")
+        )
+
+    hub = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(
+        materialize
+    )
+    auth = verts.select("v", F.lit(0.0).alias("s")).transform(materialize)
+
+    def _half_step(scores: DataFrame, probe: str, build: str) -> DataFrame:
+        """One gather over E (probe = edge column joined to `scores`,
+        build = edge column grouped into the new score) + L2 barrier."""
+        raw = (
+            verts.join(
+                e.join(scores.withColumnRenamed("v", probe), probe)
+                .groupBy(F.col(build).alias("v"))
+                .agg(F.sum("s").alias("acc")),
+                "v",
+                "left",
+            )
+            .select("v", F.coalesce(F.col("acc"), F.lit(0.0)).alias("s"))
+            .transform(materialize)
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n")).collect()[0]["n"]
+        if not norm:
+            return raw
+        # lazy narrow projection — lineage is already truncated at `raw`,
+        # so no second checkpoint is needed per half-step
+        return raw.select("v", (F.col("s") / F.lit(norm)).alias("s"))
+
+    for _ in range(iterations):
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
+
+    out = auth.withColumnRenamed("s", "auth").join(
+        hub.withColumnRenamed("s", "hub"), "v"
+    )
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 30,
+) -> DataFrame:
+    """Personalized PageRank: the reference's pull update
+    (pagerankStaticOmp, pagerank.hxx — r'[v] = C0 + P·Σ r[u]/deg(u))
+    with the uniform teleport C0 replaced by (1-P)·p[v], where p is
+    uniform over `seeds` (a 1-column DataFrame of vertex keys) and the
+    rank vector starts at p.  Universal self-loops (G4) are added as in
+    the static family, so there is no dangling mass and Σ rank ≡ 1 is
+    preserved exactly.  Runs `iterations` synchronous rounds.
+
+    Returns (v, rank).  Seeds must be non-empty and a subset of the
+    graph's vertices; rows outside the vertex set would silently lose
+    teleport mass, so they are rejected.
+    """
+    e0 = _distinct_edges(edges)
+    verts = (
+        e0.select(F.col("src").alias("v"))
+        .union(e0.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    verts.count()
+    # universal self-loops, as add_self_loops (operators/graph.py:31)
+    e = (
+        e0.union(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    e.count()
+
+    s = seeds.toDF("v").distinct().persist()
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: seeds must be non-empty")
+    n_outside = s.join(verts, "v", "left_anti").count()
+    if n_outside:
+        raise ValueError(
+            f"personalized_pagerank: {n_outside} seed(s) not in the vertex set"
+        )
+
+    P = damping
+    tp = verts.join(
+        F.broadcast(s.select("v", F.lit(1.0 / n_seeds).alias("p"))), "v", "left"
+    ).select("v", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
+    # edge weight 1/outdeg(src), J2 broadcast annotation
+    deg = e.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = (
+        e.join(F.broadcast(deg.withColumnRenamed("v", "src")), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .persist()
+    )
+    ew.count()
+
+    ranks = tp.select("v", F.col("p").alias("rank")).transform(materialize)
+    tp = tp.transform(materialize)
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        ranks = (
+            tp.join(contrib, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(1.0 - P) * F.col("p")
+                    + F.lit(P) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .transform(materialize)
+        )
+    ew.unpersist()
+    e.unpersist()
+    verts.unpersist()
+    s.unpersist()
+    return ranks
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """k-core of the UNDIRECTED simple graph under `edges`: iteratively
+    remove vertices whose degree in the surviving subgraph is < k until
+    a fixpoint (capped at `max_rounds` peels — the cap is part of the
+    operator's contract so a fixed-round SQL oracle computes the same
+    thing; peeling is idempotent at the fixpoint, so any cap ≥ the
+    convergence round count yields the exact k-core).
+
+    Direction and self-loops are erased first (symmetrize G3 + simple
+    filter); degree = number of distinct neighbors.  Returns
+    (v, deg) for surviving vertices, deg = degree inside the core (≥ k).
+
+    Each peel round is one groupBy-HAVING aggregate + two semi-joins on
+    the surviving edge set — the shrinking-frontier shape of the
+    reference's affected-vertex expansion (J3/O7), with the edge count
+    as the fixpoint scalar.
+    """
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    simple = _distinct_edges(edges).where(F.col("src") != F.col("dst"))
+    und = (
+        simple.union(
+            simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    n_edges = und.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (
+            und.groupBy(F.col("src").alias("v"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("v")
+        )
+        nxt = (
+            und.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .transform(materialize)
+        )
+        n_next = nxt.count()
+        und = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

@@ -1,0 +1,230 @@
+"""HITS / personalized PageRank / k-core vs NumPy oracles on micro-graphs.
+
+Each Spark operator (operators/centrality.py — pure joinagg supersteps)
+is checked against a literal NumPy transcription of the same recurrence,
+then against structural invariants (L2 norms, mass conservation,
+fixpoint idempotence, early-stop-vs-cap equivalence).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pagerank_cuda_dynamic_spark.operators.centrality import (
+    hits,
+    k_core,
+    personalized_pagerank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["src", "dst"]).astype(str)
+    )
+
+
+def _np_hits(pairs, n_iter):
+    verts = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    idx = {v: i for i, v in enumerate(verts)}
+    E = [(idx[u], idx[v]) for u, v in pairs if u != v]
+    n = len(verts)
+    h = np.full(n, 1.0 / math.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for u, v in E:
+            a[v] += h[u]
+        norm = np.sqrt((a * a).sum())
+        if norm:
+            a = a / norm
+        h = np.zeros(n)
+        for u, v in E:
+            h[u] += a[v]
+        norm = np.sqrt((h * h).sum())
+        if norm:
+            h = h / norm
+    return verts, a, h
+
+
+def _np_ppr(pairs, seeds, damping, n_iter):
+    verts = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    E = sorted({(idx[u], idx[v]) for u, v in pairs} | {(i, i) for i in range(n)})
+    outdeg = np.zeros(n)
+    for u, _ in E:
+        outdeg[u] += 1
+    p = np.zeros(n)
+    for s in seeds:
+        p[idx[s]] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(n_iter):
+        nxt = (1.0 - damping) * p
+        for u, v in E:
+            nxt[v] += damping * r[u] / outdeg[u]
+        r = nxt
+    return verts, r
+
+
+def _np_kcore(pairs, k):
+    und = {(u, v) for u, v in pairs if u != v}
+    und |= {(v, u) for u, v in und}
+    while True:
+        deg = {}
+        for u, _ in und:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in und if u in keep and v in keep}
+        if nxt == und:
+            break
+        und = nxt
+    deg = {}
+    for u, _ in und:
+        deg[u] = deg.get(u, 0) + 1
+    return deg
+
+
+DIGRAPH = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ("d", "b"), ("e", "d"), ("c", "e"), ("e", "a"), ("b", "e"),
+    ("f", "a"), ("a", "f"), ("g", "c"),  # g: pure hub; f: 2-cycle
+]
+
+
+def test_hits_matches_numpy(spark):
+    res = hits(_edges(spark, DIGRAPH), iterations=12).toPandas()
+    verts, a, h = _np_hits(DIGRAPH, 12)
+    res = res.set_index("v").loc[verts]
+    assert np.allclose(res["auth"].to_numpy(), a, atol=1e-12)
+    assert np.allclose(res["hub"].to_numpy(), h, atol=1e-12)
+
+
+def test_hits_l2_normalized(spark):
+    res = hits(_edges(spark, DIGRAPH), iterations=5).toPandas()
+    assert abs((res["auth"] ** 2).sum() - 1.0) < 1e-12
+    assert abs((res["hub"] ** 2).sum() - 1.0) < 1e-12
+
+
+def test_hits_self_loops_ignored(spark):
+    with_loops = DIGRAPH + [("a", "a"), ("d", "d")]
+    res1 = hits(_edges(spark, DIGRAPH), iterations=8).toPandas()
+    res2 = hits(_edges(spark, with_loops), iterations=8).toPandas()
+    m = res1.merge(res2, on="v", suffixes=("", "_l"))
+    assert np.allclose(m["auth"], m["auth_l"], atol=1e-12)
+    assert np.allclose(m["hub"], m["hub_l"], atol=1e-12)
+
+
+def test_hits_pure_source_sink(spark):
+    # star: s -> {t1,t2,t3}; s is the only hub, targets share authority
+    pairs = [("s", "t1"), ("s", "t2"), ("s", "t3")]
+    res = hits(_edges(spark, pairs), iterations=6).toPandas().set_index("v")
+    assert res.loc["s", "auth"] == 0.0
+    assert abs(res.loc["s", "hub"] - 1.0) < 1e-12
+    for t in ("t1", "t2", "t3"):
+        assert abs(res.loc[t, "auth"] - 1.0 / math.sqrt(3)) < 1e-12
+        assert res.loc[t, "hub"] == 0.0
+
+
+def test_ppr_matches_numpy(spark):
+    seeds = ["a", "d"]
+    res = personalized_pagerank(
+        _edges(spark, DIGRAPH),
+        spark.createDataFrame(pd.DataFrame({"v": seeds})),
+        damping=0.85,
+        iterations=25,
+    ).toPandas()
+    verts, r = _np_ppr(DIGRAPH, seeds, 0.85, 25)
+    res = res.set_index("v").loc[verts]
+    assert np.allclose(res["rank"].to_numpy(), r, atol=1e-12)
+
+
+def test_ppr_mass_conserved(spark):
+    res = personalized_pagerank(
+        _edges(spark, DIGRAPH),
+        spark.createDataFrame(pd.DataFrame({"v": ["b"]})),
+        iterations=40,
+    ).toPandas()
+    # universal self-loops -> no dangling mass; Σ rank = 1 exactly
+    assert abs(res["rank"].sum() - 1.0) < 1e-12
+
+
+def test_ppr_localizes_on_seed_neighborhood(spark):
+    # two disjoint triangles; seeding one leaves the other at rank 0
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")]
+    res = personalized_pagerank(
+        _edges(spark, pairs),
+        spark.createDataFrame(pd.DataFrame({"v": ["a"]})),
+        iterations=20,
+    ).toPandas().set_index("v")
+    assert res.loc[["a", "b", "c"], "rank"].min() > 0
+    assert res.loc[["x", "y", "z"], "rank"].max() == 0.0
+
+
+def test_ppr_rejects_bad_seeds(spark):
+    e = _edges(spark, DIGRAPH)
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            e, spark.createDataFrame(pd.DataFrame({"v": ["nope"]}))
+        )
+    with pytest.raises(ValueError):
+        personalized_pagerank(e, spark.createDataFrame([], "v string"))
+
+
+# clique of 5 (each deg 4) + a pendant chain hanging off it
+CLIQUE_CHAIN = [
+    (a, b)
+    for i, a in enumerate("kqrst")
+    for b in "kqrst"[i + 1:]
+] + [("k", "c1"), ("c1", "c2"), ("c2", "c3")]
+
+
+def test_kcore_clique_vs_numpy(spark):
+    for k in (2, 3, 4, 5):
+        res = k_core(_edges(spark, CLIQUE_CHAIN), k=k).toPandas()
+        want = _np_kcore(CLIQUE_CHAIN, k)
+        got = dict(zip(res["v"], res["deg"]))
+        assert got == want, (k, got, want)
+
+
+def test_kcore_three_keeps_only_clique(spark):
+    res = k_core(_edges(spark, CLIQUE_CHAIN), k=3).toPandas()
+    assert sorted(res["v"]) == sorted("kqrst")
+    assert (res["deg"] == 4).all()
+
+
+def test_kcore_above_max_degree_empty(spark):
+    assert k_core(_edges(spark, CLIQUE_CHAIN), k=6).count() == 0
+
+
+def test_kcore_cap_equals_fixpoint(spark):
+    # long chain: peel at k=2 erodes one vertex per round from each end;
+    # a cap >= convergence rounds must equal the uncapped fixpoint
+    chain = [(f"v{i}", f"v{i+1}") for i in range(12)]
+    full = k_core(_edges(spark, chain), k=2, max_rounds=50).toPandas()
+    capped = k_core(_edges(spark, chain), k=2, max_rounds=7).toPandas()
+    assert len(full) == 0 and len(capped) == 0
+    # and on a graph WITH a surviving core the results agree row-for-row
+    full = k_core(_edges(spark, CLIQUE_CHAIN), k=3, max_rounds=50).toPandas()
+    capped = k_core(_edges(spark, CLIQUE_CHAIN), k=3, max_rounds=3).toPandas()
+    assert sorted(map(tuple, full.values.tolist())) == sorted(
+        map(tuple, capped.values.tolist())
+    )
+
+
+def test_kcore_direction_erased(spark):
+    # reversed edge list gives the identical core
+    rev = [(b, a) for a, b in CLIQUE_CHAIN]
+    r1 = k_core(_edges(spark, CLIQUE_CHAIN), k=3).toPandas()
+    r2 = k_core(_edges(spark, rev), k=3).toPandas()
+    assert sorted(map(tuple, r1.values.tolist())) == sorted(
+        map(tuple, r2.values.tolist())
+    )
+
+
+def test_kcore_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        k_core(_edges(spark, CLIQUE_CHAIN), k=0)
