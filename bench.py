@@ -623,6 +623,13 @@ def main() -> None:
         "cpus": CPUS,
         "edges_per_sec_per_superstep": results.get("edges_per_sec_per_superstep"),
         "scaling_efficiency": scaling.get("efficiency_median_superstep"),
+        # context for the single-box N->4N ratio: the engine's throughput as a
+        # fraction of a pure-numpy pinned replay of the same kernel at the same
+        # core count (~1.0 = at the HOST's own memory-system ceiling; see
+        # BENCH/BASELINE.md scaling section for the full analysis)
+        "engine_fraction_of_host_roofline": (scaling.get("roofline") or {}).get(
+            "engine_fraction_of_roofline"
+        ),
         "dynamic_speedups": {
             f: {
                 "df": row.get("df_speedup_vs_static_loop"),

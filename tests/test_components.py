@@ -74,6 +74,34 @@ def test_triangles_none(spark):
     assert got == 0
 
 
+def test_triangles_methods_agree(spark):
+    # arrays (successor-set intersection) vs wedges (generate + semi-join
+    # close) on a random multigraph with self-loops and both directions
+    rng = np.random.default_rng(23)
+    n, m = 40, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    e = edges_df(spark, src, dst)
+    a = triangle_count(e, method="arrays").collect()[0]["n_triangles"]
+    w = triangle_count(e, method="wedges").collect()[0]["n_triangles"]
+    # brute-force oracle
+    und = {(int(a_), int(b_)) for a_, b_ in zip(src, dst) if a_ != b_}
+    und |= {(b_, a_) for a_, b_ in und}
+    adj = {}
+    for x, y in und:
+        adj.setdefault(x, set()).add(y)
+    want = (
+        sum(
+            len(adj[x] & adj[y])
+            for x in adj
+            for y in adj[x]
+            if x < y
+        )
+        // 3
+    )
+    assert a == w == want
+
+
 def test_lpa_two_cliques(spark):
     # two 4-cliques joined by one edge → LPA should find 2 communities
     import itertools
