@@ -790,6 +790,40 @@ def q_k_core(spark, sf_dir):
     return res.select(F.col("v").alias("entity"), F.col("deg"))
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components of the temporal transition graph
+    (operators/components.strongly_connected_components — FW-BW coloring:
+    forward min-label fixpoint + multi-source same-color backward BFS,
+    peeled per round) vs a recursive-CTE mutual-reachability oracle."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst")
+    res = strongly_connected_components(et)
+    return res.select(F.col("v").alias("entity"), F.col("scc"))
+
+
+def q_link_pred(spark, sf_dir):
+    """Co-purchase link prediction on the customer→part bipartite slice:
+    common-neighbor / Jaccard / Adamic-Adar scores for customer pairs
+    sharing ≥4 parts (operators/linkpred.link_prediction) vs the direct
+    SQL aggregation oracle."""
+    from pagerank_cuda_dynamic_spark.operators.linkpred import link_prediction
+
+    e = _entity_edge_df(spark, sf_dir).where(
+        F.col("src").like("c%") & F.col("dst").like("p%")
+    )
+    res = link_prediction(e, min_common=4)
+    return res.select(
+        "a",
+        "b",
+        "cn",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -848,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "ppr_suppliers": q_ppr_suppliers,
         "k_core_30": q_k_core,
+        "scc": q_scc,
+        "link_pred_copurchase": q_link_pred,
     }
 
 
@@ -1730,6 +1766,43 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         "hits": _hits_sql(20),
         "ppr_suppliers": _ppr_sql(30),
         "k_core_30": _kcore_sql(30, 6),
+        # SCC ≡ mutual reachability: scc(v) = min u with v→*u and u→*v
+        # (self-loops dropped for propagation; loop endpoints stay vertices)
+        "scc": f"""
+WITH RECURSIVE et AS ({_EVENT_EDGES}),
+ed AS (SELECT DISTINCT src, dst FROM et),
+verts AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+e AS (SELECT src, dst FROM ed WHERE src <> dst),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+)
+SELECT r1.a AS entity, min(r1.b) AS scc
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a
+""",
+        "link_pred_copurchase": f"""
+WITH be AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+cp AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM be
+  WHERE src LIKE 'c%' AND dst LIKE 'p%'),
+outdeg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM cp GROUP BY src),
+indeg AS MATERIALIZED (SELECT dst, count(*) AS d FROM cp GROUP BY dst),
+pairs AS MATERIALIZED (
+  SELECT a.src AS a, b.src AS b, count(*) AS cn,
+         sum(1.0 / ln(i.d)) AS aa
+  FROM cp a JOIN cp b ON a.dst = b.dst AND a.src < b.src
+  JOIN indeg i ON i.dst = a.dst
+  GROUP BY a.src, b.src
+  HAVING count(*) >= 4)
+SELECT p.a, p.b, p.cn,
+       round(p.cn * 1.0 / (da.d + db.d - p.cn), 6) AS jaccard,
+       round(p.aa, 6) AS adamic_adar
+FROM pairs p
+JOIN outdeg da ON da.v = p.a
+JOIN outdeg db ON db.v = p.b
+""",
     }
 
 
