@@ -824,6 +824,46 @@ def q_link_pred(spark, sf_dir):
     )
 
 
+def q_multi_source_distances(spark, sf_dir):
+    """G6 generalized: exact hop distances (s, v, dist) from seeds
+    c1/c2/c3 over the entity DAG — one multi-source level-synchronous
+    BFS keyed (s, v) (operators/graph.multi_source_distances), not |S|
+    sequential runs — vs a recursive-CTE min-dist closure oracle."""
+    from pagerank_cuda_dynamic_spark.operators.graph import multi_source_distances
+
+    e = _entity_edge_df(spark, sf_dir).select("src", "dst")
+    seeds = spark.createDataFrame([("c1",), ("c2",), ("c3",)], ["s"])
+    return multi_source_distances(e, seeds)
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Source-sampled harmonic centrality over customers c0–c99
+    (operators/graph.harmonic_centrality): C_H(v) = Σ_s 1/dist(s,v),
+    unreachable pairs contribute 0 — vs the same closure + aggregate
+    in recursive SQL."""
+    from pagerank_cuda_dynamic_spark.operators.graph import harmonic_centrality
+
+    e = _entity_edge_df(spark, sf_dir).select("src", "dst")
+    srcs = e.select("src").where(F.col("src").rlike("^c[0-9]{1,2}$")).distinct()
+    h = harmonic_centrality(e, srcs)
+    return h.select("v", F.round("harmonic", 6).alias("harmonic"))
+
+
+def q_walk_corpus(spark, sf_dir):
+    """Deterministic DeepWalk-style corpus from customers c0–c99, 4
+    steps, hash-argmin next-step rule with the cross-engine md5 hash
+    (operators/walks.deterministic_walks) vs a fully unrolled per-step
+    argmin oracle — byte-identical corpus regardless of partitioning."""
+    from pagerank_cuda_dynamic_spark.operators.walks import (
+        deterministic_walks,
+        md5_walk_hash,
+    )
+
+    e = _entity_edge_df(spark, sf_dir).select("src", "dst")
+    starts = e.select("src").where(F.col("src").rlike("^c[0-9]{1,2}$")).distinct()
+    return deterministic_walks(e, starts, steps=4, seed=0, hash_fn=md5_walk_hash)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -884,6 +924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_30": q_k_core,
         "scc": q_scc,
         "link_pred_copurchase": q_link_pred,
+        "multi_source_distances": q_multi_source_distances,
+        "harmonic_centrality": q_harmonic_centrality,
+        "walk_corpus": q_walk_corpus,
     }
 
 
@@ -1298,6 +1341,33 @@ SELECT k.doc_id, l.lang_pred, q.quality
 FROM kept k JOIN lang l ON l.doc_id = k.doc_id JOIN q ON q.doc_id = k.doc_id
 WHERE l.lang_pred = 'en' AND q.quality >= 0.35
 """
+
+
+def _walk_sql(steps: int, seed: int) -> str:
+    """Unrolled hash-argmin walk oracle: per step, join the current
+    frontier to the edge table, 60-bit md5('walk_id#step#dst#seed') each
+    candidate, keep the (hash, dst)-min row per walk — the exact rule of
+    operators/walks.deterministic_walks with md5_walk_hash."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),",
+        "w0 AS (SELECT DISTINCT src AS walk_id, src AS v FROM e"
+        " WHERE regexp_matches(src, '^c[0-9]{1,2}$'))",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f""",
+s{t} AS (
+  SELECT w{t-1}.walk_id, e.dst AS v,
+         CAST(concat('0x', substr(md5(concat_ws('#', w{t-1}.walk_id, '{t}', e.dst, '{seed}')), 1, 15)) AS BIGINT) AS h
+  FROM w{t-1} JOIN e ON e.src = w{t-1}.v),
+w{t} AS (SELECT walk_id, v FROM (
+  SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id ORDER BY h, v) AS rn
+  FROM s{t}) WHERE rn = 1)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, v FROM w{t}" for t in range(steps + 1)
+    )
+    return "\n".join(parts) + "\n" + sel
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1803,6 +1873,27 @@ FROM pairs p
 JOIN outdeg da ON da.v = p.a
 JOIN outdeg db ON db.v = p.b
 """,
+        "multi_source_distances": f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+reach(s, v, dist) AS (
+  SELECT s, s, 0 FROM (VALUES ('c1'), ('c2'), ('c3')) seeds(s)
+  UNION
+  SELECT reach.s, e.dst, reach.dist + 1 FROM reach JOIN e ON e.src = reach.v)
+SELECT s, v, min(dist) AS dist FROM reach GROUP BY s, v
+""",
+        "harmonic_centrality": f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+srcs AS MATERIALIZED (
+  SELECT DISTINCT src AS s FROM e WHERE regexp_matches(src, '^c[0-9]{{1,2}}$')),
+reach(s, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT reach.s, e.dst, reach.dist + 1 FROM reach JOIN e ON e.src = reach.v),
+md AS (SELECT s, v, min(dist) AS d FROM reach GROUP BY s, v)
+SELECT v, round(sum(CAST(1.0 AS DOUBLE) / d), 6) AS harmonic
+FROM md WHERE d > 0 GROUP BY v
+""",
+        "walk_corpus": _walk_sql(4, 0),
     }
 
 

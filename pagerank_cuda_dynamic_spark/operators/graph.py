@@ -124,3 +124,59 @@ def bfs_reachable(edges: DataFrame, seeds: DataFrame, max_rounds: int = 10**9) -
         n += n_new
         rounds += 1
     return visited
+
+
+def multi_source_distances(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 10**9
+) -> DataFrame:
+    """Exact hop distances from EVERY source at once: one level-synchronous
+    BFS whose visited set is keyed (s, v) — the multi-source generalization
+    of bfs_reachable above (same frontier/visited loop; the reference's
+    G6 shape), not |S| sequential BFS runs.  Returns (s, v, dist) for every
+    reachable pair, dist 0 for the source itself.
+
+    Each round is one frontier ⋈ edges shuffle + a 2-key anti-join; rounds
+    = eccentricity bound (≤ max_depth).  sources: 1-column DataFrame."""
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize  # lazy: plans ↔ operators cycle
+
+    e = edges.select("src", "dst").distinct()
+    visited = (
+        sources.toDF("s")
+        .distinct()
+        .select("s", F.col("s").alias("v"), F.lit(0).alias("dist"))
+        .transform(materialize)
+    )
+    frontier = visited
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(e, frontier.v == e.src)
+            .select("s", F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, ["s", "v"], "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .transform(materialize)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).transform(materialize)
+        frontier = nxt
+    return visited
+
+
+def harmonic_centrality(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 10**9
+) -> DataFrame:
+    """Source-sampled harmonic centrality: C_H(v) = Σ_{s ∈ S, s≠v}
+    1/dist(s, v) over the given source set (the standard scalable
+    estimator — exact when S = V; unreachable pairs contribute 0 by
+    harmonic convention, which is why harmonic beats closeness on
+    disconnected graphs).  One multi_source_distances pass + one
+    aggregate."""
+    d = multi_source_distances(edges, sources, max_depth)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("v")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
+    )

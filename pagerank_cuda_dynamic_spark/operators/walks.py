@@ -1,0 +1,98 @@
+"""Deterministic random-walk corpus generation (DeepWalk / node2vec-p=q=1
+style) — the standard way to turn a link graph into embedding training
+sequences.
+
+True RNG walks are irreproducible across cluster sizes and retries; this
+operator derandomizes the next-step choice with a keyed hash argmin:
+
+    next(walk, t) = argmin_{dst ∈ N(cur)} ( H(walk_id, t, dst, seed), dst )
+
+H is a 60-bit hash.  For a fixed seed the walk corpus is a pure function
+of the graph — independent of partitioning, task order, and retries
+(the same property the engine's sampling/split operators guarantee,
+sampling.py), and regeneratable incrementally.  Ties (astronomically
+rare) break on dst, so the choice is total-ordered.
+
+Each step is one frontier ⋈ edges shuffle + a walk_id-partitioned
+window (rank-1 pick) — never a global window; walks that reach a sink
+vertex simply end (their rows stop at the last visited step).
+
+Default H is xxhash64 (JVM, fastest); pass `hash_fn=` a Column builder
+for cross-engine reproducibility (the driver query uses the md5-derived
+60-bit hash shared with the MinHash/SimHash oracles, dedup.py:530).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..plans.barrier import materialize
+
+
+def _default_hash(walk_id, step: int, dst, seed: int):
+    return F.xxhash64(walk_id, F.lit(step), dst, F.lit(seed))
+
+
+def md5_walk_hash(walk_id, step: int, dst, seed: int):
+    """Cross-engine step hash: 60-bit md5 of 'walk_id#step#dst#seed'
+    (first 15 hex chars parsed base-16 — same convention as the
+    MinHash/SimHash oracle hash, dedup.py `_md5_hash64`).  Spark's
+    conv(hex,16,10) and DuckDB's CAST('0x…' AS BIGINT) agree on it, so a
+    walk corpus built with this hash is value-checkable in pure SQL."""
+    s = F.concat_ws(
+        "#",
+        walk_id.cast("string"),
+        F.lit(str(step)),
+        dst.cast("string"),
+        F.lit(str(seed)),
+    )
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 8,
+    seed: int = 0,
+    hash_fn: Callable | None = None,
+) -> DataFrame:
+    """One walk per start vertex (walk_id = the start key).  Returns
+    (walk_id, step, v) with step 0 = the start; a walk ends early at the
+    first vertex with no out-edges.  `starts`: 1-column DataFrame of
+    start vertices."""
+    if steps < 0:
+        raise ValueError("deterministic_walks: steps must be >= 0")
+    h = hash_fn or _default_hash
+    e = edges.select("src", "dst").distinct().persist()
+    e.count()
+    cur = (
+        starts.toDF("v")
+        .distinct()
+        .select(F.col("v").alias("walk_id"), F.col("v"))
+        .transform(materialize)
+    )
+    out = cur.select("walk_id", F.lit(0).alias("step"), "v")
+    for t in range(1, steps + 1):
+        cand = e.join(
+            cur.withColumnRenamed("v", "src"), "src"
+        ).select(
+            "walk_id",
+            F.col("dst").alias("v"),
+            h(F.col("walk_id"), t, F.col("dst"), seed).alias("h"),
+        )
+        w = Window.partitionBy("walk_id").orderBy("h", "v")
+        cur = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("walk_id", "v")
+            .transform(materialize)
+        )
+        if cur.isEmpty():
+            break
+        out = out.union(cur.select("walk_id", F.lit(t).alias("step"), "v"))
+    out = out.transform(materialize)
+    e.unpersist()
+    return out
