@@ -864,6 +864,67 @@ def q_walk_corpus(spark, sf_dir):
     return deterministic_walks(e, starts, steps=4, seed=0, hash_fn=md5_walk_hash)
 
 
+def q_local_clustering(spark, sf_dir):
+    """Per-vertex local clustering coefficient on the events transition
+    graph (operators/components.local_clustering — degree-oriented
+    successor-intersection with per-member triangle credit) vs a direct
+    a<b<c triangle-join oracle."""
+    from pagerank_cuda_dynamic_spark.operators.components import local_clustering
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    res = local_clustering(et)
+    return res.select(
+        F.col("v").alias("entity"), "d", "tri", F.round("lcc", 6).alias("lcc")
+    )
+
+
+def q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style deterministic fanout sampling, k=3 over the
+    entity digraph with the cross-engine md5 hash
+    (operators/walks.sample_neighbors) vs a window-rank SQL oracle."""
+    from pagerank_cuda_dynamic_spark.operators.walks import (
+        md5_walk_hash,
+        sample_neighbors,
+    )
+
+    e = _entity_edge_df(spark, sf_dir).select("src", "dst")
+    return sample_neighbors(e, k=3, seed=0, hash_fn=md5_walk_hash)
+
+
+def q_feature_propagation(spark, sf_dir):
+    """2-hop SGC-style mean feature propagation over the events
+    transition graph (operators/features.propagate_features,
+    include_self): vertex features assigned from embeddings.parquet by
+    the cross-engine md5 hash mod |embeddings| — vs the unrolled
+    unnest + avg SQL oracle."""
+    from pagerank_cuda_dynamic_spark.operators.features import (
+        explode_features,
+        propagate_features,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb.count()
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    verts = (
+        et.select(F.col("src").alias("v"))
+        .unionByName(et.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    vmap = verts.select(
+        "v",
+        (
+            F.conv(F.substring(F.md5("v"), 1, 15), 16, 10).cast("long") % n_emb
+        ).alias("vec_id"),
+    )
+    feats = explode_features(
+        vmap.join(F.broadcast(emb), "vec_id").select("v", "embedding"),
+        "v",
+        "embedding",
+    )
+    x = propagate_features(et, feats, hops=2, include_self=True)
+    return x.select("v", "dim", F.round("val", 6).alias("val"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -927,6 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_source_distances": q_multi_source_distances,
         "harmonic_centrality": q_harmonic_centrality,
         "walk_corpus": q_walk_corpus,
+        "local_clustering": q_local_clustering,
+        "neighbor_sample": q_neighbor_sample,
+        "feature_propagation": q_feature_propagation,
     }
 
 
@@ -1894,6 +1958,53 @@ SELECT v, round(sum(CAST(1.0 AS DOUBLE) / d), 6) AS harmonic
 FROM md WHERE d > 0 GROUP BY v
 """,
         "walk_corpus": _walk_sql(4, 0),
+        "local_clustering": f"""
+WITH et AS ({_EVENT_EDGES}),
+e0 AS (SELECT DISTINCT src, dst FROM et),
+p AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst),
+deg AS (SELECT v, count(*) AS d FROM
+        (SELECT a AS v FROM p UNION ALL SELECT b FROM p) GROUP BY v),
+tri AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+        FROM p p1 JOIN p p2 ON p2.a = p1.b
+        JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b),
+credit AS (SELECT v, count(*) AS tri FROM
+           (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY v)
+SELECT deg.v AS entity, deg.d, coalesce(credit.tri, 0) AS tri,
+       round(CASE WHEN deg.d >= 2
+                  THEN 2.0 * coalesce(credit.tri, 0) / (deg.d * (deg.d - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg LEFT JOIN credit ON credit.v = deg.v
+""",
+        "neighbor_sample": f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (
+           PARTITION BY src
+           ORDER BY CAST(concat('0x', substr(md5(concat_ws('#', src, '0', dst, '0')), 1, 15)) AS BIGINT), dst
+         ) AS pos
+  FROM e)
+SELECT src, dst, pos FROM ranked WHERE pos <= 3
+""",
+        "feature_propagation": f"""
+WITH et AS ({_EVENT_EDGES}),
+e0 AS (SELECT DISTINCT src, dst FROM et),
+verts AS (SELECT DISTINCT src AS v FROM e0 UNION SELECT dst FROM e0),
+e AS (SELECT src, dst FROM e0 UNION SELECT v, v FROM verts),
+vmap AS (SELECT v,
+  CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT)
+    % (SELECT count(*) FROM embeddings) AS vec_id FROM verts),
+x0 AS (SELECT vmap.v, generate_subscripts(em.embedding, 1) - 1 AS dim,
+              CAST(unnest(em.embedding) AS DOUBLE) AS val
+       FROM vmap JOIN embeddings em ON em.vec_id = vmap.vec_id),
+x1 AS (SELECT e.dst AS v, dim, avg(val) AS val
+       FROM e JOIN x0 ON x0.v = e.src GROUP BY e.dst, dim),
+x2 AS (SELECT e.dst AS v, dim, avg(val) AS val
+       FROM e JOIN x1 ON x1.v = e.src GROUP BY e.dst, dim)
+SELECT v, dim, round(val, 6) AS val FROM x2
+""",
     }
 
 

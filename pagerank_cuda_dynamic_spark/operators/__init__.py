@@ -8,6 +8,20 @@ from pagerank_cuda_dynamic_spark.operators.graph import (  # noqa: F401
     apply_batch,
     bfs_reachable,
 )
+from pagerank_cuda_dynamic_spark.operators.graph import (  # noqa: F401
+    harmonic_centrality,
+    multi_source_distances,
+)
+from pagerank_cuda_dynamic_spark.operators.walks import (  # noqa: F401
+    deterministic_walks,
+    md5_walk_hash,
+    sample_neighbors,
+)
+from pagerank_cuda_dynamic_spark.operators.features import (  # noqa: F401
+    collect_features,
+    explode_features,
+    propagate_features,
+)
 from pagerank_cuda_dynamic_spark.operators.pagerank import (  # noqa: F401
     PagerankOptions,
     PagerankResult,

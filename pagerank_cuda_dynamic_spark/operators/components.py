@@ -416,6 +416,74 @@ def triangle_count(edges: DataFrame, method: str = "arrays") -> DataFrame:
     return spark.createDataFrame([(int(n_tri),)], "n_triangles long")
 
 
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient on the simple undirected
+    graph: lcc(v) = 2·tri(v) / (d(v)·(d(v)−1)), 0 when d(v) < 2.
+
+    Same degree-oriented successor-intersection plan as
+    triangle_count(method="arrays") — per-vertex fan-out bounded by
+    arboricity, no wedge materialization — but the intersection is
+    EXPLODED so each triangle (x, y, z) credits all three members: total
+    exploded rows = 3·#triangles, never more.  Returns (v, d, tri, lcc)
+    for every vertex of the undirected graph."""
+    e = (
+        symmetrize(edges)
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .persist()
+    )
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
+    )
+    src_low = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = ed.select(
+        F.when(src_low, F.col("src")).otherwise(F.col("dst")).alias("x"),
+        F.when(src_low, F.col("dst")).otherwise(F.col("src")).alias("y"),
+    ).persist()
+    nbrs = fwd.groupBy("x").agg(F.collect_list("y").alias("nb"))
+    tri_rows = (
+        fwd.join(nbrs, "x")
+        .join(nbrs.withColumnRenamed("x", "y").withColumnRenamed("nb", "nb2"), "y")
+        .select("x", "y", F.explode(F.array_intersect("nb", "nb2")).alias("z"))
+    )
+    credit = (
+        tri_rows.select(F.col("x").alias("v"))
+        .unionByName(tri_rows.select(F.col("y").alias("v")))
+        .unionByName(tri_rows.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    out = (
+        deg.join(credit, "v", "left")
+        .select(
+            "v",
+            "d",
+            F.coalesce("tri", F.lit(0)).alias("tri"),
+            F.when(
+                F.col("d") >= 2,
+                2.0 * F.coalesce("tri", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+    out = materialize(out)
+    e.unpersist()
+    deg.unpersist()
+    fwd.unpersist()
+    return out
+
+
 def modularity(edges: DataFrame, membership: DataFrame) -> DataFrame:
     """Undirected modularity Q = Σ_c [ m_c/m − (K_c/(2m))² ]
     (properties.hxx:123–364 per-community weight aggregates).

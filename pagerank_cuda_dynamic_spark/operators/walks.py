@@ -52,6 +52,35 @@ def md5_walk_hash(walk_id, step: int, dst, seed: int):
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def sample_neighbors(
+    edges: DataFrame,
+    k: int,
+    seed: int = 0,
+    hash_fn: Callable | None = None,
+) -> DataFrame:
+    """GraphSAGE-style fanout sampling: keep ≤ k out-neighbors per
+    vertex, chosen by the same keyed-hash argmin rule as the walks —
+    rank dst by (H(src, dst, seed), dst) within each src and keep the
+    first k.  Deterministic across partitioning / retries / cluster
+    size, and incremental: an edge batch can be re-sampled without
+    touching untouched vertices.
+
+    One src-partitioned rank-k window over the (deduped) edge table —
+    never a global window; hubs cost O(d log d) locally and emit k rows.
+    Returns (src, dst, pos) with pos = 1‥k sample order."""
+    if k < 1:
+        raise ValueError("sample_neighbors: k must be >= 1")
+    h = hash_fn or (lambda s, t, d, sd: F.xxhash64(s, d, F.lit(sd)))
+    e = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("h", "dst")
+    return (
+        e.select("src", "dst", h(F.col("src"), 0, F.col("dst"), seed).alias("h"))
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select("src", "dst", "pos")
+    )
+
+
 def deterministic_walks(
     edges: DataFrame,
     starts: DataFrame,
