@@ -925,6 +925,50 @@ def q_feature_propagation(spark, sf_dir):
     return x.select("v", "dim", F.round("val", 6).alias("val"))
 
 
+def q_katz(spark, sf_dir):
+    """Katz centrality, 10 fixed rounds, α=0.05/β=1 over the events
+    transition graph (operators/centrality.katz — PageRank-joinagg
+    gather with zero in-loop driver traffic) vs a fully unrolled CTE
+    oracle."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import katz
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    res = katz(et, alpha=0.05, beta=1.0, iterations=10)
+    return res.select(F.col("v").alias("entity"), F.round("katz", 6).alias("katz"))
+
+
+def q_reciprocity(spark, sf_dir):
+    """Edge mutuality of the events transition graph
+    (operators/graph.reciprocity) vs the direct self-join oracle."""
+    from pagerank_cuda_dynamic_spark.operators.graph import reciprocity
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst")
+    res = reciprocity(et)
+    return res.select(
+        "n_edges", "n_reciprocal", F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the entity graph
+    (operators/graph.degree_assortativity — five sufficient moments in
+    one aggregate) vs the identical-arithmetic SQL oracle."""
+    from pagerank_cuda_dynamic_spark.operators.graph import degree_assortativity
+
+    res = degree_assortativity(_entity_edge_df(spark, sf_dir))
+    return res.select("m", F.round("r", 6).alias("r"))
+
+
+def q_avg_neighbor_degree(spark, sf_dir):
+    """Per-vertex mean undirected neighbor degree knn(v) on the entity
+    graph (operators/graph.avg_neighbor_degree) vs the direct join +
+    average oracle."""
+    from pagerank_cuda_dynamic_spark.operators.graph import avg_neighbor_degree
+
+    res = avg_neighbor_degree(_entity_edge_df(spark, sf_dir))
+    return res.select("v", "d", F.round("knn", 6).alias("knn"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -991,6 +1035,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": q_local_clustering,
         "neighbor_sample": q_neighbor_sample,
         "feature_propagation": q_feature_propagation,
+        "katz_10": q_katz,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
     }
 
 
@@ -1405,6 +1453,30 @@ SELECT k.doc_id, l.lang_pred, q.quality
 FROM kept k JOIN lang l ON l.doc_id = k.doc_id JOIN q ON q.doc_id = k.doc_id
 WHERE l.lang_pred = 'en' AND q.quality >= 0.35
 """
+
+
+def _katz_sql(alpha: float, beta: float, iters: int) -> str:
+    """Unrolled Katz recurrence over the events transition graph —
+    mirrors operators/centrality.katz state-for-state (x0 = β·1)."""
+    ctes = [
+        f"WITH et AS ({_EVENT_EDGES}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM et WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),",
+        f"x0 AS MATERIALIZED (SELECT v, CAST({beta} AS DOUBLE) AS s FROM verts)",
+    ]
+    for i in range(1, iters):
+        ctes.append(
+            f""",
+x{i} AS MATERIALIZED (
+  SELECT verts.v, {beta} + {alpha} * coalesce(sum(x{i-1}.s), 0) AS s
+  FROM verts LEFT JOIN e ON e.dst = verts.v
+  LEFT JOIN x{i-1} ON x{i-1}.v = e.src
+  GROUP BY verts.v)"""
+        )
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT v AS entity, round(s, 6) AS katz FROM x{iters - 1}"
+    )
 
 
 def _walk_sql(steps: int, seed: int) -> str:
@@ -2004,6 +2076,44 @@ x1 AS (SELECT e.dst AS v, dim, avg(val) AS val
 x2 AS (SELECT e.dst AS v, dim, avg(val) AS val
        FROM e JOIN x1 ON x1.v = e.src GROUP BY e.dst, dim)
 SELECT v, dim, round(val, 6) AS val FROM x2
+""",
+        "katz_10": _katz_sql(0.05, 1.0, 10),
+        "reciprocity": f"""
+WITH et AS ({_EVENT_EDGES}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM et WHERE src <> dst),
+rec AS (SELECT count(*) AS c FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src),
+tot AS (SELECT count(*) AS n FROM e)
+SELECT n AS n_edges, c AS n_reciprocal,
+       round(CAST(c AS DOUBLE) / n, 6) AS reciprocity
+FROM rec, tot
+""",
+        "assortativity": f"""
+WITH be AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT src, dst FROM be WHERE src <> dst
+  UNION SELECT dst, src FROM be WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM und GROUP BY src),
+j AS (SELECT dx.d AS dx, dy.d AS dy
+      FROM und JOIN deg dx ON dx.v = und.src JOIN deg dy ON dy.v = und.dst),
+mo AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+              sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+       FROM j)
+SELECT m,
+       round((CAST(sxy AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m))
+             / (sqrt(CAST(sxx AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+                * sqrt(CAST(syy AS DOUBLE) / m - (CAST(sy AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m))),
+             6) AS r
+FROM mo
+""",
+        "avg_neighbor_degree": f"""
+WITH be AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT src, dst FROM be WHERE src <> dst
+  UNION SELECT dst, src FROM be WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM und GROUP BY src)
+SELECT deg.v, deg.d, round(avg(dn.d), 6) AS knn
+FROM und JOIN deg ON deg.v = und.src JOIN deg dn ON dn.v = und.dst
+GROUP BY deg.v, deg.d
 """,
     }
 

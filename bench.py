@@ -560,6 +560,56 @@ def section_ops(spark, results: dict) -> None:
         "ann_ivf_topk",
         lambda: ivf_topk(emb, k=10, n_cells=64, n_probe=4, lloyd_iters=2).count(),
     )
+    from pagerank_cuda_dynamic_spark.operators.walks import (
+        deterministic_walks,
+        sample_neighbors,
+    )
+
+    ent = derive_entity_edges(spark, SF_DIR).select("src", "dst").persist()
+    ent.count()
+    starts = ent.select("src").where(F.col("src").like("c%")).distinct().limit(20000)
+    timed(
+        "walk_corpus",
+        lambda: deterministic_walks(ent, starts, steps=4).count(),
+    )
+    timed("neighbor_sample", lambda: sample_neighbors(ent, k=5).count())
+    from pagerank_cuda_dynamic_spark.operators.components import local_clustering
+    from pagerank_cuda_dynamic_spark.operators.features import (
+        explode_features,
+        propagate_features,
+    )
+
+    timed(
+        "local_clustering",
+        lambda: local_clustering(
+            edges_from_events(spark, SF_DIR).select("src", "dst").distinct()
+        ).agg(F.sum("tri")).collect(),
+    )
+
+    def feat_prop():
+        verts = (
+            ent.select(F.col("src").alias("v"))
+            .unionByName(ent.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        n_emb = emb.count()
+        vmap = verts.select(
+            "v",
+            (F.conv(F.substring(F.md5("v"), 1, 15), 16, 10).cast("long") % n_emb).alias(
+                "vec_id"
+            ),
+        )
+        feats = explode_features(
+            vmap.join(F.broadcast(emb.select("vec_id", "embedding")), "vec_id").select(
+                "v", "embedding"
+            ),
+            "v",
+            "embedding",
+        )
+        return propagate_features(ent, feats, hops=2, include_self=True).count()
+
+    timed("feature_propagation", feat_prop)
+    ent.unpersist()
     g.unpersist()
 
 

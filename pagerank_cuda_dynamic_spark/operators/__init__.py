@@ -9,8 +9,17 @@ from pagerank_cuda_dynamic_spark.operators.graph import (  # noqa: F401
     bfs_reachable,
 )
 from pagerank_cuda_dynamic_spark.operators.graph import (  # noqa: F401
+    avg_neighbor_degree,
+    degree_assortativity,
     harmonic_centrality,
     multi_source_distances,
+    reciprocity,
+)
+from pagerank_cuda_dynamic_spark.operators.centrality import (  # noqa: F401
+    hits,
+    k_core,
+    katz,
+    personalized_pagerank,
 )
 from pagerank_cuda_dynamic_spark.operators.walks import (  # noqa: F401
     deterministic_walks,

@@ -114,6 +114,62 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
     return out
 
 
+def katz(
+    edges: DataFrame,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    iterations: int = 10,
+) -> DataFrame:
+    """Katz centrality, `iterations` synchronous rounds of
+
+        x[v] ← β + α · Σ_{(u,v)∈E} x[u]        starting from x ≡ 0,
+
+    i.e. after `iterations` total states (x⁰ = β·1 included) the
+    truncated Katz series Σ_{k<K} α^k·β·(Aᵀ)^k·1 — every walk INTO v of
+    length < K, damped by α per hop.  Fixed iteration count is
+    part of the contract (like k_core's round cap) so a fixed-unroll SQL
+    oracle agrees unconditionally; callers pick α below 1/λ_max for the
+    series to converge.  Self-loops excluded (a page endorsing itself
+    earns no Katz walk).  Returns (v, katz).
+
+    Same superstep shape as the PageRank joinagg gather — one edge-keyed
+    shuffle + a left join back to the vertex set per round; no
+    normalization barrier (Katz is not a probability), so NO driver
+    traffic at all inside the loop."""
+    e = _distinct_edges(edges).where(F.col("src") != F.col("dst")).persist()
+    e.count()
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    verts.count()
+    x = verts.select("v", F.lit(float(beta)).alias("s")).transform(materialize)
+    for _ in range(iterations - 1):
+        x = (
+            verts.join(
+                e.join(x.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("s").alias("acc")),
+                "v",
+                "left",
+            )
+            .select(
+                "v",
+                (
+                    F.lit(float(beta))
+                    + F.lit(float(alpha)) * F.coalesce(F.col("acc"), F.lit(0.0))
+                ).alias("s"),
+            )
+            .transform(materialize)
+        )
+    out = x.withColumnRenamed("s", "katz")
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,

@@ -180,3 +180,97 @@ def harmonic_centrality(
         .groupBy("v")
         .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Fraction of directed (non-self, deduped) edges whose reverse edge
+    also exists — link-graph mutuality (≈0 for the web, high for social
+    graphs).  One self-semi-join + two counts; returns one row
+    (n_edges, n_reciprocal, reciprocity)."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    stats = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+        )
+    )
+    out = stats.collect()[0]
+    e.unpersist()
+    return edges.sparkSession.createDataFrame(
+        [(out["n_edges"], out["n_reciprocal"], float(out["reciprocity"]))],
+        "n_edges long, n_reciprocal long, reciprocity double",
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman's degree assortativity r on the simple undirected graph:
+    the Pearson correlation of (deg(u), deg(v)) over all ORDERED edge
+    endpoint pairs (each undirected edge contributes both directions, so
+    r is symmetric by construction).  Computed from the five sufficient
+    moments (Σx, Σy, Σxy, Σx², Σy², m) in ONE aggregate over the
+    symmetrized edge set — no correlation built-in, so the SQL oracle is
+    the same arithmetic to the last bit.  Returns one row (m, r)."""
+    und = (
+        symmetrize(edges)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .persist()
+    )
+    deg = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        und.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "dx"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dy"), "dst")
+    )
+    mo = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    ).collect()[0]
+    und.unpersist()
+    m = mo["m"]
+    num = mo["sxy"] / m - (mo["sx"] / m) * (mo["sy"] / m)
+    denx = mo["sxx"] / m - (mo["sx"] / m) ** 2
+    deny = mo["syy"] / m - (mo["sy"] / m) ** 2
+    r = num / (denx**0.5 * deny**0.5) if denx > 0 and deny > 0 else 0.0
+    return edges.sparkSession.createDataFrame(
+        [(int(m), float(r))], "m long, r double"
+    )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Per-vertex mean degree of undirected neighbors, knn(v) — the
+    vertex-level view of assortativity (slope of knn vs d(v) has r's
+    sign).  One degree aggregate + one edge join + one average.
+    Returns (v, d, knn)."""
+    und = (
+        symmetrize(edges)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .persist()
+    )
+    deg = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d")).persist()
+    knn = (
+        und.join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dn"), "dst")
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.avg("dn").alias("knn"))
+    )
+    out = deg.join(knn, "v").select("v", "d", "knn")
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    out = materialize(out)
+    und.unpersist()
+    deg.unpersist()
+    return out

@@ -167,3 +167,51 @@ def test_line_dedup_jvm_side_no_raw_line_shuffle(spark, docs):
     p = plan_of(line_dedup(docs.select("doc_id", "text")))
     assert "BatchEvalPython" not in p
     assert "md5" in p  # the constant-size key is what shuffles
+
+
+def test_new_graph_ops_jvm_side_and_window_scope(spark):
+    """Round-4 additions: walks / sampling / propagation / stats stay
+    JVM-side, and every window is key-partitioned (no Exchange
+    SinglePartition from a global window)."""
+    import numpy as np
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.features import (
+        explode_features,
+        propagate_features,
+    )
+    from pagerank_cuda_dynamic_spark.operators.walks import sample_neighbors
+
+    pdf = pd.DataFrame(
+        {"src": np.arange(50, dtype=np.int64) % 10, "dst": np.arange(50, dtype=np.int64) % 7}
+    )
+    e = spark.createDataFrame(pdf)
+    p = plan_of(sample_neighbors(e, k=3))
+    assert "BatchEvalPython" not in p
+    # the rank-k window must be src-partitioned, never a global window
+    assert "SinglePartition" not in p
+
+    feats = explode_features(
+        spark.createDataFrame(
+            pd.DataFrame({"v": [0, 1], "embedding": [[1.0, 2.0], [3.0, 4.0]]})
+        ),
+        "v",
+        "embedding",
+    )
+    assert "BatchEvalPython" not in plan_of(propagate_features(e, feats, hops=1))
+
+
+def test_harmonic_and_walk_rounds_jvm_side(spark):
+    import numpy as np
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.graph import harmonic_centrality
+    from pagerank_cuda_dynamic_spark.operators.walks import deterministic_walks
+
+    pdf = pd.DataFrame(
+        {"src": np.arange(60, dtype=np.int64) % 12, "dst": (np.arange(60, dtype=np.int64) * 7) % 11}
+    )
+    e = spark.createDataFrame(pdf)
+    starts = e.select("src").distinct().limit(5)
+    assert "BatchEvalPython" not in plan_of(deterministic_walks(e, starts, steps=2))
+    assert "BatchEvalPython" not in plan_of(harmonic_centrality(e, starts, max_depth=2))
