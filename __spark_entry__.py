@@ -969,6 +969,19 @@ def q_avg_neighbor_degree(spark, sf_dir):
     return res.select("v", "d", F.round("knn", 6).alias("knn"))
 
 
+def q_betweenness(spark, sf_dir):
+    """Source-sampled Brandes betweenness from customers c0–c19 over the
+    entity DAG, max_depth=4 contract (operators/centrality.betweenness —
+    all sources advance in one (s,v)-keyed frontier; backward σ-ratio
+    dependency sweep) vs a fully unrolled forward+backward SQL oracle."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import betweenness
+
+    e = _entity_edge_df(spark, sf_dir).select("src", "dst")
+    srcs = e.select("src").where(F.col("src").rlike("^c1?[0-9]$")).distinct()
+    res = betweenness(e, srcs, max_depth=4)
+    return res.select("v", F.round("bc", 6).alias("bc"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -1036,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": q_neighbor_sample,
         "feature_propagation": q_feature_propagation,
         "katz_10": q_katz,
+        "betweenness": q_betweenness,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "avg_neighbor_degree": q_avg_neighbor_degree,
@@ -1476,6 +1490,48 @@ x{i} AS MATERIALIZED (
     return (
         "\n".join(ctes)
         + f"\nSELECT v AS entity, round(s, 6) AS katz FROM x{iters - 1}"
+    )
+
+
+def _betweenness_sql(depth: int) -> str:
+    """Unrolled Brandes: forward levels lev0‥levT (σ path counts, visited
+    exclusion), backward dependency CTEs dT‥d1, bc = Σ non-source δ —
+    mirrors operators/centrality.betweenness level-for-level."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL}) WHERE src <> dst),",
+        "lev0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS v, CAST(1 AS DOUBLE) AS sig"
+        " FROM e WHERE regexp_matches(src, '^c1?[0-9]$')),",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM lev0)",
+    ]
+    for t in range(1, depth + 1):
+        parts.append(
+            f""",
+lev{t} AS MATERIALIZED (
+  SELECT lev{t-1}.s, e.dst AS v, sum(lev{t-1}.sig) AS sig
+  FROM lev{t-1} JOIN e ON e.src = lev{t-1}.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{t-1} x WHERE x.s = lev{t-1}.s AND x.v = e.dst)
+  GROUP BY lev{t-1}.s, e.dst),
+vis{t} AS MATERIALIZED (SELECT s, v FROM vis{t-1} UNION ALL SELECT s, v FROM lev{t})"""
+        )
+    parts.append(
+        f",\nd{depth} AS MATERIALIZED (SELECT s, v, sig, CAST(0 AS DOUBLE) AS delta FROM lev{depth})"
+    )
+    for t in range(depth - 1, 0, -1):
+        parts.append(
+            f""",
+d{t} AS MATERIALIZED (
+  SELECT lev{t}.s, lev{t}.v, lev{t}.sig,
+         coalesce(sum(lev{t}.sig / d{t+1}.sig * (1 + d{t+1}.delta)), 0) AS delta
+  FROM lev{t} LEFT JOIN e ON e.src = lev{t}.v
+  LEFT JOIN d{t+1} ON d{t+1}.s = lev{t}.s AND d{t+1}.v = e.dst
+  GROUP BY lev{t}.s, lev{t}.v, lev{t}.sig)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT v, delta FROM d{t}" for t in range(1, depth + 1)
+    )
+    return (
+        "\n".join(parts)
+        + f"\nSELECT v, round(sum(delta), 6) AS bc FROM ({union}) GROUP BY v"
     )
 
 
@@ -2078,6 +2134,7 @@ x2 AS (SELECT e.dst AS v, dim, avg(val) AS val
 SELECT v, dim, round(val, 6) AS val FROM x2
 """,
         "katz_10": _katz_sql(0.05, 1.0, 10),
+        "betweenness": _betweenness_sql(4),
         "reciprocity": f"""
 WITH et AS ({_EVENT_EDGES}),
 e AS MATERIALIZED (SELECT DISTINCT src, dst FROM et WHERE src <> dst),

@@ -253,6 +253,97 @@ def personalized_pagerank(
     return ranks
 
 
+def betweenness(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 10**9
+) -> DataFrame:
+    """Source-sampled betweenness centrality (Brandes), directed and
+    unweighted: for every s ∈ S run the forward level-synchronous BFS
+    keyed (s, v) accumulating shortest-path counts σ, then the backward
+    dependency sweep
+
+        δ(v) = Σ_{w : v→w, dist(w)=dist(v)+1} σ(v)/σ(w) · (1 + δ(w)),
+
+    and report bc(v) = Σ_s δ_s(v) over non-source rows.  Exact when
+    S = V; with sampled S it is the standard unbiased |S|/n-scaled
+    estimator (Brandes–Pich).  All |S| sources advance in ONE keyed
+    frontier per level — never |S| sequential runs.
+
+    Forward level = one frontier⋈edges shuffle + a (s,v) anti-join +
+    one σ-sum; backward level = one (s,succ) join + one σ-ratio sum.
+    2·eccentricity supersteps total; only isEmpty() scalars reach the
+    driver.  `max_depth` caps the sweep and is part of the contract
+    (fixed-unroll oracles agree unconditionally, like k_core's cap)."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    e.count()
+    lev0 = (
+        sources.toDF("s")
+        .distinct()
+        .select("s", F.col("s").alias("v"), F.lit(1.0).alias("sig"))
+        .transform(materialize)
+    )
+    levels = [lev0]
+    visited = lev0.select("s", "v")
+    t = 0
+    while t < max_depth:
+        t += 1
+        frontier = levels[-1]
+        nxt = (
+            frontier.join(e, frontier.v == e.src)
+            .select("s", F.col("dst").alias("v"), "sig")
+            .join(visited, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sig").alias("sig"))
+            .transform(materialize)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "v")).transform(materialize)
+    # backward dependency accumulation, deepest level first (δ there = 0)
+    deltas = [None] * len(levels)
+    deltas[-1] = levels[-1].select("s", "v", "sig", F.lit(0.0).alias("delta"))
+    for i in range(len(levels) - 2, -1, -1):
+        cur, succ = levels[i], deltas[i + 1]
+        contrib = (
+            cur.join(e, cur.v == e.src)
+            .join(
+                succ.select(
+                    "s",
+                    F.col("v").alias("dst"),
+                    F.col("sig").alias("sig_w"),
+                    F.col("delta").alias("delta_w"),
+                ),
+                ["s", "dst"],
+            )
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.col("sig") / F.col("sig_w") * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("acc")
+            )
+        )
+        deltas[i] = (
+            cur.join(contrib, ["s", "v"], "left")
+            .select(
+                "s", "v", "sig", F.coalesce("acc", F.lit(0.0)).alias("delta")
+            )
+            .transform(materialize)
+        )
+    e.unpersist()
+    non_source = deltas[1:]
+    if not non_source:
+        return lev0.select("v", F.lit(0.0).alias("bc")).where(F.lit(False))
+    alld = non_source[0]
+    for d in non_source[1:]:
+        alld = alld.unionByName(d)
+    return alld.groupBy("v").agg(F.sum("delta").alias("bc"))
+
+
 def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """k-core of the UNDIRECTED simple graph under `edges`: iteratively
     remove vertices whose degree in the surviving subgraph is < k until
