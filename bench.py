@@ -609,6 +609,16 @@ def section_ops(spark, results: dict) -> None:
         return propagate_features(ent, feats, hops=2, include_self=True).count()
 
     timed("feature_propagation", feat_prop)
+    from pagerank_cuda_dynamic_spark.operators.centrality import betweenness
+
+    timed(
+        "betweenness_c20",
+        lambda: betweenness(
+            ent,
+            ent.select("src").where(F.col("src").rlike("^c1?[0-9]$")).distinct(),
+            max_depth=4,
+        ).count(),
+    )
     ent.unpersist()
     g.unpersist()
 
