@@ -969,6 +969,33 @@ def q_avg_neighbor_degree(spark, sf_dir):
     return res.select("v", "d", F.round("knn", 6).alias("knn"))
 
 
+def q_closeness(spark, sf_dir):
+    """Source-sampled closeness from customers c0–c99 on the entity DAG
+    (operators/graph.closeness_centrality) vs the recursive-closure +
+    aggregate oracle."""
+    from pagerank_cuda_dynamic_spark.operators.graph import closeness_centrality
+
+    e = _entity_edge_df(spark, sf_dir).select("src", "dst")
+    srcs = e.select("src").where(F.col("src").rlike("^c[0-9]{1,2}$")).distinct()
+    res = closeness_centrality(e, srcs)
+    return res.select(
+        "v", "n_reached", F.round("closeness", 6).alias("closeness")
+    )
+
+
+def q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality, 20 power-iteration rounds over the events
+    transition graph (operators/centrality.eigenvector_centrality) vs a
+    fully unrolled gather+L2 CTE oracle."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        eigenvector_centrality,
+    )
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    res = eigenvector_centrality(et, iterations=20)
+    return res.select(F.col("v").alias("entity"), F.round("score", 6).alias("score"))
+
+
 def q_betweenness(spark, sf_dir):
     """Source-sampled Brandes betweenness from customers c0–c19 over the
     entity DAG, max_depth=4 contract (operators/centrality.betweenness —
@@ -1050,6 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_propagation": q_feature_propagation,
         "katz_10": q_katz,
         "betweenness": q_betweenness,
+        "closeness": q_closeness,
+        "eigenvector_20": q_eigenvector,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "avg_neighbor_degree": q_avg_neighbor_degree,
@@ -1178,6 +1207,29 @@ h{i} AS MATERIALIZED (
     body += f"""
 SELECT a{k}.v AS entity, round(a{k}.s, 6) AS auth, round(h{k}.s, 6) AS hub
 FROM a{k} JOIN h{k} ON h{k}.v = a{k}.v"""
+    return body
+
+
+def _eigen_sql(k: int) -> str:
+    """Unrolled k-round power iteration x ← Aᵀx with an L2 normalize per
+    round over the deduped self-loop-free events transition graph — the
+    literal recurrence of operators/centrality.eigenvector_centrality
+    (the authority half of _hits_sql run on A alone)."""
+    body = f"""WITH et AS ({_EVENT_EDGES}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM et WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM verts),
+x0 AS MATERIALIZED (SELECT v, 1.0/sqrt((SELECT n FROM nn)) AS s FROM verts)"""
+    for i in range(1, k + 1):
+        body += f""",
+x{i}r AS MATERIALIZED (
+  SELECT verts.v, coalesce(sum(x{i-1}.s), 0) AS s
+  FROM verts LEFT JOIN e ON e.dst = verts.v
+  LEFT JOIN x{i-1} ON x{i-1}.v = e.src
+  GROUP BY verts.v),
+x{i} AS MATERIALIZED (
+  SELECT v, s / (SELECT sqrt(sum(s*s)) FROM x{i}r) AS s FROM x{i}r)"""
+    body += f"\nSELECT v AS entity, round(s, 6) AS score FROM x{k}"
     return body
 
 
@@ -2085,6 +2137,20 @@ md AS (SELECT s, v, min(dist) AS d FROM reach GROUP BY s, v)
 SELECT v, round(sum(CAST(1.0 AS DOUBLE) / d), 6) AS harmonic
 FROM md WHERE d > 0 GROUP BY v
 """,
+        "closeness": f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+srcs AS MATERIALIZED (
+  SELECT DISTINCT src AS s FROM e WHERE regexp_matches(src, '^c[0-9]{{1,2}}$')),
+reach(s, v, dist) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT reach.s, e.dst, reach.dist + 1 FROM reach JOIN e ON e.src = reach.v),
+md AS (SELECT s, v, min(dist) AS d FROM reach GROUP BY s, v)
+SELECT v, count(*) AS n_reached,
+       round(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness
+FROM md WHERE d > 0 GROUP BY v
+""",
+        "eigenvector_20": _eigen_sql(20),
         "walk_corpus": _walk_sql(4, 0),
         "local_clustering": f"""
 WITH et AS ({_EVENT_EDGES}),

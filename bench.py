@@ -619,6 +619,24 @@ def section_ops(spark, results: dict) -> None:
             max_depth=4,
         ).count(),
     )
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        eigenvector_centrality,
+    )
+    from pagerank_cuda_dynamic_spark.operators.graph import closeness_centrality
+
+    timed(
+        "closeness_c100",
+        lambda: closeness_centrality(
+            ent,
+            ent.select("src").where(F.col("src").rlike("^c[0-9]{1,2}$")).distinct(),
+        ).count(),
+    )
+    timed(
+        "eigenvector_20",
+        lambda: eigenvector_centrality(
+            edges_from_events(spark, SF_DIR).select("src", "dst").distinct(), 20
+        ).count(),
+    )
     ent.unpersist()
     g.unpersist()
 

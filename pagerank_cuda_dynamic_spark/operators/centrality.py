@@ -253,6 +253,46 @@ def personalized_pagerank(
     return ranks
 
 
+def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
+    """Right-eigenvector centrality by power iteration: `iterations`
+    rounds of  x ← Aᵀx, L2-normalized each round, from x ≡ 1/√N — the
+    authority half of HITS run on A alone.  Fixed round count is the
+    contract (unrolled SQL oracle agrees unconditionally); on graphs
+    with a spectral gap it converges to the dominant eigenvector.
+    Self-loops excluded.  Returns (v, score).
+
+    Same superstep shape as the HITS half-step: one edge-keyed gather +
+    a scalar L2 barrier per round."""
+    e = _distinct_edges(edges).where(F.col("src") != F.col("dst")).persist()
+    e.count()
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    x = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(materialize)
+    for _ in range(iterations):
+        raw = (
+            verts.join(
+                e.join(x.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("s").alias("acc")),
+                "v",
+                "left",
+            )
+            .select("v", F.coalesce("acc", F.lit(0.0)).alias("s"))
+            .transform(materialize)
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n")).collect()[0]["n"]
+        x = raw.select("v", (F.col("s") / F.lit(norm)).alias("s")) if norm else raw
+    out = x.withColumnRenamed("s", "score")
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
 def betweenness(
     edges: DataFrame, sources: DataFrame, max_depth: int = 10**9
 ) -> DataFrame:

@@ -182,6 +182,27 @@ def harmonic_centrality(
     )
 
 
+def closeness_centrality(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 10**9
+) -> DataFrame:
+    """Source-sampled closeness: C(v) = |S_v| / Σ_{s∈S_v} dist(s, v)
+    where S_v = sources that reach v (dist > 0) — the reciprocal of the
+    average observed distance INTO v.  Exact when S = V; under sampling
+    it is the standard plug-in estimator.  One multi_source_distances
+    closure + one aggregate; unreachable pairs simply don't contribute
+    (use harmonic_centrality when disconnectedness should penalize).
+    Returns (v, n_reached, closeness)."""
+    d = multi_source_distances(edges, sources, max_depth)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            (F.count(F.lit(1)) / F.sum("dist")).alias("closeness"),
+        )
+    )
+
+
 def reciprocity(edges: DataFrame) -> DataFrame:
     """Fraction of directed (non-self, deduped) edges whose reverse edge
     also exists — link-graph mutuality (≈0 for the web, high for social

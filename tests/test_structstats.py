@@ -89,3 +89,47 @@ def test_avg_neighbor_degree(spark):
     # path 0–1–2 (undirected): knn(0)=2, knn(1)=1, knn(2)=2
     got = {r.v: (r.d, r.knn) for r in avg_neighbor_degree(edges_df(spark, [0, 1], [1, 2])).collect()}
     assert got == {0: (1, 2.0), 1: (2, 1.0), 2: (1, 2.0)}
+
+
+def _np_eigen(n, src, dst, iters):
+    pairs = {(s, d) for s, d in zip(src, dst) if s != d}
+    verts = sorted({v for e in pairs for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    x = np.full(len(verts), 1.0 / np.sqrt(len(verts)))
+    for _ in range(iters):
+        acc = np.zeros(len(verts))
+        for s, d in pairs:
+            acc[idx[d]] += x[idx[s]]
+        nrm = np.sqrt((acc * acc).sum())
+        x = acc / nrm if nrm else acc
+    return {v: x[idx[v]] for v in verts}
+
+
+def test_eigenvector_matches_numpy(spark):
+    from pagerank_cuda_dynamic_spark.operators.centrality import eigenvector_centrality
+
+    rng = np.random.default_rng(9)
+    src = np.concatenate([rng.integers(0, 12, 60), np.arange(12)]).tolist()
+    dst = np.concatenate([rng.integers(0, 12, 60), (np.arange(12) + 1) % 12]).tolist()
+    got = {r.v: r.score for r in eigenvector_centrality(edges_df(spark, src, dst), 15).collect()}
+    want = _np_eigen(12, src, dst, 15)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-10
+
+
+def test_closeness_line(spark):
+    from pagerank_cuda_dynamic_spark.operators.graph import closeness_centrality
+
+    import pandas as pd
+
+    srcs = spark.createDataFrame(pd.DataFrame({"s": np.arange(5, dtype=np.int64)}))
+    got = {
+        r.v: (r.n_reached, r.closeness)
+        for r in closeness_centrality(edges_df(spark, [0, 1, 2, 3], [1, 2, 3, 4]), srcs).collect()
+    }
+    # directed line: v reached from u<v at dist v-u
+    for v in range(1, 5):
+        total = sum(v - u for u in range(v))
+        assert got[v] == (v, v / total)
+    assert 0 not in got
