@@ -435,3 +435,48 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     return und.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def coreness(edges: DataFrame, rounds: int = 12) -> DataFrame:
+    """Full core decomposition (coreness number of EVERY vertex) by
+    h-index iteration (Lü et al. 2016): c₀(v) = deg(v);
+    c_{t+1}(v) = H({c_t(u) : u ∈ N(v)}) where H is the h-index — the
+    largest h such that ≥ h neighbors currently hold value ≥ h.  The
+    sequence is monotone non-increasing and converges to coreness(v)
+    exactly; the fixed `rounds` cap is the operator's contract (an
+    unrolled SQL oracle computes the identical capped sequence, and any
+    cap ≥ the convergence round count yields exact coreness — unlike
+    k_core, which answers one k, this labels every vertex at once).
+
+    Undirected simple view (symmetrize + self-loop erase).  Each round
+    is one edge⋈values shuffle + a per-vertex window (partitioned by
+    vertex, never global): h = max over neighbor-rank rn of
+    min(value_sorted_desc[rn], rn).  Skew posture: a hub's window is
+    O(deg) rows on one partition — the same bound as its degree count;
+    no driver traffic at any round.  Returns (v, coreness)."""
+    from pyspark.sql import Window
+
+    simple = _distinct_edges(edges).where(F.col("src") != F.col("dst"))
+    und = (
+        simple.union(
+            simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    und.count()
+    c = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    c = c.transform(materialize)
+    w = Window.partitionBy("src").orderBy(F.desc("nc"), "dst")
+    for _ in range(rounds):
+        vals = und.join(
+            c.withColumnRenamed("v", "dst").withColumnRenamed("c", "nc"), "dst"
+        )
+        c = (
+            vals.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.max(F.least(F.col("nc"), F.col("rn"))).alias("c"))
+            .transform(materialize)
+        )
+    und.unpersist()
+    return c.select("v", F.col("c").alias("coreness"))

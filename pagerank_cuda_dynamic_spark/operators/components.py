@@ -625,3 +625,184 @@ def strongly_connected_components(
     if done is None:
         return spark.createDataFrame([], "v string, scc string")
     return done
+
+
+def connected_components_incremental(
+    labels: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Insert-only DYNAMIC connected components — the CC analog of the
+    reference's dynamic-batch PageRank contract (batch.hxx insert path):
+    given an existing labeling and a batch of inserted edges, produce the
+    labeling of G ∪ batch touching O(|V|) map-side work + O(|batch|)
+    distributed merge work — never a full recompute.
+
+    labels: (v, component) with component = min member id (the invariant
+    every CC twin in this module produces).  batch: (src, dst); endpoints
+    absent from `labels` are treated as fresh singleton vertices.
+
+    Plan shape (100 TB posture):
+      1. batch endpoints → component ids: TWO broadcast hash joins of the
+         (small, by the dynamic-batch contract) batch against `labels`
+         — wait, labels is the BIG side, so the lookup is oriented the
+         other way: labels is scanned ONCE per endpoint side with the
+         broadcast batch as the build side (map-side, no |V| shuffle).
+      2. the distinct (comp_a, comp_b) pairs form a component graph of
+         size ≤ |batch|; pointer-jump CC merges it in O(log d) rounds.
+      3. the merge map (old component → new root, non-identity rows only,
+         ≤ 2|batch| rows) is broadcast and applied to `labels` with one
+         map-side left join — the only O(|V|) cost, shuffle-free.
+    Insertions only MERGE components (min of mins = global min), so the
+    output keeps the min-member-id invariant exactly.  Deletions split —
+    see connected_components_decremental."""
+    spark = labels.sparkSession
+    b = batch.select("src", "dst").dropDuplicates(["src", "dst"])
+    bverts = (
+        b.select(F.col("src").alias("v"))
+        .unionByName(b.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    # endpoint → component: scan labels once, broadcast the batch side
+    hit = labels.join(F.broadcast(bverts), "v", "left_semi").transform(materialize)
+    lookup = F.broadcast(hit)
+    news = bverts.join(F.broadcast(hit.select("v")), "v", "left_anti").select(
+        "v", F.col("v").alias("component")
+    )
+    cs = lookup.withColumnRenamed("v", "src").withColumnRenamed("component", "ca")
+    cd = lookup.withColumnRenamed("v", "dst").withColumnRenamed("component", "cb")
+    pairs = (
+        b.join(cs, "src", "left")
+        .join(cd, "dst", "left")
+        .select(
+            F.coalesce("ca", "src").alias("src"),
+            F.coalesce("cb", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    cverts = (
+        pairs.select(F.col("src").alias("v"))
+        .unionByName(pairs.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    merge = connected_components_pointer_jump(pairs, vertices=cverts).where(
+        F.col("v") != F.col("component")
+    )
+    # apply: one broadcast left join over labels ∪ fresh singletons
+    remap = F.broadcast(
+        merge.select(
+            F.col("v").alias("component"), F.col("component").alias("root")
+        )
+    )
+    return (
+        labels.unionByName(news)
+        .join(remap, "component", "left")
+        .select("v", F.coalesce("root", "component").alias("component"))
+    )
+
+
+def connected_components_decremental(
+    edges: DataFrame, labels: DataFrame, deletions: DataFrame
+) -> DataFrame:
+    """Edge-deletion DYNAMIC connected components: deletions can SPLIT a
+    component, which no label-merge trick repairs — the honest dynamic
+    contract is recompute-ONLY-the-affected-components (the CC analog of
+    the reference's Dynamic Traversal marking, pagerankCuda.hxx:439–456:
+    bound the recompute region by what the batch can possibly touch).
+
+    edges/labels: current graph + its labeling.  deletions: (src, dst)
+    rows to remove (directed rows; the undirected view follows from CC's
+    symmetrize, so deleting (a,b) while (b,a) survives keeps them
+    connected — set semantics, batch.hxx:222–247).
+
+    Plan shape: affected component ids come from a broadcast join of the
+    small deletion batch; the affected VERTEX set is one map-side
+    broadcast semi-join over labels (O(|V|) scan, no shuffle); the
+    affected EDGE set is one semi-join over edges keyed src (co-located
+    with the snapshot's ownership partitioning); pointer-jump CC reruns
+    on that O(affected) subgraph only, and every untouched component's
+    rows pass through unchanged."""
+    d = deletions.select("src", "dst").dropDuplicates(["src", "dst"])
+    # deleted edges live inside one component each: the src side suffices
+    aff = (
+        labels.join(
+            F.broadcast(d.select(F.col("src").alias("v")).distinct()), "v", "left_semi"
+        )
+        .select("component")
+        .distinct()
+        .transform(materialize)
+    )
+    av = labels.join(F.broadcast(aff), "component", "left_semi").transform(materialize)
+    e_aff = edges.select("src", "dst").join(
+        av.select(F.col("v").alias("src")), "src", "left_semi"
+    )
+    remaining = e_aff.join(F.broadcast(d), ["src", "dst"], "left_anti")
+    redo = connected_components_pointer_jump(
+        remaining, vertices=av.select("v")
+    )
+    keep = labels.join(F.broadcast(aff), "component", "left_anti")
+    return keep.unionByName(redo)
+
+
+def triangle_count_incremental(
+    old_edges: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Dynamic triangle count under edge insertions: T(G ∪ B) computed as
+    T(G) + |new triangles|, where the delta enumerates ONLY triangles
+    containing ≥1 genuinely-new edge — O(|B|·deg) work instead of a full
+    recount (the amortization the reference's batch loop lives on: the
+    base count is carried forward across batches; here it is recomputed
+    once for the self-contained API, which the caller amortizes).
+
+    Delta plan (100 TB posture): the tidy probe (is the batch edge
+    already present?) is ONE map-side pass over the oriented edge table
+    with the batch broadcast (tidy_batch orientation, graph.py); candidate
+    third vertices come from a broadcast hash join of the new edges
+    against the undirected adjacency (map-side — the big side probes);
+    the closing-edge check collects ONLY the adjacency of batch endpoints
+    (map-side broadcast semi-filter, then an O(deg(batch)) groupBy) and
+    verifies membership with array_contains.  Triangles reachable through
+    several new edges are deduped on the sorted vertex triple.  No stage
+    shuffles the full edge table."""
+    on = ["src", "dst"]
+    old_o = (
+        symmetrize(old_edges).where(F.col("src") < F.col("dst")).select(on)
+    )
+    bat_o = (
+        symmetrize(batch).where(F.col("src") < F.col("dst")).dropDuplicates(on)
+    )
+    hits = old_o.join(F.broadcast(bat_o), on, "left_semi").dropDuplicates(on)
+    new_o = bat_o.join(F.broadcast(hits), on, "left_anti").transform(materialize)
+    full_o = old_o.unionByName(new_o)
+    und = full_o.unionByName(
+        full_o.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # candidates: c ∈ N_full(a) for each new edge (a,b), c ≠ b
+    cand = (
+        und.join(
+            F.broadcast(new_o.withColumnRenamed("src", "a").withColumnRenamed("dst", "b")),
+            F.col("src") == F.col("a"),
+        )
+        .where(F.col("dst") != F.col("b"))
+        .select("a", "b", F.col("dst").alias("c"))
+    )
+    # closing check: c ∈ N_full(b), with N(b) gathered only for batch b's
+    nb = (
+        und.join(
+            F.broadcast(new_o.select(F.col("dst").alias("src")).distinct()),
+            "src",
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("b"))
+        .agg(F.collect_set("dst").alias("nb"))
+    )
+    tri = (
+        cand.join(F.broadcast(nb), "b")
+        .where(F.array_contains("nb", F.col("c")))
+        .select(F.sort_array(F.array("a", "b", "c")).alias("t"))
+        .distinct()
+    )
+    delta = tri.agg(F.count(F.lit(1)).alias("d"))
+    base = triangle_count(old_edges)
+    return base.crossJoin(delta).select(
+        (F.col("n_triangles") + F.col("d")).alias("n_triangles")
+    )

@@ -1,0 +1,149 @@
+"""Dynamic graph maintenance: incremental/decremental connected components,
+incremental triangle count, and coreness (h-index iteration) — each checked
+against a from-scratch recompute or a pure-Python reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from pagerank_cuda_dynamic_spark.operators.components import (
+    connected_components_decremental,
+    connected_components_incremental,
+    connected_components_joinagg,
+    triangle_count,
+    triangle_count_incremental,
+)
+from pagerank_cuda_dynamic_spark.operators.centrality import coreness
+
+from .conftest import edges_df
+
+
+def _rand_graph(seed, n, m):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    return src[keep].tolist(), dst[keep].tolist()
+
+
+def _labels(spark, src, dst, n):
+    return connected_components_joinagg(edges_df(spark, src, dst), n)
+
+
+def _as_dict(df):
+    return {r.v: r.component for r in df.collect()}
+
+
+def test_cc_incremental_matches_recompute(spark):
+    n = 40
+    src, dst = _rand_graph(3, n, 25)  # sparse → many components
+    bsrc, bdst = _rand_graph(4, n, 12)
+    base = _labels(spark, src, dst, n)
+    got = _as_dict(
+        connected_components_incremental(base, edges_df(spark, bsrc, bdst))
+    )
+    want = _as_dict(_labels(spark, src + bsrc, dst + bdst, n))
+    assert got == want
+
+
+def test_cc_incremental_new_vertices_and_chain_merge(spark):
+    # base: two components {0,1} and {2,3}; batch chains them through a
+    # brand-new vertex 9 and adds an isolated new pair (7,8)
+    base = _labels(spark, [0, 2], [1, 3], 4)
+    batch = edges_df(spark, [1, 9, 7], [9, 2, 8])
+    got = _as_dict(connected_components_incremental(base, batch))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 9: 0, 7: 7, 8: 7}
+
+
+def test_cc_decremental_splits_component(spark):
+    # line 0-1-2-3-4 plus separate pair (5,6); delete edge (2,3): the line
+    # splits into {0,1,2} and {3,4}; the pair's component must pass through
+    src = [0, 1, 2, 3, 5]
+    dst = [1, 2, 3, 4, 6]
+    e = edges_df(spark, src, dst)
+    labels = _labels(spark, src, dst, 7)
+    got = _as_dict(
+        connected_components_decremental(e, labels, edges_df(spark, [2], [3]))
+    )
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 5}
+
+
+def test_cc_decremental_matches_recompute(spark):
+    n = 30
+    src, dst = _rand_graph(7, n, 60)
+    e = edges_df(spark, src, dst)
+    labels = _labels(spark, src, dst, n)
+    # deterministic deletion of every 4th distinct edge
+    pairs = sorted({(s, d) for s, d in zip(src, dst)})
+    dels = pairs[::4]
+    remaining = [p for p in pairs if p not in set(dels)]
+    got = _as_dict(
+        connected_components_decremental(
+            e, labels, edges_df(spark, [s for s, _ in dels], [d for _, d in dels])
+        )
+    )
+    want = _as_dict(
+        _labels(spark, [s for s, _ in remaining], [d for _, d in remaining], n)
+    )
+    assert got == want
+
+
+def test_triangle_incremental_matches_recount(spark):
+    n = 25
+    src, dst = _rand_graph(11, n, 80)
+    bsrc, bdst = _rand_graph(12, n, 30)
+    got = triangle_count_incremental(
+        edges_df(spark, src, dst), edges_df(spark, bsrc, bdst)
+    ).collect()[0]["n_triangles"]
+    want = triangle_count(edges_df(spark, src + bsrc, dst + bdst)).collect()[0][
+        "n_triangles"
+    ]
+    assert got == want
+
+
+def test_triangle_incremental_batch_overlap_and_multi_new(spark):
+    # old: path 0-1-2; batch: closes the triangle AND re-inserts an existing
+    # edge (must be tidied away) AND adds two edges forming a second
+    # triangle that uses TWO new edges (dedup on the sorted triple)
+    old = edges_df(spark, [0, 1], [1, 2])
+    batch = edges_df(spark, [2, 0, 1, 3], [0, 1, 3, 2])
+    got = triangle_count_incremental(old, batch).collect()[0]["n_triangles"]
+    # union graph: triangle {0,1,2} and {1,2,3}
+    assert got == 2
+
+
+def test_coreness_matches_peel(spark):
+    # hand graph: a K4 on {0,1,2,3} (coreness 3) with a pendant vertex 4
+    # (coreness 1), a separate triangle {5,6,7} (coreness 2), and a
+    # pendant 8 hanging off the triangle (coreness 1)
+    src = [0, 0, 0, 1, 1, 2, 3, 5, 5, 6, 7]
+    dst = [1, 2, 3, 2, 3, 3, 4, 6, 7, 7, 8]
+    got = {r.v: r.coreness for r in coreness(edges_df(spark, src, dst), 10).collect()}
+    want = {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 2, 6: 2, 7: 2, 8: 1}
+    assert got == want
+
+
+def test_coreness_random_matches_networkx_style_peel(spark):
+    n = 30
+    src, dst = _rand_graph(21, n, 120)
+    got = {r.v: r.coreness for r in coreness(edges_df(spark, src, dst), 30).collect()}
+
+    # exact peel: repeatedly remove min-degree vertex; coreness = max degree
+    # seen at removal time (standard degeneracy-ordering algorithm)
+    pairs = {(s, d) for s, d in zip(src, dst) if s != d}
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    live = {v: set(ns) for v, ns in adj.items()}
+    want = {}
+    k = 0
+    while live:
+        v = min(live, key=lambda u: (len(live[u]), u))
+        k = max(k, len(live[v]))
+        want[v] = k
+        for u in live[v]:
+            live[u].discard(v)
+        del live[v]
+    assert got == want
