@@ -1009,6 +1009,95 @@ def q_betweenness(spark, sf_dir):
     return res.select("v", F.round("bc", 6).alias("bc"))
 
 
+def _edge_split_pred(mod: int, r: int = 0):
+    """Cross-engine deterministic edge split: md5-derived 60-bit hash of
+    'src|dst' mod `mod` — DuckDB computes the identical predicate
+    (CAST(concat('0x', substr(md5(src || '|' || dst), 1, 15)) AS BIGINT)),
+    so base/batch membership agrees on both sides bit-for-bit."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("src"), F.col("dst"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(mod)) == F.lit(r)
+
+
+def q_cc_incremental(spark, sf_dir):
+    """Insert-only DYNAMIC connected components (components.
+    connected_components_incremental — the CC analog of the reference's
+    batch-insert regime, batch.hxx insert path): ~20% of the event-graph
+    edges (md5 split) arrive as the batch against a pointer-jump labeling
+    of the remaining 80%; the O(|batch|)-work merge must equal a
+    from-scratch CC of the FULL graph — the oracle is that full-graph
+    recursive closure."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        connected_components_incremental,
+        connected_components_pointer_jump,
+    )
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    base = et.where(~_edge_split_pred(5))
+    batch = et.where(_edge_split_pred(5))
+    bverts = (
+        base.select(F.col("src").alias("v"))
+        .unionByName(base.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    labels = connected_components_pointer_jump(base, vertices=bverts)
+    return connected_components_incremental(labels, batch)
+
+
+def q_cc_decremental(spark, sf_dir):
+    """Edge-deletion DYNAMIC connected components (components.
+    connected_components_decremental): delete ~14% of the event-graph
+    edges (md5 split) from a full labeling; only the affected components
+    are recomputed (pointer-jump on the O(affected) subgraph), untouched
+    labels pass through.  Oracle: recursive closure over the surviving
+    edges seeded from the FULL original vertex set."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        connected_components_decremental,
+        connected_components_pointer_jump,
+    )
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    verts = (
+        et.select(F.col("src").alias("v"))
+        .unionByName(et.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    labels = connected_components_pointer_jump(et, vertices=verts)
+    dels = et.where(_edge_split_pred(7))
+    return connected_components_decremental(et, labels, dels)
+
+
+def q_triangles_incremental(spark, sf_dir):
+    """Dynamic triangle count under edge insertions (components.
+    triangle_count_incremental): ~25% of the event-graph edges (md5
+    split — the event transition graph actually HAS triangles, unlike
+    the near-bipartite entity graph) arrive as the batch; the count is
+    base + |new triangles| with the delta enumerated only around
+    genuinely-new edges.  Must equal the full-union recount oracle."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        triangle_count_incremental,
+    )
+
+    e = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    old = e.where(~_edge_split_pred(4))
+    batch = e.where(_edge_split_pred(4))
+    return triangle_count_incremental(old, batch)
+
+
+def q_coreness(spark, sf_dir):
+    """Full core decomposition by h-index iteration (centrality.coreness,
+    6 rounds — the capped sequence is the operator contract and the oracle
+    unrolls the identical rounds; any cap ≥ the convergence round count
+    yields exact coreness) over the undirected simple entity graph."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import coreness
+
+    e = _entity_edge_df(spark, sf_dir).select("src", "dst")
+    return coreness(e, rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -1082,6 +1171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "avg_neighbor_degree": q_avg_neighbor_degree,
+        "cc_incremental": q_cc_incremental,
+        "cc_decremental": q_cc_decremental,
+        "triangles_incremental": q_triangles_incremental,
+        "coreness": q_coreness,
     }
 
 
@@ -1612,6 +1705,33 @@ w{t} AS (SELECT walk_id, v FROM (
         f"SELECT walk_id, {t} AS step, v FROM w{t}" for t in range(steps + 1)
     )
     return "\n".join(parts) + "\n" + sel
+
+
+def _coreness_sql(rounds: int) -> str:
+    """Unrolled h-index coreness iteration (centrality.coreness contract):
+    c0 = degree on the undirected simple entity graph; each stage t is
+    c_t(v) = max over desc-ranked neighbor values of min(value, rank) —
+    the per-vertex h-index — exactly the operator's per-round window."""
+    stages = []
+    for t in range(1, rounds + 1):
+        stages.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT src AS v, max(least(nc, rn)) AS c FROM (
+    SELECT u.src, p.c AS nc,
+           row_number() OVER (PARTITION BY u.src ORDER BY p.c DESC, u.dst) AS rn
+    FROM und u JOIN c{t - 1} p ON p.v = u.dst) s
+  GROUP BY src
+)"""
+        )
+    body = ",\n".join(stages)
+    return f"""
+WITH be AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+simple AS MATERIALIZED (SELECT DISTINCT src, dst FROM be WHERE src <> dst),
+und AS MATERIALIZED (SELECT src, dst FROM simple UNION SELECT dst, src FROM simple),
+c0 AS MATERIALIZED (SELECT src AS v, count(*) AS c FROM und GROUP BY src),
+{body}
+SELECT v, c AS coreness FROM c{rounds}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2238,6 +2358,52 @@ SELECT deg.v, deg.d, round(avg(dn.d), 6) AS knn
 FROM und JOIN deg ON deg.v = und.src JOIN deg dn ON dn.v = und.dst
 GROUP BY deg.v, deg.d
 """,
+        # dynamic-CC oracle = from-scratch CC of the FULL graph: insertions
+        # only merge components, so the incremental result must be
+        # indistinguishable from a recompute over base ∪ batch
+        "cc_incremental": f"""
+WITH RECURSIVE et AS ({_EVENT_EDGES}),
+edges AS (SELECT DISTINCT src, dst FROM et),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS v FROM und),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.v
+)
+SELECT v, min(r) AS component FROM reach GROUP BY v
+""",
+        # decremental oracle: closure over SURVIVING directed edges (the md5
+        # split mirrors _edge_split_pred(7) exactly), seeded from the FULL
+        # original vertex set so vertices isolated by the deletions remain
+        "cc_decremental": f"""
+WITH RECURSIVE et AS ({_EVENT_EDGES}),
+edges AS (SELECT DISTINCT src, dst FROM et),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+keep AS (SELECT src, dst FROM edges
+         WHERE CAST(concat('0x', substr(md5(src || '|' || dst), 1, 15)) AS BIGINT) % 7 <> 0),
+und AS (SELECT src, dst FROM keep UNION SELECT dst, src FROM keep),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.v
+)
+SELECT v, min(r) AS component FROM reach GROUP BY v
+""",
+        # incremental triangle oracle = full-union recount over the EVENT
+        # graph (160 triangles at sf0.01 — the entity graph is
+        # near-bipartite and triangle-free, which would make the check
+        # vacuous): base + delta must equal the recount exactly
+        "triangles_incremental": f"""
+WITH et AS ({_EVENT_EDGES}),
+e0 AS (SELECT DISTINCT src, dst FROM et),
+und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+e AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)
+SELECT count(*) AS n_triangles
+FROM e ab JOIN e bc ON ab.dst = bc.src
+WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.src = ab.src AND ac.dst = bc.dst)
+""",
+        "coreness": _coreness_sql(6),
     }
 
 

@@ -637,6 +637,43 @@ def section_ops(spark, results: dict) -> None:
             edges_from_events(spark, SF_DIR).select("src", "dst").distinct(), 20
         ).count(),
     )
+    from pagerank_cuda_dynamic_spark.operators.centrality import coreness
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        connected_components_incremental,
+        connected_components_pointer_jump,
+        triangle_count_incremental,
+    )
+
+    timed("coreness_6", lambda: coreness(ent, rounds=6).count())
+
+    def cc_inc():
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15), 16, 10
+        ).cast("long")
+        base = ent.where(F.pmod(h, F.lit(5)) != 0)
+        batch = ent.where(F.pmod(h, F.lit(5)) == 0)
+        bverts = (
+            base.select(F.col("src").alias("v"))
+            .unionByName(base.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        labels = connected_components_pointer_jump(base, vertices=bverts)
+        return connected_components_incremental(labels, batch).count()
+
+    timed("cc_incremental", cc_inc)
+
+    def tri_inc():
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15), 16, 10
+        ).cast("long")
+        # event transition graph: the entity graph is near-bipartite
+        # (triangle-free), so the delta machinery would short-circuit
+        e = edges_from_events(spark, SF_DIR).select("src", "dst").distinct()
+        return triangle_count_incremental(
+            e.where(F.pmod(h, F.lit(4)) != 0), e.where(F.pmod(h, F.lit(4)) == 0)
+        ).collect()
+
+    timed("triangles_incremental", tri_inc)
     ent.unpersist()
     g.unpersist()
 
