@@ -591,6 +591,49 @@ def _weighted_edges(spark, sf_dir):
     )
 
 
+def _decayed_event_edges(spark, sf_dir):
+    """Time-DECAYED weighted transition graph over the events table: each
+    observed transition contributes weight 1000000 div (1 + age_days)
+    (integer division, age relative to the corpus max date), summed per
+    (src, dst).  Integer decay makes the weights EXACT cross-engine —
+    DuckDB's `//` computes the identical BIGINT — so the weighted-PR
+    oracle disagrees only in the final double rank ulps, same as the
+    static weighted query.  Recency-weighted PageRank is the canonical
+    link-graph freshness signal (temporal analog of the reference's
+    weighted mtx readers, mtx.hxx:119)."""
+    et = edges_from_events(spark, sf_dir).select("src", "dst", "ts")
+    mx = et.agg(F.max(F.to_date("ts")).alias("mx"))
+    return (
+        et.crossJoin(F.broadcast(mx))
+        .select(
+            "src",
+            "dst",
+            F.expr("1000000 div (1 + datediff(mx, to_date(ts)))").alias("wi"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("wi").cast("double").alias("w"))
+    )
+
+
+def q_pagerank_time_decay(spark, sf_dir):
+    """10 iterations of weighted PageRank over the time-decayed event
+    transition graph (BSP path, w-carrying packed blobs, dangling
+    redistribution) — exact-integer decay weights, unrolled weighted SQL
+    oracle."""
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import pagerank_weighted_bsp
+
+    e = _decayed_event_edges(spark, sf_dir)
+    d = build_vertex_dictionary(e, src="src", dst="dst").persist()
+    n = d.count()
+    enc = encode_edges(e, d, src="src", dst="dst", keep=("w",))
+    res = pagerank_weighted_bsp(
+        enc,
+        n,
+        PagerankOptions(dangling="redistribute", tolerance=0.0, max_iterations=10),
+    )
+    return _ranks_as_entities(spark, None, d, res.ranks)
+
+
 def q_pagerank_weighted(spark, sf_dir):
     """10 iterations of weighted PageRank (BSP path, w-carrying packed
     blobs, per-superstep dangling-mass redistribution) — value-checked
@@ -1087,6 +1130,24 @@ def q_triangles_incremental(spark, sf_dir):
     return triangle_count_incremental(old, batch)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance scores (sampling.dsir_importance — hashed-unigram
+    Laplace likelihood ratios in exact scaled-integer arithmetic, no
+    logs/libm): target = sources src1–src3, pool = everything else;
+    every pool doc's BIGINT score must match the DuckDB recomputation
+    bit-for-bit.  md5-derived cross-engine token hash (production default
+    stays xxhash64)."""
+    from pagerank_cuda_dynamic_spark.operators.sampling import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(
+        docs,
+        F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=1024,
+        token_hash=_md5_hash64,
+    )
+
+
 def q_coreness(spark, sf_dir):
     """Full core decomposition by h-index iteration (centrality.coreness,
     6 rounds — the capped sequence is the operator contract and the oracle
@@ -1171,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "avg_neighbor_degree": q_avg_neighbor_degree,
+        "pagerank_time_decay": q_pagerank_time_decay,
+        "dsir_weights": q_dsir_weights,
         "cc_incremental": q_cc_incremental,
         "cc_decremental": q_cc_decremental,
         "triangles_incremental": q_triangles_incremental,
@@ -1240,6 +1303,53 @@ def _wpr_sql(k: int) -> str:
          CAST(count(*) AS DOUBLE) AS w
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   GROUP BY 1, 2)""",
+        "wverts AS MATERIALIZED (SELECT src AS v FROM we UNION SELECT dst FROM we)",
+        "wdeg AS MATERIALIZED (SELECT src AS v, sum(w) AS wd FROM we GROUP BY src)",
+        "wn AS MATERIALIZED (SELECT we.src, we.dst, we.w / wdeg.wd AS wn FROM we JOIN wdeg ON wdeg.v = we.src)",
+        "wnn AS MATERIALIZED (SELECT count(*) AS n FROM wverts)",
+        "dangl AS MATERIALIZED (SELECT v FROM wverts WHERE v NOT IN (SELECT v FROM wdeg))",
+        "r0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM wnn) AS rank FROM wverts)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"dm{i - 1} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS m "
+            f"FROM r{i - 1} WHERE v IN (SELECT v FROM dangl))"
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT wverts.v,
+         (1-{DAMPING})/(SELECT n FROM wnn)
+           + {DAMPING} * (coalesce(sum(r{i-1}.rank * wn.wn), 0)
+                          + (SELECT m FROM dm{i-1})/(SELECT n FROM wnn)) AS rank
+  FROM wverts LEFT JOIN wn ON wn.dst = wverts.v
+  LEFT JOIN r{i-1} ON r{i-1}.v = wn.src
+  GROUP BY wverts.v
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT v AS entity, round(rank, 6) AS rank FROM r{k}"
+    )
+
+
+def _decay_wpr_sql(k: int) -> str:
+    """Unrolled k-iteration weighted PageRank over the TIME-DECAYED event
+    transition graph: w(src,dst) = Σ 1000000 // (1 + age_days) — exact
+    BIGINT cross-engine (mirrors _decayed_event_edges), then the identical
+    weighted recurrence as _wpr_sql."""
+    ctes = [
+        """WITH ev AS MATERIALIZED (
+  SELECT 'u' || (user_id % 16) || ':' || event_type AS dst,
+         LAG('u' || (user_id % 16) || ':' || event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         ts
+    FROM events)""",
+        "evn AS MATERIALIZED (SELECT src, dst, ts FROM ev WHERE src IS NOT NULL)",
+        "mx AS (SELECT CAST(max(ts) AS DATE) AS d FROM evn)",
+        """we AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(sum(1000000 // (1 + date_diff('day', CAST(ts AS DATE), (SELECT d FROM mx)))) AS DOUBLE) AS w
+  FROM evn GROUP BY src, dst)""",
         "wverts AS MATERIALIZED (SELECT src AS v FROM we UNION SELECT dst FROM we)",
         "wdeg AS MATERIALIZED (SELECT src AS v, sum(w) AS wd FROM we GROUP BY src)",
         "wn AS MATERIALIZED (SELECT we.src, we.dst, we.w / wdeg.wd AS wn FROM we JOIN wdeg ON wdeg.v = we.src)",
@@ -1791,6 +1901,7 @@ SELECT count(*) AS n_edges_after FROM after
         "pagerank_converged": _pr_sql(80),
         "pagerank_weighted": _wpr_sql(10),
         "pagerank_weighted_tcp": _wpr_sql(10),
+        "pagerank_time_decay": _decay_wpr_sql(10),
         "triangles": f"""
 WITH e0 AS MATERIALIZED ({ENTITY_EDGES_SQL}),
 und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
@@ -2404,6 +2515,34 @@ FROM e ab JOIN e bc ON ab.dst = bc.src
 WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.src = ab.src AND ac.dst = bc.dst)
 """,
         "coreness": _coreness_sql(6),
+        # exact integer DSIR: identical scaled-integer likelihood ratios
+        # (// is the same floor division as Spark's `div` on positives),
+        # so scores are BIGINT-equal — no float tolerance anywhere
+        "dsir_weights": """
+WITH tok AS (
+  SELECT doc_id, source IN ('src1','src2','src3') AS is_target,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+tb AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM tok
+),
+tot AS (SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS nt,
+               sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS ns FROM tb),
+ctb AS (SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+        FROM tb GROUP BY b),
+ratio AS (SELECT b,
+                 ((ct + 1) * ((SELECT ns FROM tot) + 1024) * 1000000)
+                   // ((cs + 1) * ((SELECT nt FROM tot) + 1024)) AS r
+          FROM ctb)
+SELECT tb.doc_id, CAST(sum(ratio.r) AS BIGINT) AS dsir_score
+FROM tb JOIN ratio ON ratio.b = tb.b
+WHERE NOT tb.is_target
+GROUP BY tb.doc_id
+""",
     }
 
 

@@ -524,6 +524,16 @@ def section_ops(spark, results: dict) -> None:
         "doc_chunks",
         lambda: chunk_documents(docs).agg(F.sum("n_tokens")).collect(),
     )
+    from pagerank_cuda_dynamic_spark.operators.sampling import dsir_importance
+
+    timed(
+        "dsir_weights",
+        lambda: dsir_importance(
+            docs, F.col("source").isin("src1", "src2", "src3")
+        )
+        .agg(F.sum("dsir_score"))
+        .collect(),
+    )
     from pagerank_cuda_dynamic_spark.operators.dedup import line_dedup
     from pagerank_cuda_dynamic_spark.operators.temporal import asof_join, session_stats
 

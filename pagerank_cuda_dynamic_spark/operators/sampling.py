@@ -64,4 +64,110 @@ def split_corpus(
     )
 
 
-__all__ = ["stratified_sample", "split_corpus"]
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: F.Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    over hashed unigram bucket features, in EXACT integer arithmetic:
+
+      bucket(t)   = token_hash(t) mod n_buckets
+      ratio(b)    = (ct(b)+1)·(Ns+B)·scale  //  ((cs(b)+1)·(Nt+B))
+                    (Laplace-smoothed target/source likelihood ratio,
+                     scaled integer division — no log, no libm)
+      score(doc)  = Σ over the doc's token OCCURRENCES of ratio(bucket)
+
+    target rows (target_pred true) define the target distribution; all
+    other rows are the raw pool and get scored.  Returns (id_col,
+    dsir_score:long) for pool docs.  Integer scores are exactly
+    reproducible cross-engine, so the driver oracle recomputes them
+    bit-for-bit; resampling = deterministic top-k on (score, id).
+
+    100 TB posture: the bucket→ratio map is ≤ n_buckets rows and is
+    broadcast; scoring is one map-side join over exploded tokens + one
+    groupBy(id) — a single keyed shuffle of (id, partial-sum) rows.  The
+    integer products bound: (ct+1)·(Ns+B)·scale < 2^63 needs token counts
+    ≲ 3e6 per side at scale=1e6; beyond that drop `scale` (the ratio
+    PRECISION knob, not a correctness knob) or pre-aggregate per-partition.
+    """
+    from pagerank_cuda_dynamic_spark.functions import tokens as _tokens
+
+    if token_hash is None:
+        token_hash = F.xxhash64
+    B = n_buckets
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_target"),
+        F.explode(_tokens(text_col)).alias("t"),
+    ).select(
+        "id", "is_target", F.pmod(token_hash(F.col("t")), F.lit(B)).alias("b")
+    )
+    tok = tok.persist()
+    totals = tok.groupBy("is_target").agg(F.count(F.lit(1)).alias("n"))
+    counts = tok.groupBy("b", "is_target").agg(F.count(F.lit(1)).alias("c"))
+    tp = {bool(r.is_target): int(r.n) for r in totals.collect()}
+    nt, ns = tp.get(True, 0), tp.get(False, 0)
+    ct = counts.where(F.col("is_target")).select("b", F.col("c").alias("ct"))
+    cs = counts.where(~F.col("is_target")).select("b", F.col("c").alias("cs"))
+    spark = docs.sparkSession
+    buckets = spark.range(B).select(F.col("id").cast("long").alias("b"))
+    ratio = (
+        buckets.join(ct, "b", "left")
+        .join(cs, "b", "left")
+        .select(
+            "b",
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                * F.lit(ns + B)
+                * F.lit(scale)
+            ).cast("long").alias("num"),
+            ((F.coalesce(F.col("cs"), F.lit(0)) + 1) * F.lit(nt + B))
+            .cast("long")
+            .alias("den"),
+        )
+        .select("b", F.expr("num div den").alias("r"))
+    )
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    scored = (
+        tok.where(~F.col("is_target"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(F.sum("r").alias("dsir_score"))
+        .select(F.col("id").alias(id_col), "dsir_score")
+        .transform(materialize)
+    )
+    tok.unpersist()
+    return scored
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_pred: F.Column,
+    n: int,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
+) -> DataFrame:
+    """Top-n pool docs by DSIR importance score with the deterministic
+    (score DESC, id ASC) tie-break — the resampling step as an exact
+    rank selection (integer scores ⇒ no float boundary flips).  Uses
+    sort+limit (TakeOrderedAndProject: per-partition top-n then a driver
+    merge of n·P rows), never a global window."""
+    scores = dsir_importance(
+        docs, target_pred, n_buckets, id_col, text_col, token_hash
+    )
+    return (
+        scores.orderBy(F.desc("dsir_score"), F.asc(id_col))
+        .limit(n)
+        .select(id_col, "dsir_score")
+    )
+
+
+__all__ = ["stratified_sample", "split_corpus", "dsir_importance", "dsir_resample"]

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from pagerank_cuda_dynamic_spark.operators.dedup import (
@@ -633,3 +634,47 @@ def test_token_vocabulary_deterministic_boundary(spark):
     assert list(out.tf) == [2, 2, 2]
     assert dict(zip(out.token, out.df))["aa"] == 1
     assert dict(zip(out.token, out.df))["bb"] == 2
+
+
+def test_dsir_importance_prefers_targetlike_docs(spark):
+    from pagerank_cuda_dynamic_spark.operators.sampling import dsir_importance
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "t"),
+        (2, "alpha gamma beta gamma", "t"),
+        (3, "alpha beta gamma", "p"),  # target-like pool doc
+        (4, "xray yankee zulu xray", "p"),  # pool-common doc
+        (5, "xray zulu yankee", "p"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    s = dsir_importance(docs, F.col("grp") == "t")
+    d = {r.doc_id: r.dsir_score for r in s.collect()}
+    # only pool docs are scored
+    assert set(d) == {3, 4, 5}
+    # per-token importance: the target-like doc dominates the pool-common one
+    assert d[3] / 3 > d[4] / 4
+    # exact integers => bit-identical under any layout
+    s2 = dsir_importance(docs.repartition(7), F.col("grp") == "t")
+    assert {r.doc_id: r.dsir_score for r in s2.collect()} == d
+
+
+def test_dsir_resample_deterministic_topn(spark):
+    from pagerank_cuda_dynamic_spark.operators.sampling import (
+        dsir_importance,
+        dsir_resample,
+    )
+
+    rows = [(i, "alpha beta" if i % 3 == 0 else "zulu yankee", "p") for i in range(30)]
+    rows += [(100, "alpha beta alpha", "t"), (101, "beta alpha beta", "t")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    top = dsir_resample(docs, F.col("grp") == "t", n=5)
+    got = [(r.doc_id, r.dsir_score) for r in top.collect()]
+    assert len(got) == 5
+    # top-n must equal the head of the full scored list under the same order
+    full = sorted(
+        ((r.doc_id, r.dsir_score) for r in dsir_importance(docs, F.col("grp") == "t").collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == full[:5]
+    # every selected doc is target-like (alpha/beta multiples of 3)
+    assert all(i % 3 == 0 for i, _ in got)
