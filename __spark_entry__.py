@@ -1130,6 +1130,17 @@ def q_triangles_incremental(spark, sf_dir):
     return triangle_count_incremental(old, batch)
 
 
+def q_louvain(spark, sf_dir):
+    """Synchronized-move Louvain first phase (components.louvain_moves,
+    4 rounds, even-down/odd-up direction alternation) over the event
+    transition graph — every integer gain comparison is replayed by the
+    unrolled SQL oracle, so labels match bit-for-bit."""
+    from pagerank_cuda_dynamic_spark.operators.components import louvain_moves
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    return louvain_moves(et, rounds=4)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance scores (sampling.dsir_importance — hashed-unigram
     Laplace likelihood ratios in exact scaled-integer arithmetic, no
@@ -1234,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "pagerank_time_decay": q_pagerank_time_decay,
         "dsir_weights": q_dsir_weights,
+        "louvain": q_louvain,
         "cc_incremental": q_cc_incremental,
         "cc_decremental": q_cc_decremental,
         "triangles_incremental": q_triangles_incremental,
@@ -1842,6 +1854,59 @@ c0 AS MATERIALIZED (SELECT src AS v, count(*) AS c FROM und GROUP BY src),
 {body}
 SELECT v, c AS coreness FROM c{rounds}
 """
+
+
+def _louvain_sql(rounds: int) -> str:
+    """Unrolled synchronized-move Louvain (components.louvain_moves
+    contract): per round — neighbor-community counts k(v,c), community
+    degree sums Σtot, exact-integer score 2m·k − d·(Σtot − [cc=cur]·d),
+    direction-gated candidates (even rounds cc < cur, odd cc > cur),
+    strict-improvement move with (score DESC, cc ASC) tie-break."""
+    parts = [
+        f"""WITH ev AS ({_EVENT_EDGES}),
+simple AS (SELECT DISTINCT src, dst FROM ev WHERE src <> dst),
+und AS MATERIALIZED (SELECT src, dst FROM simple UNION SELECT dst, src FROM simple),
+twom AS (SELECT count(*) AS tm FROM und),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM und GROUP BY src),
+c0 AS MATERIALIZED (SELECT v, v AS c FROM deg)"""
+    ]
+    for t in range(rounds):
+        op = "<" if t % 2 == 0 else ">"
+        parts.append(
+            f"""k{t} AS (
+  SELECT u.src AS v, c.c AS cc, count(*) AS k
+  FROM und u JOIN c{t} c ON c.v = u.dst GROUP BY u.src, c.c),
+kk{t} AS (
+  SELECT v, cc, max(k) AS k FROM (
+    SELECT v, cc, k FROM k{t}
+    UNION ALL SELECT v, c AS cc, 0 AS k FROM c{t}
+  ) GROUP BY v, cc),
+st{t} AS (SELECT c.c AS cc, CAST(sum(deg.d) AS BIGINT) AS stot
+          FROM c{t} c JOIN deg ON deg.v = c.v GROUP BY c.c),
+cand{t} AS (
+  SELECT q.v, q.cc, cur.c AS curc,
+         (SELECT tm FROM twom) * q.k
+           - deg.d * (st.stot - CASE WHEN q.cc = cur.c THEN deg.d ELSE 0 END)
+           AS score
+  FROM kk{t} q
+  JOIN c{t} cur ON cur.v = q.v
+  JOIN st{t} st ON st.cc = q.cc
+  JOIN deg ON deg.v = q.v
+  WHERE q.cc = cur.c OR q.cc {op} cur.c),
+best{t} AS (
+  SELECT v, cc, curc, score,
+         row_number() OVER (PARTITION BY v ORDER BY score DESC, cc ASC) AS rn
+  FROM cand{t}),
+c{t + 1} AS MATERIALIZED (
+  SELECT b.v, CASE WHEN b.score > s.score THEN b.cc ELSE b.curc END AS c
+  FROM best{t} b
+  JOIN (SELECT v, score FROM cand{t} WHERE cc = curc) s ON s.v = b.v
+  WHERE b.rn = 1)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v, c AS community FROM c{rounds}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2515,6 +2580,7 @@ FROM e ab JOIN e bc ON ab.dst = bc.src
 WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.src = ab.src AND ac.dst = bc.dst)
 """,
         "coreness": _coreness_sql(6),
+        "louvain": _louvain_sql(4),
         # exact integer DSIR: identical scaled-integer likelihood ratios
         # (// is the same floor division as Spark's `div` on positives),
         # so scores are BIGINT-equal — no float tolerance anywhere

@@ -655,6 +655,9 @@ def section_ops(spark, results: dict) -> None:
     )
 
     timed("coreness_6", lambda: coreness(ent, rounds=6).count())
+    from pagerank_cuda_dynamic_spark.operators.components import louvain_moves
+
+    timed("louvain_4", lambda: louvain_moves(ent, rounds=4).count())
 
     def cc_inc():
         h = F.conv(

@@ -806,3 +806,117 @@ def triangle_count_incremental(
     return base.crossJoin(delta).select(
         (F.col("n_triangles") + F.col("d")).alias("n_triangles")
     )
+
+
+def louvain_moves(
+    edges: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by SYNCHRONIZED modularity-gain label moves —
+    the parallel first phase of Louvain (Blondel et al. 2008), the
+    modularity-objective upgrade of this module's label propagation.
+
+    Undirected simple view; every comparison is EXACT INTEGER arithmetic:
+    moving v into community c changes modularity by
+      DQ ∝ 2m·k(v,c) − deg(v)·Σtot(c \\ v)        (× 2m² > 0)
+    so the argmax over candidate communities — and the move-vs-stay
+    test — need no floats at all, and the SQL oracle reproduces every
+    label bit-for-bit (classic Louvain is sequential and unreproducible
+    across schedulers, which is exactly what a 1000-executor pipeline
+    cannot have).
+
+    Per round, every vertex considers its neighbors' communities plus
+    staying put; strict improvement moves it (ties → stay; candidate
+    ties → min community id).  Synchronous moves can oscillate (two
+    vertices swapping communities forever), so rounds ALTERNATE the move
+    direction: even rounds allow only moves to a SMALLER community id,
+    odd rounds only to a LARGER one — a swapping pair needs opposite
+    directions, so both can never fire in the same round (the
+    oscillation fix used by production parallel Louvain implementations;
+    deterministic here, no RNG, no hash).
+
+    Scale posture: each round is (1) one edges⋈labels shuffle + a
+    (v, community) count — map-side combinable, (2) one Σtot aggregate
+    over |V| rows, (3) a per-vertex window (partitioned by v, never
+    global).  Labels never touch the driver; hub communities are plain
+    groupBy keys (AQE skew handling applies).  Returns (v, community)."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    simple = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    und = (
+        simple.unionByName(
+            simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(p, "src")
+        .persist()
+    )
+    two_m = und.count()  # Σ deg = 2m (each undirected edge counted twice)
+    deg = (
+        und.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .transform(materialize)
+    )
+    c = deg.select("v", F.col("v").alias("c")).transform(materialize)
+    w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("cc"))
+    for t in range(rounds):
+        cdst = c.select(F.col("v").alias("dst"), F.col("c").alias("cc"))
+        k = (
+            und.join(cdst, "dst")
+            .groupBy(F.col("src").alias("v"), "cc")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        stot = (
+            c.join(deg, "v")
+            .groupBy(F.col("c").alias("cc"))
+            .agg(F.sum("d").alias("stot"))
+        )
+        # candidates = neighbor communities ∪ the stay row (k=0 if v has
+        # no neighbor in its own community); max(k) keeps the real count;
+        # direction alternation drops the disallowed side up front
+        direction = (
+            (F.col("cc") < F.col("c")) if t % 2 == 0 else (F.col("cc") > F.col("c"))
+        )
+        stay0 = c.select("v", F.col("c").alias("cc"), F.lit(0).alias("k"))
+        cand = (
+            k.unionByName(stay0)
+            .groupBy("v", "cc")
+            .agg(F.max("k").alias("k"))
+            .join(c, "v")
+            .where((F.col("cc") == F.col("c")) | direction)
+            .join(stot, "cc")
+            .join(deg, "v")
+            .withColumn(
+                "score",
+                F.lit(int(two_m)) * F.col("k")
+                - F.col("d")
+                * (
+                    F.col("stot")
+                    - F.when(F.col("cc") == F.col("c"), F.col("d")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+            )
+        )
+        best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        stay = cand.where(F.col("cc") == F.col("c")).select(
+            "v", F.col("score").alias("stay_score")
+        )
+        c = (
+            best.join(stay, "v")
+            .select(
+                "v",
+                F.when(F.col("score") > F.col("stay_score"), F.col("cc"))
+                .otherwise(F.col("c"))
+                .alias("c"),
+            )
+            .transform(materialize)
+        )
+    und.unpersist()
+    return c.select("v", F.col("c").alias("community"))

@@ -147,3 +147,97 @@ def test_coreness_random_matches_networkx_style_peel(spark):
             live[u].discard(v)
         del live[v]
     assert got == want
+
+
+def _py_louvain(pairs, rounds):
+    """Pure-Python replica of louvain_moves (identical integer scores,
+    tie-breaks, and even-down/odd-up direction alternation)."""
+    und = set()
+    for s, d in pairs:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    adj: dict[int, set[int]] = {}
+    for s, d in und:
+        adj.setdefault(s, set()).add(d)
+    verts = set(adj)
+    deg = {v: len(adj[v]) for v in verts}
+    two_m = sum(deg.values())
+    c = {v: v for v in verts}
+    for t in range(rounds):
+        stot: dict[int, int] = {}
+        for v in verts:
+            stot[c[v]] = stot.get(c[v], 0) + deg[v]
+        newc = {}
+        for v in verts:
+            k: dict[int, int] = {}
+            for u in adj[v]:
+                k[c[u]] = k.get(c[u], 0) + 1
+            k.setdefault(c[v], 0)
+            allowed = {
+                cc: kk
+                for cc, kk in k.items()
+                if cc == c[v] or (cc < c[v] if t % 2 == 0 else cc > c[v])
+            }
+            scores = {
+                cc: two_m * kk - deg[v] * (stot[cc] - (deg[v] if cc == c[v] else 0))
+                for cc, kk in allowed.items()
+            }
+            best_cc, best_sc = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[0]
+            if best_sc > scores[c[v]]:
+                newc[v] = best_cc
+            else:
+                newc[v] = c[v]
+        c = newc
+    return c
+
+
+def test_louvain_matches_python_replica(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import louvain_moves
+
+    n = 40
+    src, dst = _rand_graph(31, n, 120)
+    got = {
+        r.v: r.community
+        for r in louvain_moves(edges_df(spark, src, dst), rounds=3).collect()
+    }
+    want = _py_louvain(list(zip(src, dst)), 3)
+    assert got == want
+
+
+def test_louvain_finds_planted_communities(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import louvain_moves
+
+    # two K5 cliques joined by a single bridge edge
+    src, dst = [], []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                src.append(base + i)
+                dst.append(base + j)
+    src.append(4)
+    dst.append(10)
+    got = {
+        r.v: r.community
+        for r in louvain_moves(edges_df(spark, src, dst), rounds=4).collect()
+    }
+    left = {got[v] for v in range(5)}
+    right = {got[v] for v in range(10, 15)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_louvain_improves_modularity_over_singletons(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        louvain_moves,
+        modularity,
+    )
+
+    n = 30
+    src, dst = _rand_graph(41, n, 70)
+    e = edges_df(spark, src, dst)
+    comm = louvain_moves(e, rounds=4)
+    verts = e.selectExpr("src as v").union(e.selectExpr("dst as v")).distinct()
+    singles = verts.selectExpr("v", "v as community")
+    q_comm = modularity(e, comm).collect()[0][0]
+    q_single = modularity(e, singles).collect()[0][0]
+    assert q_comm > q_single
