@@ -1159,6 +1159,32 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_kmv_vocab(spark, sf_dir):
+    """Global KMV distinct-token estimate over the corpus (sketches.
+    kmv_distinct, k=256, md5-portable hash): kth-min hash, sketch size,
+    and the IEEE-double estimate all match DuckDB exactly — the
+    value-checkable alternative to approx_count_distinct's engine-private
+    HLL registers."""
+    from pagerank_cuda_dynamic_spark.operators.sketches import kmv_distinct
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("t")
+    )
+    return kmv_distinct(tok, "t", k=256)
+
+
+def q_kmv_users_by_type(spark, sf_dir):
+    """Per-event-type KMV distinct-user estimates (sketches.
+    kmv_distinct_by, k=64) — the grouped profiling shape (one window
+    partitioned by the group key)."""
+    from pagerank_cuda_dynamic_spark.operators.sketches import kmv_distinct_by
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct_by(ev, "event_type", "user_id", k=64)
+
+
 def q_coreness(spark, sf_dir):
     """Full core decomposition by h-index iteration (centrality.coreness,
     6 rounds — the capped sequence is the operator contract and the oracle
@@ -1246,6 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_time_decay": q_pagerank_time_decay,
         "dsir_weights": q_dsir_weights,
         "louvain": q_louvain,
+        "kmv_vocab": q_kmv_vocab,
+        "kmv_users_by_type": q_kmv_users_by_type,
         "cc_incremental": q_cc_incremental,
         "cc_decremental": q_cc_decremental,
         "triangles_incremental": q_triangles_incremental,
@@ -2581,6 +2609,30 @@ WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.src = ab.src AND ac.dst = bc.dst)
 """,
         "coreness": _coreness_sql(6),
         "louvain": _louvain_sql(4),
+        # KMV sketch oracles: identical k-min-hash sets and the identical
+        # single IEEE-double division ((k-1)·2^60 is exactly representable)
+        "kmv_vocab": f"""
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM tok ORDER BY h LIMIT 256),
+agg AS (SELECT max(h) AS kth_hash, count(*) AS n_sketch FROM h)
+SELECT kth_hash, n_sketch,
+       CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+            ELSE CAST({255 * (1 << 60)} AS DOUBLE) / CAST(kth_hash AS DOUBLE) END AS estimate
+FROM agg
+""",
+        "kmv_users_by_type": f"""
+WITH h0 AS (
+  SELECT DISTINCT event_type AS g,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events),
+h AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h0),
+agg AS (SELECT g, max(h) AS kth_hash, count(*) AS n_sketch FROM h WHERE rn <= 64 GROUP BY g)
+SELECT g AS event_type, kth_hash, n_sketch,
+       CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+            ELSE CAST({63 * (1 << 60)} AS DOUBLE) / CAST(kth_hash AS DOUBLE) END AS estimate
+FROM agg
+""",
         # exact integer DSIR: identical scaled-integer likelihood ratios
         # (// is the same floor division as Spark's `div` on positives),
         # so scores are BIGINT-equal — no float tolerance anywhere

@@ -678,3 +678,44 @@ def test_dsir_resample_deterministic_topn(spark):
     assert got == full[:5]
     # every selected doc is target-like (alpha/beta multiples of 3)
     assert all(i % 3 == 0 for i, _ in got)
+
+
+def test_kmv_distinct_accuracy_and_exactness(spark):
+    from pagerank_cuda_dynamic_spark.operators.sketches import kmv_distinct
+
+    # exact regime: fewer distinct values than k
+    small = spark.range(50).selectExpr("CAST(id AS STRING) AS s")
+    r = kmv_distinct(small, "s", k=256).collect()[0]
+    assert r.n_sketch == 50 and r.estimate == 50
+    # estimate regime: 20k distincts, k=256 -> ~6% rel. std. error
+    big = spark.range(20000).selectExpr("CAST(id * 7 AS STRING) AS s")
+    est = kmv_distinct(big, "s", k=256).collect()[0].estimate
+    assert abs(est - 20000) / 20000 < 0.2
+    # layout independence
+    est2 = kmv_distinct(big.repartition(13), "s", k=256).collect()[0].estimate
+    assert est2 == est
+
+
+def test_kmv_merge_property(spark):
+    from pagerank_cuda_dynamic_spark.operators.sketches import kmv_distinct
+
+    a = spark.range(0, 6000).selectExpr("CAST(id AS STRING) AS s")
+    b = spark.range(3000, 9000).selectExpr("CAST(id AS STRING) AS s")
+    # sketch of the union == sketch computed on concatenated inputs
+    u1 = kmv_distinct(a.union(b), "s", k=128).collect()[0]
+    u2 = kmv_distinct(b.union(a), "s", k=128).collect()[0]
+    assert (u1.kth_hash, u1.estimate) == (u2.kth_hash, u2.estimate)
+    assert abs(u1.estimate - 9000) / 9000 < 0.25
+
+
+def test_kmv_distinct_by_groups(spark):
+    from pagerank_cuda_dynamic_spark.operators.sketches import kmv_distinct_by
+
+    df = spark.range(5000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "CAST(id AS STRING) AS s"
+    )
+    rows = {r.g: r for r in kmv_distinct_by(df, "g", "s", k=64).collect()}
+    assert set(rows) == {"0", "1", "2"}
+    for g, r in rows.items():
+        true = len([i for i in range(5000) if i % 3 == int(g)])
+        assert abs(r.estimate - true) / true < 0.35

@@ -215,3 +215,22 @@ def test_harmonic_and_walk_rounds_jvm_side(spark):
     starts = e.select("src").distinct().limit(5)
     assert "BatchEvalPython" not in plan_of(deterministic_walks(e, starts, steps=2))
     assert "BatchEvalPython" not in plan_of(harmonic_centrality(e, starts, max_depth=2))
+
+
+def test_round4_ops_stay_jvm_side(spark, docs):
+    """coreness / louvain_moves / dsir_importance plans: pure built-ins
+    (no BatchEvalPython anywhere), and the DSIR bucket→ratio map joins
+    as a broadcast (the ≤n_buckets side must never shuffle the exploded
+    token table)."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import coreness
+    from pagerank_cuda_dynamic_spark.operators.components import louvain_moves
+    from pagerank_cuda_dynamic_spark.operators.sampling import dsir_importance
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    assert "BatchEvalPython" not in plan_of(coreness(e, rounds=2))
+    assert "BatchEvalPython" not in plan_of(louvain_moves(e, rounds=2))
+    scored = dsir_importance(docs, F.col("source") == "src1", n_buckets=64)
+    p = plan_of(scored)
+    assert "BatchEvalPython" not in p
