@@ -1159,6 +1159,29 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_mis(spark, sf_dir):
+    """Luby maximal independent set with md5 hash priorities over the
+    event graph (graph.maximal_independent_set) — winners/removals
+    replayed round-for-round by the unrolled oracle; extra unrolled
+    rounds are no-ops so the cap only needs to exceed convergence."""
+    from pagerank_cuda_dynamic_spark.operators.graph import (
+        maximal_independent_set,
+    )
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    return maximal_independent_set(et, priority_hash=_md5_hash64)
+
+
+def q_jp_coloring(spark, sf_dir):
+    """Jones–Plassmann greedy coloring (graph.jp_coloring, color = the
+    Luby layer index — proper by construction) over the event graph,
+    md5 priorities, vs the same unrolled-layers oracle."""
+    from pagerank_cuda_dynamic_spark.operators.graph import jp_coloring
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    return jp_coloring(et, priority_hash=_md5_hash64)
+
+
 def q_kmv_vocab(spark, sf_dir):
     """Global KMV distinct-token estimate over the corpus (sketches.
     kmv_distinct, k=256, md5-portable hash): kth-min hash, sketch size,
@@ -1272,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_time_decay": q_pagerank_time_decay,
         "dsir_weights": q_dsir_weights,
         "louvain": q_louvain,
+        "mis": q_mis,
+        "jp_coloring": q_jp_coloring,
         "kmv_vocab": q_kmv_vocab,
         "kmv_users_by_type": q_kmv_users_by_type,
         "cc_incremental": q_cc_incremental,
@@ -1934,6 +1959,59 @@ c{t + 1} AS MATERIALIZED (
     return (
         ",\n".join(parts)
         + f"\nSELECT v, c AS community FROM c{rounds}"
+    )
+
+
+_MIS_PRELUDE = f"""WITH ev AS ({{ev}}),
+simple AS (SELECT DISTINCT src, dst FROM ev WHERE src <> dst),
+und AS MATERIALIZED (SELECT src, dst FROM simple UNION SELECT dst, src FROM simple),
+live0 AS MATERIALIZED (
+  SELECT src AS v, CAST(concat('0x', substr(md5(src), 1, 15)) AS BIGINT) AS h
+  FROM und GROUP BY src)"""
+
+
+def _luby_rounds_sql(rounds: int, color: bool) -> str:
+    """Unrolled Luby/Jones–Plassmann rounds (graph.maximal_independent_set
+    / jp_coloring contract): per round the live-subgraph neighbor minimum
+    of (hash, id), winners = local minima (tuple comparison — the same
+    struct ordering the Spark loop uses), then winners (+ neighbors, MIS
+    only) leave the live set.  Extra rounds past convergence are no-ops,
+    so any unroll ≥ the actual round count is exact."""
+    parts = [_MIS_PRELUDE.format(ev=_EVENT_EDGES)]
+    for r in range(rounds):
+        remove = (
+            f"win{r}"
+            if color
+            else f"""(SELECT v FROM win{r}
+       UNION SELECT u.dst AS v FROM und u JOIN win{r} w ON w.v = u.src)"""
+        )
+        parts.append(
+            f"""el{r} AS (
+  SELECT u.src, u.dst FROM und u
+  JOIN live{r} a ON a.v = u.src JOIN live{r} b ON b.v = u.dst),
+nm{r} AS (
+  SELECT v, mnh, mdst FROM (
+    SELECT e.src AS v, l.h AS mnh, e.dst AS mdst,
+           row_number() OVER (PARTITION BY e.src ORDER BY l.h, e.dst) AS rn
+    FROM el{r} e JOIN live{r} l ON l.v = e.dst) s WHERE rn = 1),
+win{r} AS MATERIALIZED (
+  SELECT l.v FROM live{r} l LEFT JOIN nm{r} m ON m.v = l.v
+  WHERE m.v IS NULL OR (l.h, l.v) < (m.mnh, m.mdst)),
+live{r + 1} AS MATERIALIZED (
+  SELECT l.v, l.h FROM live{r} l
+  WHERE l.v NOT IN (SELECT v FROM {remove}))"""
+        )
+    if color:
+        union = "\nUNION ALL ".join(
+            f"SELECT v, {r} AS color FROM win{r}" for r in range(rounds)
+        )
+        return ",\n".join(parts) + f"\nSELECT v, CAST(color AS INTEGER) AS color FROM ({union}) w"
+    union = "\nUNION ALL ".join(f"SELECT v FROM win{r}" for r in range(rounds))
+    return (
+        ",\n".join(parts)
+        + f""",
+mis AS ({union})
+SELECT l.v, l.v IN (SELECT v FROM mis) AS mis FROM live0 l"""
     )
 
 
@@ -2611,6 +2689,8 @@ WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.src = ab.src AND ac.dst = bc.dst)
         "louvain": _louvain_sql(4),
         # KMV sketch oracles: identical k-min-hash sets and the identical
         # single IEEE-double division ((k-1)·2^60 is exactly representable)
+        "mis": _luby_rounds_sql(8, color=False),
+        "jp_coloring": _luby_rounds_sql(10, color=True),
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

@@ -295,3 +295,165 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     und.unpersist()
     deg.unpersist()
     return out
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    priority_hash=None,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Maximal independent set by Luby's algorithm with HASH priorities —
+    deterministic (no RNG: priority(v) = hash(v), ties impossible modulo
+    hash collisions, broken by vertex id), O(log n) rounds w.h.p.
+
+    Per round, over the LIVE subgraph: v enters the MIS iff
+    (hash(v), v) < min over live neighbors u of (hash(u), u); the MIS
+    vertices and all their neighbors then leave the live set.  Every
+    round is one edges⋈live semi-filter + one neighbor-min aggregate —
+    labels never touch the driver; the frontier shrinks geometrically.
+
+    Returns (v, mis:boolean) for every vertex of the undirected simple
+    view.  priority_hash defaults to xxhash64; pass an md5-derived column
+    fn for cross-engine oracles."""
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    if priority_hash is None:
+        priority_hash = F.xxhash64
+    spark = edges.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    simple = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    und = (
+        simple.unionByName(
+            simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(p, "src")
+        .persist()
+    )
+    und.count()
+    verts = (
+        und.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", priority_hash(F.col("v")).alias("h"))
+        .transform(materialize)
+    )
+    live = verts
+    chosen = None
+    for _ in range(max_rounds):
+        if live.isEmpty():
+            break
+        e_live = (
+            und.join(live.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(live.select(F.col("v").alias("dst")), "dst", "left_semi")
+        )
+        nbr_min = (
+            e_live.join(
+                live.select(
+                    F.col("v").alias("dst"),
+                    F.col("h").alias("nh"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min(F.struct("nh", "dst")).alias("m"))
+        )
+        winners = (
+            live.join(nbr_min, "v", "left")
+            .where(
+                F.col("m").isNull()
+                | (F.struct(F.col("h"), F.col("v")) < F.struct("m.nh", "m.dst"))
+            )
+            .select("v")
+            .transform(materialize)
+        )
+        chosen = winners if chosen is None else chosen.unionByName(winners)
+        # remove winners and their neighbors from the live set
+        nbrs = und.join(
+            winners.withColumnRenamed("v", "src"), "src", "left_semi"
+        ).select(F.col("dst").alias("v")).distinct()
+        gone = winners.unionByName(nbrs).distinct()
+        live = live.join(gone, "v", "left_anti").transform(materialize)
+    mis = chosen if chosen is not None else verts.limit(0).select("v")
+    return verts.select("v").join(
+        mis.select("v", F.lit(True).alias("mis")), "v", "left"
+    ).select("v", F.coalesce("mis", F.lit(False)).alias("mis"))
+
+
+def jp_coloring(
+    edges: DataFrame,
+    priority_hash=None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Greedy distance-1 graph coloring by Jones–Plassmann with hash
+    priorities: color(v) = the round in which v is a LOCAL MINIMUM of
+    (hash, id) among its still-uncolored neighbors — i.e. repeated Luby
+    MIS layers, each layer one color class.  Deterministic; proper by
+    construction (two adjacent vertices can never win the same round —
+    their (hash, id) keys are totally ordered).
+
+    Per round: same two shuffles as maximal_independent_set.  Returns
+    (v, color:int) with colors 0..r-1; raises if max_rounds is hit with
+    uncolored vertices left (pathological hash chains — raise the cap)."""
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    if priority_hash is None:
+        priority_hash = F.xxhash64
+    spark = edges.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    simple = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    und = (
+        simple.unionByName(
+            simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(p, "src")
+        .persist()
+    )
+    und.count()
+    live = (
+        und.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", priority_hash(F.col("v")).alias("h"))
+        .transform(materialize)
+    )
+    colored = None
+    for t in range(max_rounds):
+        if live.isEmpty():
+            und.unpersist()
+            if colored is None:
+                return spark.createDataFrame([], "v string, color int")
+            return colored
+        e_live = (
+            und.join(live.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(live.select(F.col("v").alias("dst")), "dst", "left_semi")
+        )
+        nbr_min = (
+            e_live.join(
+                live.select(F.col("v").alias("dst"), F.col("h").alias("nh")), "dst"
+            )
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min(F.struct("nh", "dst")).alias("m"))
+        )
+        winners = (
+            live.join(nbr_min, "v", "left")
+            .where(
+                F.col("m").isNull()
+                | (F.struct(F.col("h"), F.col("v")) < F.struct("m.nh", "m.dst"))
+            )
+            .select("v", F.lit(t).cast("int").alias("color"))
+            .transform(materialize)
+        )
+        colored = winners if colored is None else colored.unionByName(winners)
+        live = live.join(winners.select("v"), "v", "left_anti").transform(
+            materialize
+        )
+    und.unpersist()
+    raise RuntimeError(f"jp_coloring did not finish in {max_rounds} rounds")

@@ -241,3 +241,44 @@ def test_louvain_improves_modularity_over_singletons(spark):
     q_comm = modularity(e, comm).collect()[0][0]
     q_single = modularity(e, singles).collect()[0][0]
     assert q_comm > q_single
+
+
+def test_mis_is_independent_and_maximal(spark):
+    from pagerank_cuda_dynamic_spark.operators.graph import (
+        maximal_independent_set,
+    )
+
+    n = 30
+    src, dst = _rand_graph(51, n, 90)
+    e = edges_df(spark, src, dst)
+    rows = {r.v: r.mis for r in maximal_independent_set(e).collect()}
+    pairs = {(s, d) for s, d in zip(src, dst) if s != d}
+    und = pairs | {(d, s) for s, d in pairs}
+    adj: dict[int, set[int]] = {}
+    for s, d in und:
+        adj.setdefault(s, set()).add(d)
+    # independence: no two MIS vertices adjacent
+    for s, d in und:
+        assert not (rows[s] and rows[d]), (s, d)
+    # maximality: every non-MIS vertex has an MIS neighbor
+    for v, in_mis in rows.items():
+        if not in_mis:
+            assert any(rows[u] for u in adj[v]), v
+
+
+def test_jp_coloring_proper_and_deterministic(spark):
+    from pagerank_cuda_dynamic_spark.operators.graph import jp_coloring
+
+    n = 25
+    src, dst = _rand_graph(61, n, 80)
+    e = edges_df(spark, src, dst)
+    col = {r.v: r.color for r in jp_coloring(e).collect()}
+    pairs = {(s, d) for s, d in zip(src, dst) if s != d}
+    for s, d in pairs:
+        assert col[s] != col[d], (s, d)
+    # deterministic under relayout
+    col2 = {r.v: r.color for r in jp_coloring(e.repartition(7)).collect()}
+    assert col2 == col
+    # colors are consecutive from 0
+    assert min(col.values()) == 0
+    assert set(col.values()) == set(range(max(col.values()) + 1))
