@@ -1159,6 +1159,31 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+_SPAN_INJECT = (
+    "the shared boilerplate sentence that repeats across documents verbatim "
+    "for span level dedup checks"
+)
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level duplication profile (dedup.duplicate_window_stats,
+    12-token windows, md5 window hash): a 15-token boilerplate span is
+    injected into every doc_id % 3 == 0 document, so those docs must show
+    ≥4 duplicated windows while clean docs show whatever natural overlap
+    the corpus has — the oracle recomputes every window hash exactly."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import duplicate_window_stats
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_INJECT)),
+        ).otherwise(F.col("text")),
+    )
+    return duplicate_window_stats(injected, window=12, window_hash=_md5_hash64)
+
+
 def q_mis(spark, sf_dir):
     """Luby maximal independent set with md5 hash priorities over the
     event graph (graph.maximal_independent_set) — winners/removals
@@ -1295,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_time_decay": q_pagerank_time_decay,
         "dsir_weights": q_dsir_weights,
         "louvain": q_louvain,
+        "duplicate_spans": q_duplicate_spans,
         "mis": q_mis,
         "jp_coloring": q_jp_coloring,
         "kmv_vocab": q_kmv_vocab,
@@ -2689,6 +2715,24 @@ WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.src = ab.src AND ac.dst = bc.dst)
         "louvain": _louvain_sql(4),
         # KMV sketch oracles: identical k-min-hash sets and the identical
         # single IEEE-double division ((k-1)·2^60 is exactly representable)
+        "duplicate_spans": f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' {_SPAN_INJECT}' ELSE text END AS text
+  FROM documents),
+tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM injected),
+w AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 11, 0) + 1),
+           i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(t, i, i + 11), ' ')), 1, 15)) AS BIGINT))) AS wh
+  FROM tk),
+dup AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+nd AS (SELECT doc_id, count(*) AS n_dup_windows FROM w WHERE wh IN (SELECT wh FROM dup) GROUP BY doc_id)
+SELECT w.doc_id, count(*) AS n_windows,
+       coalesce(any_value(nd.n_dup_windows), 0) AS n_dup_windows
+FROM w LEFT JOIN nd ON nd.doc_id = w.doc_id
+GROUP BY w.doc_id
+""",
         "mis": _luby_rounds_sql(8, color=False),
         "jp_coloring": _luby_rounds_sql(10, color=True),
         "kmv_vocab": f"""

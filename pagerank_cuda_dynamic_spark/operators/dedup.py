@@ -510,3 +510,73 @@ def line_dedup(
         .join(reassembled, id_col, "left")
         .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def duplicate_window_stats(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_hash=None,
+) -> DataFrame:
+    """Exact SUBSTRING-level duplication profile — the relational form of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every `window`-token
+    sliding window is hashed; a window occurring in ≥2 DISTINCT docs is a
+    duplicated span.  Returns per-doc
+    (id, n_windows, n_dup_windows) for docs with ≥1 window — the
+    severity signal that drives span-level scrubbing or doc dropping
+    (frac = n_dup/n is the caller's one division).
+
+    Plan shape (100 TB posture): windows are built JVM-side from the
+    token array (sequence→slice→array_join→hash — zero Python, the
+    shingle machinery generalized to w tokens); |tokens| rows shuffle
+    ONCE on the window hash for the cross-doc distinct-count, and once
+    on id for the per-doc rollup.  A suffix array gives the same answer
+    for arbitrary-length spans; fixed-w windows are the standard
+    distributed approximation (any duplicated span ≥ w tokens contains a
+    duplicated w-window).
+
+    window_hash: column fn over the joined window string; defaults to
+    xxhash64 (pass an md5-derived fn for cross-engine oracles)."""
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    if window_hash is None:
+        window_hash = F.xxhash64
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    wins = F.when(n < window, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.array_join(F.slice(toks, i + 1, window), " "),
+        )
+    )
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(wins, lambda s: window_hash(s))).alias("wh"),
+    )
+    w = w.persist()
+    dup = (
+        w.groupBy("wh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("wh")
+    )
+    per_doc = (
+        w.join(dup, "wh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    out = (
+        w.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        )
+    )
+    out = materialize(out)
+    w.unpersist()
+    return out

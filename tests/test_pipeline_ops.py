@@ -719,3 +719,29 @@ def test_kmv_distinct_by_groups(spark):
     for g, r in rows.items():
         true = len([i for i in range(5000) if i % 3 == int(g)])
         assert abs(r.estimate - true) / true < 0.35
+
+
+def test_duplicate_window_stats_flags_shared_spans(spark):
+    from pagerank_cuda_dynamic_spark.operators.dedup import duplicate_window_stats
+
+    span = " ".join(f"tok{i}" for i in range(12))
+    rows = [
+        (1, "intro words here " + span + " tail one"),
+        (2, "other beginning " + span + " different ending entirely"),
+        (3, "completely unrelated text with plenty of words to form windows "
+            "and then some more filler words continuing on"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_windows, r.n_dup_windows)
+           for r in duplicate_window_stats(docs, window=8).collect()}
+    # docs 1+2 share the 12-token span -> 12-8+1 = 5 shared 8-windows
+    assert out[1][1] >= 5 and out[2][1] >= 5
+    assert out[3][1] == 0
+    # every window of doc 3 counted
+    n3 = len(rows[2][1].split()) - 8 + 1
+    assert out[3][0] == n3
+    # short doc (< window tokens) contributes no rows
+    short = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    assert duplicate_window_stats(docs.union(short), window=8).where(
+        "doc_id = 9"
+    ).count() == 0
