@@ -1165,6 +1165,16 @@ _SPAN_INJECT = (
 )
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile (text.corpus_profile): counts, total
+    chars, EXACT p50/p90/p99 lengths (Spark `percentile` ≡ DuckDB
+    quantile_cont, both linear interpolation over the same doubles), and
+    distinct sources."""
+    from pagerank_cuda_dynamic_spark.operators.text import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir))
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level duplication profile (dedup.duplicate_window_stats,
     12-token windows, md5 window hash): a 15-token boilerplate span is
@@ -1320,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_time_decay": q_pagerank_time_decay,
         "dsir_weights": q_dsir_weights,
         "louvain": q_louvain,
+        "corpus_profile": q_corpus_profile,
         "duplicate_spans": q_duplicate_spans,
         "mis": q_mis,
         "jp_coloring": q_jp_coloring,
@@ -2715,6 +2726,15 @@ WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.src = ab.src AND ac.dst = bc.dst)
         "louvain": _louvain_sql(4),
         # KMV sketch oracles: identical k-min-hash sets and the identical
         # single IEEE-double division ((k-1)·2^60 is exactly representable)
+        "corpus_profile": """
+SELECT lang AS stratum, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+""",
         "duplicate_spans": f"""
 WITH injected AS (
   SELECT doc_id,

@@ -352,7 +352,35 @@ def token_vocabulary(
     return agg.orderBy(F.desc("tf"), F.asc("token")).limit(top_n)
 
 
+def corpus_profile(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    length_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-stratum corpus profile: doc count, total/exact-percentile
+    lengths (p50/p90/p99 via Spark's EXACT `percentile`, linear
+    interpolation — the same definition as DuckDB's quantile_cont, so the
+    oracle matches to double precision, unlike approx_percentile whose
+    sketch is engine-private), and distinct source count.
+
+    One hash aggregate; exact percentiles buffer each group's length
+    column on one reducer — lengths are ints (8 B/row), so a stratum of
+    10⁹ docs costs ~8 GB on its reducer: acceptable for profiling runs;
+    switch to approx_percentile for unattended pipelines at larger
+    strata (the accuracy knob, not a correctness knob)."""
+    return docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(length_col).cast("long").alias("total_chars"),
+        F.round(F.expr(f"percentile({length_col}, 0.5)"), 4).alias("p50"),
+        F.round(F.expr(f"percentile({length_col}, 0.9)"), 4).alias("p90"),
+        F.round(F.expr(f"percentile({length_col}, 0.99)"), 4).alias("p99"),
+        F.count_distinct(F.col(source_col)).alias("n_sources"),
+    )
+
+
 __all__ = [
+    "corpus_profile",
     "STOPWORDS",
     "BPE_ISH_RE",
     "TOKEN_RE",
