@@ -272,7 +272,21 @@ def generate(
         "line_dedup": "CCNet-style cross-corpus line dedup (md5 keys)",
         "sessionize": "gap sessionization + per-session stats (events)",
         "asof_join": "backward ASOF join (union-tag, one keyed shuffle)",
+        "k_core_30": "k-core (k=30, 6 peel rounds, entity graph)",
+        "coreness_6": "full coreness (6 h-index rounds, entity graph)",
+        "louvain_4": "Louvain sync moves (4 rounds, entity graph)",
+        "cc_incremental": "incremental CC (20% insert batch vs base labeling)",
+        "triangles_incremental": "incremental triangle count (25% insert batch)",
+        "dsir_weights": "DSIR importance scores (hashed-unigram ratios, 50 k docs)",
+        "walk_corpus": "deterministic walk corpus",
+        "neighbor_sample": "GraphSAGE fanout neighbor sampling",
+        "local_clustering": "local clustering coefficients",
+        "feature_propagation": "k-hop SGC feature propagation",
+        "betweenness_c20": "sampled Brandes betweenness (20 sources, depth 4)",
+        "closeness_c100": "sampled closeness (100 sources)",
+        "eigenvector_20": "eigenvector centrality (20 rounds, events graph)",
         "pagerank_tcp_static": "PageRank static via TCP ring exchange",
+        "pagerank_tcp_dfp": "PageRank DF-P dynamic via TCP ring",
     }
     for k, lbl in label.items():
         if k in q:
