@@ -1254,6 +1254,91 @@ def q_coreness(spark, sf_dir):
     return coreness(e, rounds=6)
 
 
+def q_host_graph(spark, sf_dir):
+    """Page→host-style graph contraction (operators/webgraph.contract_graph):
+    the entity graph coarsened by customer→nation, supplier→nation,
+    part→brand (nations/regions keep their ids), weight = distinct
+    underlying edges.  The host-graph build every web-crawl pipeline runs
+    before domain-level analytics; mapping broadcast, one groupBy shuffle."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import contract_graph
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    mapping = (
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("v"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("g"),
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("s"), F.col("s_suppkey")).alias("v"),
+                F.concat(F.lit("n"), F.col("s_nationkey")).alias("g"),
+            )
+        )
+        .unionByName(
+            part.select(
+                F.concat(F.lit("p"), F.col("p_partkey")).alias("v"),
+                F.concat(F.lit("b:"), F.col("p_brand")).alias("g"),
+            )
+        )
+    )
+    return contract_graph(_entity_edge_df(spark, sf_dir), mapping)
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie regions (operators/webgraph.bowtie_decomposition) of
+    the first-300-transitions prefix of the event transition graph — the
+    sparse early snapshot has genuine IN/OUT/tendril structure, unlike the
+    fully-mixed full graph.  Oracle: recursive-CTE mutual/forward/backward/
+    undirected reachability with the same (size desc, label asc) core pick."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import (
+        bowtie_decomposition,
+    )
+
+    e = (
+        edges_from_events(spark, sf_dir)
+        .where(F.col("seq") < 300)
+        .select("src", "dst")
+    )
+    return bowtie_decomposition(e).select(F.col("v").alias("entity"), "region")
+
+
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Exact φ-heavy-hitter tokens, φ=1/65 (operators/sketches.heavy_hitters
+    — per-partition Misra–Gries candidates + one exact verification pass;
+    state bounded at k counters/partition, shuffle at k·P rows) vs the
+    direct GROUP BY … HAVING cnt·65 > n oracle."""
+    from pagerank_cuda_dynamic_spark.operators.sketches import heavy_hitters
+
+    from pagerank_cuda_dynamic_spark.functions import tokens
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(tokens("text")).alias("token")
+    )
+    return heavy_hitters(tok, "token", k=64).select(
+        F.col("item").alias("token"), "cnt"
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted Bernoulli sample of orders, inclusion
+    probability ∝ o_totalprice (operators/sampling.weighted_sample —
+    pure-integer Weyl-mix predicate, no shuffle, layout/rerun stable) vs
+    the identical integer expression in SQL."""
+    from pagerank_cuda_dynamic_spark.operators.sampling import weighted_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return weighted_sample(
+        orders.withColumn("w_cents", w_cents),
+        F.col("w_cents"),
+        rate_num=1,
+        rate_den=5_000_000_000,
+        id_col="o_orderkey",
+    ).select("o_orderkey", "w_cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -1340,6 +1425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_decremental": q_cc_decremental,
         "triangles_incremental": q_triangles_incremental,
         "coreness": q_coreness,
+        "host_graph": q_host_graph,
+        "bowtie": q_bowtie,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -2804,6 +2893,76 @@ SELECT tb.doc_id, CAST(sum(ratio.r) AS BIGINT) AS dsir_score
 FROM tb JOIN ratio ON ratio.b = tb.b
 WHERE NOT tb.is_target
 GROUP BY tb.doc_id
+""",
+        "host_graph": f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+m AS (
+  SELECT 'c' || c_custkey AS v, 'n' || c_nationkey AS g FROM customer
+  UNION ALL
+  SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'p' || p_partkey, 'b:' || p_brand FROM part
+),
+c AS (
+  SELECT COALESCE(ms.g, e.src) AS src, COALESCE(md.g, e.dst) AS dst
+  FROM e LEFT JOIN m ms ON ms.v = e.src LEFT JOIN m md ON md.v = e.dst
+)
+SELECT src, dst, count(*) AS weight
+FROM c WHERE src <> dst GROUP BY src, dst
+""",
+        "bowtie": f"""
+WITH RECURSIVE et AS ({_EVENT_EDGES}),
+ed AS (SELECT DISTINCT src, dst FROM et WHERE seq < 300),
+verts AS (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)
+),
+e AS (SELECT src, dst FROM ed WHERE src <> dst),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+scc AS (
+  SELECT r1.a AS v, min(r1.b) AS scc
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY r1.a
+),
+core_id AS (
+  SELECT scc FROM (SELECT scc, count(*) AS n FROM scc GROUP BY scc)
+  ORDER BY n DESC, scc ASC LIMIT 1
+),
+core AS (SELECT v FROM scc WHERE scc = (SELECT scc FROM core_id)),
+fwd AS (SELECT DISTINCT r.b AS v FROM reach r JOIN core c ON r.a = c.v),
+bwd AS (SELECT DISTINCT r.a AS v FROM reach r JOIN core c ON r.b = c.v),
+ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+u(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, ue.dst FROM u r JOIN ue ON ue.src = r.b
+),
+weak AS (SELECT DISTINCT r.b AS v FROM u r JOIN core c ON r.a = c.v)
+SELECT verts.v AS entity,
+       CASE WHEN verts.v IN (SELECT v FROM core) THEN 'core'
+            WHEN verts.v IN (SELECT v FROM bwd) THEN 'in'
+            WHEN verts.v IN (SELECT v FROM fwd) THEN 'out'
+            WHEN verts.v IN (SELECT v FROM weak) THEN 'tendril'
+            ELSE 'disconnected' END AS region
+FROM verts
+""",
+        "heavy_hitter_tokens": """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS cnt
+FROM tok GROUP BY token
+HAVING count(*) * 65 > (SELECT count(*) FROM tok)
+""",
+        "weighted_sample": """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents
+FROM orders
+WHERE (o_orderkey * 2654435761 + 12345) % 1000000 * 5000000000
+      < CAST(round(o_totalprice * 100) AS BIGINT) * 1 * 1000000
 """,
     }
 

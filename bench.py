@@ -687,6 +687,42 @@ def section_ops(spark, results: dict) -> None:
         ).collect()
 
     timed("triangles_incremental", tri_inc)
+    from pagerank_cuda_dynamic_spark.operators.sketches import heavy_hitters
+    from pagerank_cuda_dynamic_spark.operators.webgraph import contract_graph
+
+    def host_graph():
+        customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        supplier = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+        mapping = (
+            customer.select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("v"),
+                F.concat(F.lit("n"), F.col("c_nationkey")).alias("g"),
+            )
+            .unionByName(
+                supplier.select(
+                    F.concat(F.lit("s"), F.col("s_suppkey")).alias("v"),
+                    F.concat(F.lit("n"), F.col("s_nationkey")).alias("g"),
+                )
+            )
+            .unionByName(
+                part.select(
+                    F.concat(F.lit("p"), F.col("p_partkey")).alias("v"),
+                    F.concat(F.lit("b:"), F.col("p_brand")).alias("g"),
+                )
+            )
+        )
+        return contract_graph(ent, mapping).count()
+
+    timed("host_graph", host_graph)
+
+    def hh_tokens():
+        from pagerank_cuda_dynamic_spark.functions import tokens as _tok
+
+        t = docs.select(F.explode(_tok("text")).alias("token"))
+        return heavy_hitters(t, "token", k=64).count()
+
+    timed("heavy_hitter_tokens", hh_tokens)
     ent.unpersist()
     g.unpersist()
 

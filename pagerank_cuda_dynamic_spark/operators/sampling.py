@@ -170,4 +170,37 @@ def dsir_resample(
     )
 
 
-__all__ = ["stratified_sample", "split_corpus", "dsir_importance", "dsir_resample"]
+def weighted_sample(
+    df: DataFrame,
+    weight_col: F.Column,
+    rate_num: int,
+    rate_den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each row with
+    probability min(1, w·rate_num/rate_den), where w = `weight_col`
+    (an INTEGER expression — cast money to cents etc. at the call site).
+
+    The importance-sampling primitive for training mixes (upweight long /
+    high-quality docs without replication): inclusion is the pure-integer
+    predicate  mix(id)·rate_den < w·rate_num·10^6  — the same Weyl-mix
+    uniform as stratified_sample, so it shares every property: one scan,
+    no shuffle, layout/rerun stable, and the identical expression runs in
+    the DuckDB oracle (no float threshold, no libm).
+
+    Overflow bound: w·rate_num must stay < 2^63/10^6 ≈ 9.2e12 —
+    plenty for per-row weights (cents, token counts).
+    """
+    w = weight_col.cast("long")
+    return df.where(
+        _mix(id_col) * F.lit(rate_den) < w * F.lit(rate_num) * F.lit(_MOD)
+    )
+
+
+__all__ = [
+    "stratified_sample",
+    "split_corpus",
+    "dsir_importance",
+    "dsir_resample",
+    "weighted_sample",
+]

@@ -115,4 +115,68 @@ def kmv_distinct_by(
     )
 
 
-__all__ = ["kmv_distinct", "kmv_distinct_by", "HASH_SPACE"]
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+) -> DataFrame:
+    """EXACT φ-heavy hitters (φ = 1/(k+1)) with bounded shuffle state:
+    every item whose frequency strictly exceeds n/(k+1), via a per-
+    partition Misra–Gries sketch + one exact verification pass.
+
+    Why not a plain groupBy→count→filter: at 100 TB the key space
+    (n-grams, URLs) can hold trillions of distinct items, so the full
+    groupBy shuffles the entire key universe.  Misra–Gries caps state at
+    k counters PER PARTITION and the shuffle at k·P candidate rows.
+
+    Candidate completeness is a theorem, not a heuristic: if
+    freq(x) > n/(k+1) globally, then freq_i(x) > n_i/(k+1) in at least
+    one partition i (else summing the ≤ inequalities over partitions
+    contradicts the global >), and per-partition MG with k counters
+    retains every item above its partition's n_i/(k+1).  The second pass
+    counts ONLY the ≤ k·P candidates exactly (broadcast semi-join — the
+    corpus is scanned once more but never shuffled on the raw key) and
+    filters with integer arithmetic: cnt·(k+1) > n.  Output is therefore
+    exactly the true heavy-hitter set with exact counts — value-checkable
+    against any engine's GROUP BY ... HAVING.
+
+    Returns (item, cnt) for every item with cnt·(k+1) > n.
+    """
+    import pandas as pd
+
+    src = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["item"].values:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = F.broadcast(
+        src.mapInPandas(mg_partition, "item string").distinct()
+    )
+    n = src.count()
+    return (
+        src.join(candidates, "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * (k + 1) > F.lit(n))
+    )
+
+
+__all__ = ["kmv_distinct", "kmv_distinct_by", "heavy_hitters", "HASH_SPACE"]

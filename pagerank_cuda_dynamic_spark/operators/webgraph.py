@@ -1,0 +1,131 @@
+"""Web-graph structure operators: contraction (page→host coarsening) and
+Broder bow-tie decomposition.
+
+These are the two classic link-graph analyses the reference's graph
+family implies but does not ship (its graphs ARE web crawls — sk-2005,
+uk-2005, it-2004): collapsing the page graph to the host/domain graph
+before expensive analytics, and classifying every page into the bow-tie
+regions (CORE / IN / OUT / TENDRIL / DISCONNECTED) of Broder et al.,
+"Graph structure in the Web" (WWW 2000).
+
+Scale posture:
+  * contract_graph is two broadcast-or-shuffle joins + one groupBy —
+    exactly the shape Catalyst optimizes (the mapping is usually tiny
+    relative to the edges: #hosts ≪ #pages, so AQE broadcasts it).
+  * bowtie_decomposition reuses the distributed SCC (FW-BW coloring) and
+    the level-synchronous multi-source BFS — no new iterative machinery,
+    no driver-side vertex state; the only driver scalar is the 1-row
+    largest-SCC id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def contract_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    drop_selfloops: bool = True,
+) -> DataFrame:
+    """Coarsen a directed graph by a vertex→group mapping (page→host,
+    url→domain, doc→cluster): every edge (u, v) becomes (g(u), g(v));
+    parallel contracted edges collapse to one row with `weight` = the
+    number of distinct underlying edges.
+
+    `mapping` is a (v, g) DataFrame; vertices absent from it keep their
+    own id (coalesce after a left join), so partial mappings are safe.
+    Group self-loops (edges internal to a group) are dropped by default —
+    pass drop_selfloops=False to keep them (their weight is the group's
+    internal edge count, useful for modularity-style diagnostics).
+
+    One plan: edges ⟕ mapping (on src) ⟕ mapping (on dst) → groupBy.
+    The mapping side is small (hosts ≪ pages) — mark it broadcast so the
+    edge table never shuffles for the joins; the single shuffle is the
+    final groupBy on (src, dst) group keys.
+    """
+    m = F.broadcast(mapping.select("v", "g").distinct())
+    e = edges.select("src", "dst").distinct()
+    contracted = (
+        e.join(m.withColumnRenamed("v", "src").withColumnRenamed("g", "gs"), "src", "left")
+        .join(m.withColumnRenamed("v", "dst").withColumnRenamed("g", "gd"), "dst", "left")
+        .select(
+            F.coalesce("gs", "src").alias("src"),
+            F.coalesce("gd", "dst").alias("dst"),
+        )
+    )
+    if drop_selfloops:
+        contracted = contracted.where(F.col("src") != F.col("dst"))
+    return contracted.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def bowtie_decomposition(edges: DataFrame) -> DataFrame:
+    """Broder bow-tie regions of a directed graph, per vertex:
+
+      core          — member of the largest SCC (ties broken by min scc
+                      label, so the choice is deterministic)
+      in            — reaches the core but is not in it
+      out           — reachable from the core but not in it
+      tendril       — in the core's weakly connected component but
+                      neither reaches nor is reached by the core
+                      (Broder's TENDRILS + TUBES, unsplit)
+      disconnected  — outside the core's weak component
+
+    Composition of existing distributed primitives:
+      1. strongly_connected_components (FW-BW coloring) → largest SCC;
+      2. forward multi-source BFS from the core → out ∪ core;
+      3. backward BFS (transposed edges) from the core → in ∪ core;
+      4. undirected BFS from the core → the core's weak component.
+    Classification is then three left-semi markers + one CASE — no
+    per-vertex driver state.  Returns (v, region).
+    """
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        strongly_connected_components,
+    )
+    from pagerank_cuda_dynamic_spark.operators.graph import bfs_reachable
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    e = edges.select("src", "dst").distinct().transform(materialize)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .transform(materialize)
+    )
+    scc = strongly_connected_components(e)
+    largest = (
+        scc.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("scc"))
+        .limit(1)
+        .select("scc")
+    )
+    core = (
+        scc.join(F.broadcast(largest), "scc", "left_semi")
+        .select("v")
+        .transform(materialize)
+    )
+    e_t = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.union(e_t).distinct().transform(materialize)
+    fwd = bfs_reachable(e, core).withColumnRenamed("v", "fv")
+    bwd = bfs_reachable(e_t, core).withColumnRenamed("v", "bv")
+    weak = bfs_reachable(und, core).withColumnRenamed("v", "wv")
+    return (
+        verts.join(core.withColumn("is_core", F.lit(1)), "v", "left")
+        .join(fwd.withColumn("in_fwd", F.lit(1)), verts.v == fwd.fv, "left")
+        .join(bwd.withColumn("in_bwd", F.lit(1)), verts.v == bwd.bv, "left")
+        .join(weak.withColumn("in_weak", F.lit(1)), verts.v == weak.wv, "left")
+        .select(
+            "v",
+            F.when(F.col("is_core") == 1, F.lit("core"))
+            .when(F.col("in_bwd") == 1, F.lit("in"))
+            .when(F.col("in_fwd") == 1, F.lit("out"))
+            .when(F.col("in_weak") == 1, F.lit("tendril"))
+            .otherwise(F.lit("disconnected"))
+            .alias("region"),
+        )
+    )
+
+
+__all__ = ["contract_graph", "bowtie_decomposition"]

@@ -1,0 +1,226 @@
+"""Web-graph structure ops: contraction, bow-tie regions, heavy hitters,
+weighted Bernoulli sampling — each vs a brute-force in-process oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from pagerank_cuda_dynamic_spark.operators.sampling import weighted_sample
+from pagerank_cuda_dynamic_spark.operators.sketches import heavy_hitters
+from pagerank_cuda_dynamic_spark.operators.webgraph import (
+    bowtie_decomposition,
+    contract_graph,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["src", "dst"]).astype(str)
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract_graph
+# ---------------------------------------------------------------------------
+
+
+def test_contract_collapses_groups_and_counts_weight(spark):
+    # pages a1,a2 → host A; b1,b2 → host B; c stays unmapped
+    pairs = [
+        ("a1", "b1"),
+        ("a2", "b1"),
+        ("a2", "b2"),
+        ("a1", "a2"),  # intra-group: dropped by default
+        ("b1", "c"),
+    ]
+    mapping = spark.createDataFrame(
+        pd.DataFrame(
+            {"v": ["a1", "a2", "b1", "b2"], "g": ["A", "A", "B", "B"]}
+        )
+    )
+    got = {
+        (r.src, r.dst): r.weight
+        for r in contract_graph(_edges(spark, pairs), mapping).collect()
+    }
+    assert got == {("A", "B"): 3, ("B", "c"): 1}
+
+
+def test_contract_keep_selfloops_counts_internal_edges(spark):
+    pairs = [("a1", "a2"), ("a2", "a1"), ("a1", "b1")]
+    mapping = spark.createDataFrame(
+        pd.DataFrame({"v": ["a1", "a2", "b1"], "g": ["A", "A", "B"]})
+    )
+    got = {
+        (r.src, r.dst): r.weight
+        for r in contract_graph(
+            _edges(spark, pairs), mapping, drop_selfloops=False
+        ).collect()
+    }
+    assert got == {("A", "A"): 2, ("A", "B"): 1}
+
+
+def test_contract_dedups_parallel_source_edges(spark):
+    # duplicate raw edges collapse BEFORE weighting (weight counts
+    # distinct underlying edges, matching the deduped entity graph)
+    pairs = [("a1", "b1"), ("a1", "b1"), ("a2", "b1")]
+    mapping = spark.createDataFrame(
+        pd.DataFrame({"v": ["a1", "a2", "b1"], "g": ["A", "A", "B"]})
+    )
+    got = contract_graph(_edges(spark, pairs), mapping).collect()
+    assert {(r.src, r.dst): r.weight for r in got} == {("A", "B"): 2}
+
+
+# ---------------------------------------------------------------------------
+# bowtie_decomposition
+# ---------------------------------------------------------------------------
+
+
+def _regions(df):
+    pdf = df.toPandas()
+    return dict(zip(pdf["v"], pdf["region"]))
+
+
+def test_bowtie_all_five_regions(spark):
+    # core cycle k1→k2→k3→k1; i1→i2→k1 (IN chain); k2→o1→o2 (OUT chain);
+    # i1→t1 makes t1 a TENDRIL (weakly connected, but t1 neither reaches
+    # the core nor is reached by it); d1→d2 is a separate weak component
+    # (DISCONNECTED).
+    pairs = [
+        ("k1", "k2"),
+        ("k2", "k3"),
+        ("k3", "k1"),
+        ("i1", "i2"),
+        ("i2", "k1"),
+        ("k2", "o1"),
+        ("o1", "o2"),
+        ("i1", "t1"),
+        ("d1", "d2"),
+    ]
+    got = _regions(bowtie_decomposition(_edges(spark, pairs)))
+    assert got == {
+        "k1": "core",
+        "k2": "core",
+        "k3": "core",
+        "i1": "in",
+        "i2": "in",
+        "o1": "out",
+        "o2": "out",
+        "t1": "tendril",
+        "d1": "disconnected",
+        "d2": "disconnected",
+    }
+
+
+def test_bowtie_largest_scc_tiebreak_is_min_label(spark):
+    # two disjoint 2-cycles, equal size → core is the one with min scc
+    # label ('a1'); the other cycle is outside the core's weak component.
+    pairs = [("a1", "a2"), ("a2", "a1"), ("z1", "z2"), ("z2", "z1")]
+    got = _regions(bowtie_decomposition(_edges(spark, pairs)))
+    assert got == {
+        "a1": "core",
+        "a2": "core",
+        "z1": "disconnected",
+        "z2": "disconnected",
+    }
+
+
+def test_bowtie_dag_core_is_min_vertex(spark):
+    # pure DAG: every SCC is a singleton; the deterministic core pick is
+    # the min vertex id, the rest classify relative to it.
+    pairs = [("a", "b"), ("b", "c")]
+    got = _regions(bowtie_decomposition(_edges(spark, pairs)))
+    assert got == {"a": "core", "b": "out", "c": "out"}
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters
+# ---------------------------------------------------------------------------
+
+
+def _items_df(spark, items, parts=4):
+    return spark.createDataFrame(
+        pd.DataFrame({"item": items})
+    ).repartition(parts)
+
+
+def test_heavy_hitters_exact_set_and_counts(spark):
+    # n=100: 40×'a', 30×'b', 10×'c', 20 singletons. k=4 → threshold n/5=20:
+    # exactly {a, b} qualify (c and singletons don't).
+    items = ["a"] * 40 + ["b"] * 30 + ["c"] * 10 + [f"x{i}" for i in range(20)]
+    got = {
+        r.item: r.cnt
+        for r in heavy_hitters(_items_df(spark, items), "item", k=4).collect()
+    }
+    assert got == {"a": 40, "b": 30}
+
+
+def test_heavy_hitters_layout_invariant(spark):
+    # MG candidate sets differ per partitioning, but the exact verify pass
+    # makes the OUTPUT layout-independent.
+    items = ["hh"] * 50 + [f"noise{i % 37}" for i in range(60)]
+    outs = []
+    for parts in (1, 3, 8):
+        df = heavy_hitters(_items_df(spark, items, parts), "item", k=8)
+        outs.append(sorted((r.item, r.cnt) for r in df.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    assert ("hh", 50) in outs[0]
+
+
+def test_heavy_hitters_boundary_is_strict(spark):
+    # freq exactly n/(k+1) does NOT qualify (strict >): n=20, k=3 →
+    # threshold 5; 'e' has exactly 5.
+    items = ["e"] * 5 + ["f"] * 9 + [f"y{i}" for i in range(6)]
+    got = {r.item for r in heavy_hitters(_items_df(spark, items), "item", k=3).collect()}
+    assert got == {"f"}
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_pure_predicate(spark):
+    pdf = pd.DataFrame({"doc_id": range(1000), "w": [(i * 7) % 100 for i in range(1000)]})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id
+        for r in weighted_sample(df, F.col("w"), 1, 200, id_col="doc_id").collect()
+    }
+    want = {
+        i
+        for i, w in zip(pdf.doc_id, pdf.w)
+        if (i * 2654435761 + 12345) % 1_000_000 * 200 < w * 1 * 1_000_000
+    }
+    assert got == want
+    assert 0 < len(got) < 1000
+
+
+def test_weighted_sample_zero_weight_never_sampled(spark):
+    pdf = pd.DataFrame({"doc_id": range(500), "w": [0] * 500})
+    df = spark.createDataFrame(pdf)
+    assert weighted_sample(df, F.col("w"), 1, 2, id_col="doc_id").count() == 0
+
+
+def test_weighted_sample_saturates_at_probability_one(spark):
+    # w·num/den ≥ 1 → always kept
+    pdf = pd.DataFrame({"doc_id": range(500), "w": [10] * 500})
+    df = spark.createDataFrame(pdf)
+    assert weighted_sample(df, F.col("w"), 1, 10, id_col="doc_id").count() == 500
+
+
+def test_weighted_sample_layout_invariant(spark):
+    pdf = pd.DataFrame({"doc_id": range(2000), "w": [(i * 13) % 50 for i in range(2000)]})
+    a = {
+        r.doc_id
+        for r in weighted_sample(
+            spark.createDataFrame(pdf), F.col("w"), 1, 100, id_col="doc_id"
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in weighted_sample(
+            spark.createDataFrame(pdf).repartition(16), F.col("w"), 1, 100, id_col="doc_id"
+        ).collect()
+    }
+    assert a == b

@@ -285,6 +285,8 @@ def generate(
         "betweenness_c20": "sampled Brandes betweenness (20 sources, depth 4)",
         "closeness_c100": "sampled closeness (100 sources)",
         "eigenvector_20": "eigenvector centrality (20 rounds, events graph)",
+        "host_graph": "page→host graph contraction (nation/brand groups)",
+        "heavy_hitter_tokens": "exact heavy-hitter tokens (Misra–Gries + verify)",
         "pagerank_tcp_static": "PageRank static via TCP ring exchange",
         "pagerank_tcp_dfp": "PageRank DF-P dynamic via TCP ring",
     }
