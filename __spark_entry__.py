@@ -1339,6 +1339,22 @@ def q_weighted_sample(spark, sf_dir):
     ).select("o_orderkey", "w_cents")
 
 
+def q_neighborhood_function(spark, sf_dir):
+    """ANF/HyperBall-style ≤3-hop neighborhood-size estimates with
+    portable KMV registers (operators/webgraph.neighborhood_function,
+    k=32) — after t rounds each register is EXACTLY the k smallest
+    md5-hashes of the true ≤t-hop ball, so the oracle recomputes it from
+    a bounded recursive closure (HLL registers are engine-private)."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import (
+        neighborhood_function,
+    )
+
+    res = neighborhood_function(_entity_edge_df(spark, sf_dir), rounds=3, k=32)
+    return res.select(
+        F.col("v").alias("entity"), "n_sketch", "kth_hash", "estimate"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -1427,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "host_graph": q_host_graph,
         "bowtie": q_bowtie,
+        "neighborhood_function": q_neighborhood_function,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "weighted_sample": q_weighted_sample,
     }
@@ -2948,6 +2965,32 @@ SELECT verts.v AS entity,
             WHEN verts.v IN (SELECT v FROM weak) THEN 'tendril'
             ELSE 'disconnected' END AS region
 FROM verts
+""",
+        "neighborhood_function": f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+),
+reach(v, u, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT r.v, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.u WHERE r.d < 3
+),
+rs AS (SELECT DISTINCT v, u FROM reach),
+h AS (
+  SELECT v, CAST(concat('0x', substr(md5(u), 1, 15)) AS BIGINT) AS h FROM rs
+),
+ranked AS (
+  SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h) AS rn FROM h
+),
+agg AS (
+  SELECT v, count(*) AS n_sketch, max(h) AS kth_hash
+  FROM ranked WHERE rn <= 32 GROUP BY v
+)
+SELECT v AS entity, n_sketch, kth_hash,
+       CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)
+            ELSE 31.0 * 1152921504606846976 / kth_hash END AS estimate
+FROM agg
 """,
         "heavy_hitter_tokens": """
 WITH tok AS (

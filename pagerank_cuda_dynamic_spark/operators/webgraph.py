@@ -128,4 +128,80 @@ def bowtie_decomposition(edges: DataFrame) -> DataFrame:
     )
 
 
-__all__ = ["contract_graph", "bowtie_decomposition"]
+def neighborhood_function(
+    edges: DataFrame,
+    rounds: int = 3,
+    k: int = 32,
+    hash_fn=None,
+) -> DataFrame:
+    """Approximate per-vertex neighborhood function — |{u : dist(v,u) ≤
+    rounds}| — via iterated KMV registers: the ANF / HyperBall algorithm
+    (Palmer et al. KDD 2002; Boldi & Vigna, HyperBall) with k-minimum-
+    values registers instead of HyperLogLog ones.
+
+    Why KMV and not HLL: the k smallest hashes of a set are a PURE
+    FUNCTION of the set, and KMV merge is lossless (k-min of a union =
+    k-min of the merged k-mins), so after t rounds each vertex's register
+    is EXACTLY the k smallest hashes of its true ≤t-hop out-neighborhood
+    — any engine can recompute it (the DuckDB oracle does, from a bounded
+    recursive closure), where HLL register layouts are engine-private.
+
+    sketch_0(v) = {h(v)};  sketch_{t+1}(v) = kmin_k(sketch_t(v) ∪
+    ⋃_{(v,u)∈E} sketch_t(u)).  Estimate: exact count when the register
+    holds < k hashes, else the KMV estimator (k-1)·2^60/h_k in one IEEE
+    division (sketches.py convention).
+
+    Scale posture: state is ≤ k·|V| (v, h) rows; each round is ONE
+    edge⋈sketch shuffle + a v-PARTITIONED rank-k window (never global).
+    The per-vertex estimates aggregate to the neighborhood function
+    N(t) = Σ_v |ball(v,t)| — the effective-diameter statistic of Broder-
+    style web-graph studies — without ever materializing a closure.
+
+    Returns (v, n_sketch, kth_hash, estimate) at t = rounds.
+    """
+    from pyspark.sql import Window
+
+    from pagerank_cuda_dynamic_spark.operators.sketches import (
+        HASH_SPACE,
+        _portable_hash64,
+    )
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    if hash_fn is None:
+        hash_fn = _portable_hash64
+    e = edges.select("src", "dst").distinct().transform(materialize)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    w = Window.partitionBy("v").orderBy("h")
+    sk = verts.select("v", hash_fn(F.col("v")).alias("h")).transform(materialize)
+    for _ in range(rounds):
+        msgs = e.join(
+            sk.withColumnRenamed("v", "dst").withColumnRenamed("h", "hn"), "dst"
+        ).select(F.col("src").alias("v"), F.col("hn").alias("h"))
+        sk = (
+            sk.unionByName(msgs)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+            .transform(materialize)
+        )
+    return sk.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "v",
+        "n_sketch",
+        "kth_hash",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            F.lit(float((k - 1) * HASH_SPACE)) / F.col("kth_hash").cast("double")
+        )
+        .alias("estimate"),
+    )
+
+
+__all__ = ["contract_graph", "bowtie_decomposition", "neighborhood_function"]

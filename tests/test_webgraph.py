@@ -11,6 +11,7 @@ from pagerank_cuda_dynamic_spark.operators.sketches import heavy_hitters
 from pagerank_cuda_dynamic_spark.operators.webgraph import (
     bowtie_decomposition,
     contract_graph,
+    neighborhood_function,
 )
 
 
@@ -131,6 +132,63 @@ def test_bowtie_dag_core_is_min_vertex(spark):
     pairs = [("a", "b"), ("b", "c")]
     got = _regions(bowtie_decomposition(_edges(spark, pairs)))
     assert got == {"a": "core", "b": "out", "c": "out"}
+
+
+# ---------------------------------------------------------------------------
+# neighborhood_function
+# ---------------------------------------------------------------------------
+
+
+def _balls(pairs, t):
+    """Exact ≤t-hop out-balls (including self) by brute force."""
+    verts = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    adj = {v: set() for v in verts}
+    for u, v in pairs:
+        adj[u].add(v)
+    balls = {v: {v} for v in verts}
+    for _ in range(t):
+        balls = {v: b | {w for u in b for w in adj[u]} for v, b in balls.items()}
+    return balls
+
+
+def test_neighborhood_function_exact_regime(spark):
+    # |ball| < k everywhere → estimate is the EXACT ball size
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "a")]
+    got = {
+        r.v: (r.n_sketch, r.estimate)
+        for r in neighborhood_function(_edges(spark, pairs), rounds=2, k=32).collect()
+    }
+    want = _balls(pairs, 2)
+    assert set(got) == set(want)
+    for v, (n_sketch, est) in got.items():
+        assert n_sketch == len(want[v])
+        assert est == float(len(want[v]))
+
+
+def test_neighborhood_function_register_is_kmin_of_true_ball(spark):
+    # k smaller than the ball: the register must hold exactly the k
+    # smallest md5-hashes of the TRUE ball (KMV merge is lossless), so
+    # kth_hash matches the brute-force k-th smallest.
+    import hashlib
+
+    pairs = [("h", f"s{i}") for i in range(20)]  # star: ball(h,1) = 21 verts
+    k = 8
+    got = {
+        r.v: (r.n_sketch, r.kth_hash)
+        for r in neighborhood_function(_edges(spark, pairs), rounds=1, k=k).collect()
+    }
+    ball = _balls(pairs, 1)["h"]
+    hashes = sorted(int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in ball)
+    assert got["h"] == (k, hashes[k - 1])
+
+
+def test_neighborhood_function_sink_keeps_singleton_ball(spark):
+    pairs = [("a", "b")]
+    got = {
+        r.v: r.n_sketch
+        for r in neighborhood_function(_edges(spark, pairs), rounds=3, k=4).collect()
+    }
+    assert got == {"a": 2, "b": 1}
 
 
 # ---------------------------------------------------------------------------
