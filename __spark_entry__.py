@@ -800,6 +800,20 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_salsa(spark, sf_dir):
+    """SALSA (Lempel-Moran), 20 degree-normalized alternating-walk rounds
+    over the entity digraph (operators/centrality.salsa — mass-preserving,
+    zero driver traffic in the loop) vs a fully unrolled CTE oracle."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import salsa
+
+    res = salsa(_entity_edge_df(spark, sf_dir), iterations=20)
+    return res.select(
+        F.col("v").alias("entity"),
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_ppr_suppliers(spark, sf_dir):
     """Personalized PageRank, teleport uniform over the supplier vertices
     ('s…' prefix), 30 sync iterations with universal self-loops
@@ -1411,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
         "hits": q_hits,
+        "salsa": q_salsa,
         "ppr_suppliers": q_ppr_suppliers,
         "k_core_30": q_k_core,
         "scc": q_scc,
@@ -1615,6 +1630,42 @@ h{i}r AS MATERIALIZED (
   GROUP BY verts.v),
 h{i} AS MATERIALIZED (
   SELECT v, s / (SELECT sqrt(sum(s*s)) FROM h{i}r) AS s FROM h{i}r)"""
+    body += f"""
+SELECT a{k}.v AS entity, round(a{k}.s, 6) AS auth, round(h{k}.s, 6) AS hub
+FROM a{k} JOIN h{k} ON h{k}.v = a{k}.v"""
+    return body
+
+
+def _salsa_sql(k: int) -> str:
+    """Unrolled k-iteration SALSA as chained CTEs: the literal
+    degree-normalized alternating-walk recurrence of
+    operators/centrality.salsa (hub gather with 1/indeg(dst), authority
+    gather with 1/outdeg(src); no normalization — mass is preserved)."""
+    body = f"""WITH base_edges AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+e AS MATERIALIZED (SELECT src, dst FROM base_edges WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+indeg AS MATERIALIZED (SELECT dst AS v, count(*) AS ind FROM e GROUP BY dst),
+outdeg AS MATERIALIZED (SELECT src AS v, count(*) AS outd FROM e GROUP BY src),
+ew AS MATERIALIZED (
+  SELECT e.src, e.dst, 1.0/indeg.ind AS w_in, 1.0/outdeg.outd AS w_out
+  FROM e JOIN indeg ON indeg.v = e.dst JOIN outdeg ON outdeg.v = e.src),
+a0 AS MATERIALIZED (
+  SELECT verts.v,
+         CASE WHEN indeg.v IS NULL THEN 0.0
+              ELSE 1.0/(SELECT count(*) FROM indeg) END AS s
+  FROM verts LEFT JOIN indeg ON indeg.v = verts.v)"""
+    for i in range(1, k + 1):
+        body += f""",
+h{i} AS MATERIALIZED (
+  SELECT verts.v, coalesce(sum(a{i-1}.s * ew.w_in), 0) AS s
+  FROM verts LEFT JOIN ew ON ew.src = verts.v
+  LEFT JOIN a{i-1} ON a{i-1}.v = ew.dst
+  GROUP BY verts.v),
+a{i} AS MATERIALIZED (
+  SELECT verts.v, coalesce(sum(h{i}.s * ew.w_out), 0) AS s
+  FROM verts LEFT JOIN ew ON ew.dst = verts.v
+  LEFT JOIN h{i} ON h{i}.v = ew.src
+  GROUP BY verts.v)"""
     body += f"""
 SELECT a{k}.v AS entity, round(a{k}.s, 6) AS auth, round(h{k}.s, 6) AS hub
 FROM a{k} JOIN h{k} ON h{k}.v = a{k}.v"""
@@ -2623,6 +2674,7 @@ SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "hits": _hits_sql(20),
+        "salsa": _salsa_sql(20),
         "ppr_suppliers": _ppr_sql(30),
         "k_core_30": _kcore_sql(30, 6),
         # SCC ≡ mutual reachability: scc(v) = min u with v→*u and u→*v

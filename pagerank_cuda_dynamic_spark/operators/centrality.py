@@ -114,6 +114,94 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
     return out
 
 
+def salsa(edges: DataFrame, iterations: int = 20) -> DataFrame:
+    """SALSA (Lempel & Moran 2000): the stochastic sibling of HITS —
+    `iterations` synchronous rounds of the degree-normalized alternating
+    walk on the hub/authority bipartite view of E:
+
+        hub[u]  ← Σ_{(u,v)∈E} auth[v] / indeg(v)
+        auth[v] ← Σ_{(u,v)∈E} hub[u]  / outdeg(u)
+
+    from auth ≡ 1/|{v : indeg(v) ≥ 1}| over authority-side vertices.
+    Because both half-steps are column-stochastic averages, total mass
+    is preserved EXACTLY (Σ auth = Σ hub = 1 every round) — so unlike
+    `hits` there is NO normalization barrier and therefore ZERO driver
+    traffic inside the loop: the whole run is one declarative chain of
+    edge-keyed shuffles, the best-scaling member of the link-analysis
+    trio (PageRank needs the dangling/teleport scalar, HITS the L2
+    norm).  Self-loops excluded as in `hits`.  Returns (v, auth, hub);
+    vertices with no in-edges have auth 0, no out-edges hub 0.
+
+    Reference parity note: same gather shape as the rank pull of
+    pagerankCuda.hxx:676-692 with 1/deg folded onto the PROBE side —
+    exactly how the reference folds 1/outdeg into its rdiv vector.
+    """
+    e = _distinct_edges(edges).where(F.col("src") != F.col("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    verts.count()
+    indeg = e.groupBy(F.col("dst").alias("v")).agg(F.count(F.lit(1)).alias("ind"))
+    outdeg = e.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("outd"))
+    # fold 1/deg onto the probe side once, like the reference's rdiv vector
+    ew = (
+        e.join(indeg.withColumnRenamed("v", "dst"), "dst")
+        .join(outdeg.withColumnRenamed("v", "src"), "src")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.col("ind")).alias("w_in"),
+            (F.lit(1.0) / F.col("outd")).alias("w_out"),
+        )
+        .persist()
+    )
+    ew.count()
+    n_auth = indeg.count()
+    auth = (
+        verts.join(indeg, "v", "left")
+        .select(
+            "v",
+            F.when(F.col("ind").isNotNull(), F.lit(1.0 / n_auth))
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+        .transform(materialize)
+    )
+    hub = None
+    for _ in range(iterations):
+        hub = (
+            verts.join(
+                ew.join(auth.withColumnRenamed("v", "dst"), "dst")
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.sum(F.col("s") * F.col("w_in")).alias("acc")),
+                "v",
+                "left",
+            )
+            .select("v", F.coalesce("acc", F.lit(0.0)).alias("s"))
+            .transform(materialize)
+        )
+        auth = (
+            verts.join(
+                ew.join(hub.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum(F.col("s") * F.col("w_out")).alias("acc")),
+                "v",
+                "left",
+            )
+            .select("v", F.coalesce("acc", F.lit(0.0)).alias("s"))
+            .transform(materialize)
+        )
+    out = auth.withColumnRenamed("s", "auth").join(
+        hub.withColumnRenamed("s", "hub"), "v"
+    )
+    ew.unpersist()
+    verts.unpersist()
+    return out
+
+
 def katz(
     edges: DataFrame,
     alpha: float = 0.05,

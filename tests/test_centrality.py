@@ -228,3 +228,72 @@ def test_kcore_direction_erased(spark):
 def test_kcore_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         k_core(_edges(spark, CLIQUE_CHAIN), k=0)
+
+
+# ---------------------------------------------------------------------------
+# salsa
+# ---------------------------------------------------------------------------
+
+
+def _np_salsa(pairs, n_iter):
+    verts = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    idx = {v: i for i, v in enumerate(verts)}
+    E = sorted({(idx[u], idx[v]) for u, v in pairs if u != v})
+    n = len(verts)
+    ind = np.zeros(n)
+    outd = np.zeros(n)
+    for u, v in E:
+        ind[v] += 1
+        outd[u] += 1
+    n_auth = int((ind > 0).sum())
+    a = np.where(ind > 0, 1.0 / n_auth, 0.0)
+    h = np.zeros(n)
+    for _ in range(n_iter):
+        h = np.zeros(n)
+        for u, v in E:
+            h[u] += a[v] / ind[v]
+        a = np.zeros(n)
+        for u, v in E:
+            a[v] += h[u] / outd[u]
+    return verts, a, h
+
+
+SALSA_GRAPH = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "b"), ("e", "e"), ("e", "a"),
+]
+
+
+def test_salsa_matches_numpy(spark):
+    from pagerank_cuda_dynamic_spark.operators.centrality import salsa
+
+    got = salsa(_edges(spark, SALSA_GRAPH), iterations=7).toPandas()
+    verts, a, h = _np_salsa(SALSA_GRAPH, 7)
+    got = got.set_index("v").loc[verts]
+    assert np.allclose(got["auth"].to_numpy(), a, atol=1e-12)
+    assert np.allclose(got["hub"].to_numpy(), h, atol=1e-12)
+
+
+def test_salsa_preserves_mass(spark):
+    from pagerank_cuda_dynamic_spark.operators.centrality import salsa
+
+    got = salsa(_edges(spark, SALSA_GRAPH), iterations=5).toPandas()
+    assert abs(got["auth"].sum() - 1.0) < 1e-12
+    assert abs(got["hub"].sum() - 1.0) < 1e-12
+
+
+def test_salsa_connected_stationary_is_indegree(spark):
+    # On a connected authority-side support, SALSA's stationary authority
+    # weight is indeg(v)/|E| (Lempel-Moran Thm 2) — the iteration must
+    # land there.
+    from pagerank_cuda_dynamic_spark.operators.centrality import salsa
+
+    pairs = [("a", "b"), ("c", "b"), ("c", "d"), ("a", "d"), ("b", "d")]
+    got = (
+        salsa(_edges(spark, pairs), iterations=60)
+        .toPandas()
+        .set_index("v")["auth"]
+    )
+    m = len(pairs)
+    assert abs(got["b"] - 2 / m) < 1e-9
+    assert abs(got["d"] - 3 / m) < 1e-9
