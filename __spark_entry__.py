@@ -1318,6 +1318,32 @@ def q_bowtie(spark, sf_dir):
     return bowtie_decomposition(e).select(F.col("v").alias("entity"), "region")
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation pairs (operators/webgraph.cocitation_graph, Small 1973):
+    entities cited together by ≥2 common in-neighbors, shared-vertex
+    degree capped at 100 (the d² cap contract) — vs the literal capped
+    self-join oracle."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import cocitation_graph
+
+    return cocitation_graph(
+        _entity_edge_df(spark, sf_dir), max_degree=100, min_weight=2
+    ).select(F.col("a").alias("entity_a"), F.col("b").alias("entity_b"), "w")
+
+
+def q_bib_coupling(spark, sf_dir):
+    """Bibliographic-coupling pairs (operators/webgraph.cocitation_graph
+    with coupling=True, Kessler 1963): entities citing ≥2 common targets,
+    same degree-cap contract, vs the transposed self-join oracle."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import cocitation_graph
+
+    return cocitation_graph(
+        _entity_edge_df(spark, sf_dir),
+        max_degree=100,
+        min_weight=2,
+        coupling=True,
+    ).select(F.col("a").alias("entity_a"), F.col("b").alias("entity_b"), "w")
+
+
 def q_heavy_hitter_tokens(spark, sf_dir):
     """Exact φ-heavy-hitter tokens, φ=1/65 (operators/sketches.heavy_hitters
     — per-partition Misra–Gries candidates + one exact verification pass;
@@ -1458,6 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "host_graph": q_host_graph,
         "bowtie": q_bowtie,
+        "cocitation": q_cocitation,
+        "bib_coupling": q_bib_coupling,
         "neighborhood_function": q_neighborhood_function,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "weighted_sample": q_weighted_sample,
@@ -3017,6 +3045,26 @@ SELECT verts.v AS entity,
             WHEN verts.v IN (SELECT v FROM weak) THEN 'tendril'
             ELSE 'disconnected' END AS region
 FROM verts
+""",
+        "cocitation": f"""
+WITH base AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM base WHERE src <> dst),
+keep AS (SELECT src AS k FROM e GROUP BY src HAVING count(*) <= 100),
+kept AS MATERIALIZED (
+  SELECT e.src AS k, e.dst AS x FROM e JOIN keep ON keep.k = e.src)
+SELECT l.x AS entity_a, r.x AS entity_b, count(*) AS w
+FROM kept l JOIN kept r ON l.k = r.k AND l.x < r.x
+GROUP BY l.x, r.x HAVING count(*) >= 2
+""",
+        "bib_coupling": f"""
+WITH base AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM base WHERE src <> dst),
+keep AS (SELECT dst AS k FROM e GROUP BY dst HAVING count(*) <= 100),
+kept AS MATERIALIZED (
+  SELECT e.dst AS k, e.src AS x FROM e JOIN keep ON keep.k = e.dst)
+SELECT l.x AS entity_a, r.x AS entity_b, count(*) AS w
+FROM kept l JOIN kept r ON l.k = r.k AND l.x < r.x
+GROUP BY l.x, r.x HAVING count(*) >= 2
 """,
         "neighborhood_function": f"""
 WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),

@@ -204,4 +204,64 @@ def neighborhood_function(
     )
 
 
-__all__ = ["contract_graph", "bowtie_decomposition", "neighborhood_function"]
+def cocitation_graph(
+    edges: DataFrame,
+    max_degree: int = 1000,
+    min_weight: int = 1,
+    coupling: bool = False,
+) -> DataFrame:
+    """Derived similarity graph over the link structure:
+
+      * co-citation (Small 1973, default): w(a, b) = |{u : u→a ∧ u→b}| —
+        pages cited together; the authority-side projection SALSA walks.
+      * bibliographic coupling (Kessler 1963, coupling=True):
+        w(a, b) = |{w : a→w ∧ b→w}| — pages citing the same targets;
+        the hub-side projection.
+
+    Returns (a, b, w) with a < b (each unordered pair once), w ≥
+    `min_weight`.  Self-loops in the input are ignored (a page citing
+    itself co-cites nothing).
+
+    Scale posture: pair generation is a self-join keyed on the SHARED
+    vertex, so a hub with degree d emits d·(d-1)/2 pairs — the exact d²
+    blowup the dedup family's `max_shingle_df` caps (dedup.py).  The
+    same contract applies here: shared vertices with degree >
+    `max_degree` are EXCLUDED from pair generation (documented recall
+    bound — a row co-cited by everyone carries no similarity signal,
+    the IDF argument), making the worst-case output |V|·max_degree²/2
+    instead of unbounded.  One aggregation to find heavy keys + one
+    semi-filtered self-join + one groupBy; no Python, no windows.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if coupling:
+        shared, item = "dst", "src"
+    else:
+        shared, item = "src", "dst"
+    deg = (
+        e.groupBy(shared)
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") <= max_degree)
+        .select(shared)
+    )
+    kept = e.join(deg, shared, "left_semi")
+    left = kept.select(F.col(shared).alias("k"), F.col(item).alias("a"))
+    right = kept.select(F.col(shared).alias("k"), F.col(item).alias("b"))
+    return (
+        left.join(right, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_weight)
+    )
+
+
+__all__ = [
+    "contract_graph",
+    "bowtie_decomposition",
+    "neighborhood_function",
+    "cocitation_graph",
+]

@@ -282,3 +282,53 @@ def test_weighted_sample_layout_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# cocitation_graph
+# ---------------------------------------------------------------------------
+
+
+def test_cocitation_counts_common_citers(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import cocitation_graph
+
+    pairs = [
+        ("u1", "a"), ("u1", "b"),
+        ("u2", "a"), ("u2", "b"),
+        ("u3", "a"), ("u3", "c"),
+        ("a", "a"),  # self-loop ignored
+    ]
+    got = {
+        (r.a, r.b): r.w
+        for r in cocitation_graph(_edges(spark, pairs)).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def test_coupling_is_cocitation_of_transpose(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import cocitation_graph
+
+    pairs = [("a", "x"), ("b", "x"), ("b", "y"), ("c", "y"), ("a", "y")]
+    rev = [(d, s) for s, d in pairs]
+    got = sorted(
+        map(tuple, cocitation_graph(_edges(spark, pairs), coupling=True)
+            .toPandas().values.tolist())
+    )
+    want = sorted(
+        map(tuple, cocitation_graph(_edges(spark, rev)).toPandas().values.tolist())
+    )
+    assert got == want and got  # non-empty
+
+
+def test_cocitation_degree_cap_excludes_hub(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import cocitation_graph
+
+    pairs = [("hub", f"t{i}") for i in range(5)] + [
+        ("u", "t0"), ("u", "t1"), ("w", "t0"), ("w", "t1"),
+    ]
+    got = {
+        (r.a, r.b): r.w
+        for r in cocitation_graph(_edges(spark, pairs), max_degree=2).collect()
+    }
+    # hub (outdeg 5 > 2) contributes no pairs; u and w each co-cite t0,t1
+    assert got == {("t0", "t1"): 2}
