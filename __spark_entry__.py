@@ -1344,6 +1344,31 @@ def q_bib_coupling(spark, sf_dir):
     ).select(F.col("a").alias("entity_a"), F.col("b").alias("entity_b"), "w")
 
 
+def q_k_truss(spark, sf_dir):
+    """12-truss of the parts-co-ordered graph (edge p_a—p_b when some
+    order contains both parts; operators/components.k_truss — 6 capped
+    degree-oriented support/peel rounds ≡ the oracle's unroll; fixpoint
+    lands in 5 rounds at sf0.01: 115.7k → 1.1k edges) vs the unrolled
+    common-neighbor peel-chain CTE oracle.  Returns surviving edges with
+    their in-truss support."""
+    from pagerank_cuda_dynamic_spark.operators.components import k_truss
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    co = (
+        li.join(li.withColumnRenamed("p", "p2"), "k")
+        .where(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return k_truss(co, k=12, rounds=6).select(
+        F.col("src").alias("part_a"), F.col("dst").alias("part_b"), "sup"
+    )
+
+
 def q_heavy_hitter_tokens(spark, sf_dir):
     """Exact φ-heavy-hitter tokens, φ=1/65 (operators/sketches.heavy_hitters
     — per-partition Misra–Gries candidates + one exact verification pass;
@@ -1485,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "bowtie": q_bowtie,
         "cocitation": q_cocitation,
+        "k_truss": q_k_truss,
         "bib_coupling": q_bib_coupling,
         "neighborhood_function": q_neighborhood_function,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -1661,6 +1687,33 @@ h{i} AS MATERIALIZED (
     body += f"""
 SELECT a{k}.v AS entity, round(a{k}.s, 6) AS auth, round(h{k}.s, 6) AS hub
 FROM a{k} JOIN h{k} ON h{k}.v = a{k}.v"""
+    return body
+
+
+def _k_truss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel over the parts-co-ordered graph: `rounds`
+    rounds of (common-neighbor support → drop sup < k−2), then one final
+    support pass over the survivors — the literal capped sequence of
+    operators/components.k_truss."""
+    body = """WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+s0 AS MATERIALIZED (
+  SELECT DISTINCT l.p AS a, r.p AS b FROM li l JOIN li r ON l.k = r.k AND l.p < r.p)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+u{i} AS MATERIALIZED (SELECT a, b FROM s{i-1} UNION ALL SELECT b, a FROM s{i-1}),
+s{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM s{i-1} e
+  LEFT JOIN u{i} u1 ON u1.a = e.a
+  LEFT JOIN u{i} u2 ON u2.a = e.b AND u2.b = u1.b
+  GROUP BY e.a, e.b HAVING count(u2.b) >= {k - 2})"""
+    body += f""",
+uf AS MATERIALIZED (SELECT a, b FROM s{rounds} UNION ALL SELECT b, a FROM s{rounds})
+SELECT e.a AS part_a, e.b AS part_b, count(u2.b) AS sup
+FROM s{rounds} e
+LEFT JOIN uf u1 ON u1.a = e.a
+LEFT JOIN uf u2 ON u2.a = e.b AND u2.b = u1.b
+GROUP BY e.a, e.b"""
     return body
 
 
@@ -2703,6 +2756,7 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "hits": _hits_sql(20),
         "salsa": _salsa_sql(20),
+        "k_truss": _k_truss_sql(12, 6),
         "ppr_suppliers": _ppr_sql(30),
         "k_core_30": _kcore_sql(30, 6),
         # SCC ≡ mutual reachability: scc(v) = min u with v→*u and u→*v

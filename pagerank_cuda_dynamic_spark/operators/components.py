@@ -484,6 +484,97 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     return out
 
 
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (src<dst) simple edge
+    set: sup(a,b) = #common neighbors of a and b.  Degree-oriented
+    successor-intersection enumeration (triangle_count's arrays plan) so
+    a hub only fans out to higher-ranked neighbors (arboricity bound);
+    each triangle (x,y,z) credits its THREE canonical edges via one
+    explode — 3·#triangles rows, never the wedge set.  Edges in no
+    triangle get support 0.  Returns (src, dst, sup)."""
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
+    )
+    src_low = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = ed.select(
+        F.when(src_low, F.col("src")).otherwise(F.col("dst")).alias("x"),
+        F.when(src_low, F.col("dst")).otherwise(F.col("src")).alias("y"),
+    )
+    nbrs = fwd.groupBy("x").agg(F.collect_list("y").alias("nb"))
+    tri = (
+        fwd.join(nbrs, "x")
+        .join(nbrs.withColumnRenamed("x", "y").withColumnRenamed("nb", "nb2"), "y")
+        .select("x", "y", F.explode(F.array_intersect("nb", "nb2")).alias("z"))
+    )
+    pair = lambda a, b: F.struct(  # noqa: E731
+        F.least(a, b).alias("src"), F.greatest(a, b).alias("dst")
+    )
+    credit = (
+        tri.select(
+            F.explode(
+                F.array(
+                    pair(F.col("x"), F.col("y")),
+                    pair(F.col("x"), F.col("z")),
+                    pair(F.col("y"), F.col("z")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    return e.join(credit, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("sup", F.lit(0)).alias("sup")
+    )
+
+
+def k_truss(edges: DataFrame, k: int, rounds: int = 6) -> DataFrame:
+    """k-truss of the undirected simple graph (Cohen 2008): the maximal
+    edge subgraph in which every edge lies in ≥ k−2 triangles OF THE
+    SUBGRAPH — the edge-analog of k_core and the standard web-graph
+    cohesion refinement (a truss edge is embedded in a dense community;
+    a core vertex may be held in by degree alone).
+
+    Peel loop: `rounds` rounds of (support → drop edges with
+    sup < k−2); then ONE final support computation over the survivors,
+    which is what is returned — (src, dst, sup) with src < dst.  The
+    fixed `rounds` cap is the operator's contract (k_core's cap rule:
+    an unrolled SQL oracle computes the identical capped sequence, and
+    any cap ≥ the convergence round count yields the exact truss, at
+    which point every returned sup is ≥ k−2 by definition).
+
+    Each round is the degree-oriented triangle pass of triangle_count
+    (arboricity-bounded fan-out, no wedge set) + one groupBy + one left
+    join — no Python, no windows, no driver traffic inside the loop;
+    the peel monotonically SHRINKS the edge set, so later rounds get
+    cheaper, the same trajectory as k_core's semi-join chain."""
+    if k < 2:
+        raise ValueError("k_truss: k must be >= 2")
+    e = (
+        symmetrize(edges)
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .transform(materialize)
+    )
+    for _ in range(rounds):
+        e = (
+            _edge_support(e)
+            .where(F.col("sup") >= k - 2)
+            .select("src", "dst")
+            .transform(materialize)
+        )
+    return _edge_support(e)
+
+
 def modularity(edges: DataFrame, membership: DataFrame) -> DataFrame:
     """Undirected modularity Q = Σ_c [ m_c/m − (K_c/(2m))² ]
     (properties.hxx:123–364 per-community weight aggregates).

@@ -195,3 +195,93 @@ def test_cc_pointer_jump_long_chain_logarithmic(spark):
     assert (comp[L: L + 3] == L).all()
     assert comp[L + 3] == L + 3
     assert rounds <= int(np.log2(L)) + 6, rounds
+
+
+# ---------------------------------------------------------------------------
+# k_truss
+# ---------------------------------------------------------------------------
+
+
+def _truss_oracle(pairs, k):
+    """Converged brute-force k-truss: dict {(a,b): sup} with a < b."""
+    E = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    while True:
+        adj: dict = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in E}
+        keep = {e for e in E if sup[e] >= k - 2}
+        if keep == E:
+            return sup
+        E = keep
+
+
+def _truss_got(df):
+    return {(r.src, r.dst): r.sup for r in df.collect()}
+
+
+def test_k_truss_k5_is_5truss_and_6truss_empty(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import k_truss
+
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    e = edges_df(spark, [p[0] for p in pairs], [p[1] for p in pairs])
+    got = _truss_got(k_truss(e, k=5, rounds=3))
+    assert got == {p: 3 for p in pairs}
+    assert k_truss(e, k=6, rounds=3).count() == 0
+
+
+def test_k_truss_peels_pendant_triangle_off_k4(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import k_truss
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs = k4 + [(3, 4), (3, 5), (4, 5)]
+    e = edges_df(spark, [p[0] for p in pairs], [p[1] for p in pairs])
+    got = _truss_got(k_truss(e, k=4, rounds=4))
+    assert got == {p: 2 for p in k4}
+
+
+def test_k_truss_cascading_peel_empties_triangle_strip(spark):
+    """Strip of triangles (i, i+1, i+2): round 1 peels every long edge
+    (sup 1), which zeroes the path edges' support — only a second round
+    removes them.  The 4-truss must cascade to EMPTY, not stop after one
+    pass."""
+    from pagerank_cuda_dynamic_spark.operators.components import k_truss
+
+    pairs = [(i, i + 1) for i in range(9)] + [(i, i + 2) for i in range(8)]
+    e = edges_df(spark, [p[0] for p in pairs], [p[1] for p in pairs])
+    assert k_truss(e, k=4, rounds=4).count() == 0
+    assert _truss_oracle(pairs, 4) == {}
+
+
+def test_k_truss_oracle_random(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import k_truss
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 24, 160).tolist()
+    dst = rng.integers(0, 24, 160).tolist()
+    pairs = list(zip(src, dst))
+    for k in (3, 4, 5):
+        want = _truss_oracle(pairs, k)
+        got = _truss_got(k_truss(edges_df(spark, src, dst), k=k, rounds=12))
+        assert got == want, k
+
+
+def test_k_truss_directed_duplicates_and_selfloops(spark):
+    """Both orientations + repeats + self-loops collapse to one simple
+    undirected edge set before peeling."""
+    from pagerank_cuda_dynamic_spark.operators.components import k_truss
+
+    src = [0, 1, 1, 2, 0, 2, 0, 1]
+    dst = [1, 0, 2, 1, 2, 0, 0, 1]
+    got = _truss_got(k_truss(edges_df(spark, src, dst), k=3, rounds=2))
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 1}
+
+
+def test_k_truss_rejects_k_below_2(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import k_truss
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_truss(edges_df(spark, [0], [1]), k=1)
