@@ -1420,6 +1420,52 @@ def q_neighborhood_function(spark, sf_dir):
     )
 
 
+def q_distance_distribution(spark, sf_dir):
+    """Neighborhood function N(t), t = 0..3 over the entity digraph
+    (operators/webgraph.distance_distribution — per-round aggregates of
+    the ANF KMV registers; per-vertex estimates are floored to
+    milli-units BEFORE summing so the per-t totals are BIGINT-exact on
+    any engine / summation order) vs the bounded min-dist closure
+    oracle."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import (
+        distance_distribution,
+    )
+
+    return distance_distribution(_entity_edge_df(spark, sf_dir), rounds=3, k=32)
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k), k = 1..40, over the undirected entity
+    graph (operators/webgraph.rich_club — two histogram shuffles, then
+    KB-sized broadcast suffix-sum joins; never a per-edge pass per k) vs
+    the direct threshold-count oracle."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import rich_club
+
+    return rich_club(_entity_edge_df(spark, sf_dir), max_k=40)
+
+
+def q_dedup_best(spark, sf_dir):
+    """Near-dup survivor selection (operators/dedup.dedup_representatives):
+    corpus = documents<200 ∪ a punctuation-degraded copy (identical alnum
+    shingles ⇒ Jaccard-1 pairs, but different quality), clustered by the
+    distributed closure; per cluster keep argmax (round(quality·10⁶),
+    −doc_id) via ONE integer-keyed struct-min aggregate — float
+    comparisons never decide a survivor."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import (
+        dedup_representatives,
+    )
+    from pagerank_cuda_dynamic_spark.operators.text import quality_expr
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select("doc_id", "text")
+    noisy = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" !!!!!!!!!!")).alias("text"),
+    )
+    docs = d.unionByName(noisy).withColumn("quality", quality_expr("text"))
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_representatives(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "entity_edges": q_entity_edges,
@@ -1513,6 +1559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "bib_coupling": q_bib_coupling,
         "neighborhood_function": q_neighborhood_function,
+        "distance_distribution": q_distance_distribution,
+        "rich_club": q_rich_club,
+        "dedup_best": q_dedup_best,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "weighted_sample": q_weighted_sample,
     }
@@ -2288,6 +2337,139 @@ live{r + 1} AS MATERIALIZED (
 mis AS ({union})
 SELECT l.v, l.v IN (SELECT v FROM mis) AS mis FROM live0 l"""
     )
+
+
+def _distance_distribution_sql(rounds: int, k: int) -> str:
+    """Exact twin of webgraph.distance_distribution: bounded min-dist
+    closure → per-(t, v) KMV register (k smallest md5 hashes of the true
+    ≤t-hop ball) → per-vertex estimate floored to milli-units → BIGINT
+    sums, so the comparison needs no float-sum tolerance."""
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+),
+reach(v, u, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT r.v, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.u WHERE r.d < {rounds}
+),
+rd AS MATERIALIZED (SELECT v, u, min(d) AS d FROM reach GROUP BY v, u),
+h AS MATERIALIZED (
+  SELECT v, d, CAST(concat('0x', substr(md5(u), 1, 15)) AS BIGINT) AS h FROM rd
+),
+ts AS (SELECT unnest(range(0, {rounds} + 1)) AS t),
+ranked AS (
+  SELECT ts.t, h.v, h.h,
+         row_number() OVER (PARTITION BY ts.t, h.v ORDER BY h.h) AS rn
+  FROM ts JOIN h ON h.d <= ts.t
+),
+agg AS (
+  SELECT t, v, count(*) AS n_sketch, max(h) AS kth
+  FROM ranked WHERE rn <= {k} GROUP BY t, v
+),
+est AS (
+  SELECT t, n_sketch,
+         CASE WHEN n_sketch < {k} THEN CAST(n_sketch AS DOUBLE)
+              ELSE {k - 1}.0 * 1152921504606846976 / kth END AS e
+  FROM agg
+)
+SELECT t, count(*) AS n_vertices,
+       CAST(sum(CASE WHEN n_sketch >= {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+       CAST(sum(CAST(floor(e * 1000.0) AS BIGINT)) AS BIGINT) AS pairs_milli
+FROM est GROUP BY t
+"""
+
+
+def _rich_club_sql(max_k: int) -> str:
+    """Direct threshold-count twin of webgraph.rich_club over the
+    undirected simple entity graph."""
+    return f"""
+WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+nd AS MATERIALIZED (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+),
+ks AS (SELECT unnest(range(1, {max_k} + 1)) AS k),
+n_k AS (SELECT ks.k, count(*) AS n_nodes FROM ks JOIN nd ON nd.d > ks.k GROUP BY ks.k),
+em AS MATERIALIZED (
+  SELECT least(da.d, db.d) AS m
+  FROM e JOIN nd da ON da.v = e.a JOIN nd db ON db.v = e.b
+),
+e_k AS (SELECT ks.k, count(*) AS n_edges FROM ks JOIN em ON em.m > ks.k GROUP BY ks.k)
+SELECT n_k.k, n_nodes, COALESCE(n_edges, 0) AS n_edges,
+       2.0 * COALESCE(n_edges, 0) / (n_nodes * (n_nodes - 1.0)) AS phi
+FROM n_k LEFT JOIN e_k ON e_k.k = n_k.k
+WHERE n_nodes >= 2
+"""
+
+
+def _dedup_best_sql() -> str:
+    """Twin of q_dedup_best: punctuation-degraded injected corpus →
+    exact-Jaccard pairs → recursive-CTE closure → per-cluster argmax
+    (round(quality·10⁶) DESC, doc_id ASC) with window rank."""
+    en_pat = r"(?i)\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+    return rf"""
+WITH RECURSIVE corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' !!!!!!!!!!' AS text
+  FROM documents WHERE doc_id < 200
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 1) + 1),
+      i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i+2), ' ')
+  ))) AS s
+  FROM corpus
+),
+sizes AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+cverts AS (SELECT DISTINCT s AS v FROM und),
+reach(v, r) AS (
+  SELECT v, v FROM cverts
+  UNION
+  SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.v
+),
+cl AS (SELECT v AS doc_id, min(r) AS keeper_id FROM reach GROUP BY v),
+q AS (
+  SELECT doc_id,
+         CAST(round((0.4 * least(len(regexp_extract_all(text, '\S+')) / 100.0, 1.0)
+           + 0.3 * least((len(regexp_extract_all(text, '{en_pat}')) * 1.0
+                          / greatest(len(regexp_extract_all(text, '\S+')), 1)) * 5.0, 1.0)
+           + 0.3 * (1.0 - least((len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                                 / greatest(length(text), 1)) * 4.0, 1.0))) * 1000000)
+              AS BIGINT) AS q_key
+  FROM corpus
+),
+member AS (
+  SELECT COALESCE(cl.keeper_id, q.doc_id) AS cluster_id, q.doc_id, q.q_key
+  FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, q_key,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY q_key DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM member
+)
+SELECT cluster_id, doc_id AS rep_id, q_key AS rep_q_key, n_members
+FROM ranked WHERE rn = 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3120,6 +3302,9 @@ SELECT l.x AS entity_a, r.x AS entity_b, count(*) AS w
 FROM kept l JOIN kept r ON l.k = r.k AND l.x < r.x
 GROUP BY l.x, r.x HAVING count(*) >= 2
 """,
+        "distance_distribution": _distance_distribution_sql(3, 32),
+        "rich_club": _rich_club_sql(40),
+        "dedup_best": _dedup_best_sql(),
         "neighborhood_function": f"""
 WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
 verts AS MATERIALIZED (

@@ -255,6 +255,62 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     )
 
 
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Survivor selection for near-dup clusters: cluster the pair graph
+    (dedup_clusters' transitive closure), then keep ONE representative
+    per cluster — the member with the highest quality, ties broken by
+    the smallest doc id.  This is the policy stage every production
+    fuzzy-dedup pipeline runs after pairing (keep the best-written copy,
+    not an arbitrary one); docs in no pair survive as their own
+    singleton cluster.
+
+    Determinism contract: the ranking key is the EXACT INTEGER
+    round(quality·10⁶) (same 6-dp regime as text.quality_score), so the
+    argmax is reproducible across engines / partitionings — float
+    comparisons never decide a survivor.  Selection is ONE hash
+    aggregate via min(struct(−q_key, id)) (lexicographic struct min ≡
+    argmax-quality-then-min-id): no window, no per-cluster skew concern
+    beyond the aggregate's own combiner.
+
+    Returns (cluster_id, rep_id, rep_q_key, n_members).
+    """
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    q_key = F.round(F.col(quality_col) * 1000000.0).cast("long")
+    member = (
+        docs.select(F.col(id_col), q_key.alias("q_key"))
+        .join(
+            clusters.withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left",
+        )
+        .select(
+            F.coalesce("keeper_id", F.col(id_col)).alias("cluster_id"),
+            F.col(id_col),
+            "q_key",
+        )
+    )
+    return member.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("q_key")).alias("nq"), F.col(id_col).alias("rid")
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("n_members"),
+    ).select(
+        "cluster_id",
+        F.col("best.rid").alias("rep_id"),
+        (-F.col("best.nq")).alias("rep_q_key"),
+        "n_members",
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     heldout: DataFrame,

@@ -265,3 +265,150 @@ __all__ = [
     "neighborhood_function",
     "cocitation_graph",
 ]
+
+
+def rich_club(edges: DataFrame, max_k: int = 40) -> DataFrame:
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004; Colizza et al.
+    2006, unnormalized): over the undirected simple graph, for each
+    degree threshold k = 1..max_k let N_k = #vertices with degree > k
+    and E_k = #edges whose BOTH endpoints have degree > k; then
+    φ(k) = 2·E_k / (N_k·(N_k−1)) — how densely the hubs interconnect,
+    the classic "do the rich link to the rich" web/citation statistic.
+
+    Scale posture: everything after two histogram shuffles is tiny —
+    (1) one degree count, (2) one per-edge min-endpoint-degree groupBy;
+    both histograms have ≤ max-degree rows, so the k×histogram
+    inequality joins (suffix sums) are broadcast nested loops over
+    KB-sized inputs, never a per-edge pass per k.  No Python, no
+    windows, no driver traffic.
+
+    Returns (k, n_nodes, n_edges, phi) for thresholds with N_k ≥ 2
+    (φ undefined below two members).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ndh = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    emh = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .select(F.least("da", "db").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ks = spark.range(1, max_k + 1).select(F.col("id").alias("k"))
+    n_k = (
+        ks.join(F.broadcast(ndh), ndh["d"] > ks["k"])
+        .groupBy("k")
+        .agg(F.sum("n").alias("n_nodes"))
+    )
+    e_k = (
+        ks.join(F.broadcast(emh), emh["m"] > ks["k"])
+        .groupBy("k")
+        .agg(F.sum("c").alias("n_edges"))
+    )
+    return (
+        n_k.join(e_k, "k", "left")
+        .where(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            (
+                2.0
+                * F.coalesce("n_edges", F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1.0)))
+            ).alias("phi"),
+        )
+    )
+
+
+def distance_distribution(
+    edges: DataFrame,
+    rounds: int = 3,
+    k: int = 32,
+    hash_fn=None,
+) -> DataFrame:
+    """The neighborhood function N(t) = Σ_v |ball_out(v, t)| for every
+    t = 0..rounds — the distance-distribution / effective-diameter
+    statistic of Broder-style web-graph studies — from the SAME iterated
+    KMV registers as `neighborhood_function`, aggregated after every
+    round instead of only the last.
+
+    Cross-engine exactness: the per-vertex estimate (exact count below
+    saturation, else the one-division KMV estimator) is floored to
+    milli-units PER VERTEX before summing, so the per-t totals are
+    BIGINT-exact on any engine / summation order — no float-sum
+    tolerance needed in the oracle.
+
+    Scale posture: identical to neighborhood_function (state ≤ k·|V|
+    rows, one edge⋈sketch shuffle + one v-partitioned rank-k window per
+    round); the per-round aggregates are lazy 1-row projections over the
+    already-materialized sketches, unioned into ONE action.
+
+    Returns (t, n_vertices, n_saturated, pairs_milli) — pairs_milli =
+    Σ_v floor(1000·est_v); t = 0 is the |V| self-pair baseline.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from pagerank_cuda_dynamic_spark.operators.sketches import (
+        HASH_SPACE,
+        _portable_hash64,
+    )
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    if hash_fn is None:
+        hash_fn = _portable_hash64
+    e = edges.select("src", "dst").distinct().transform(materialize)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    w = Window.partitionBy("v").orderBy("h")
+
+    def round_agg(sk: DataFrame, t: int) -> DataFrame:
+        per_v = sk.groupBy("v").agg(
+            F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_hash")
+        )
+        est = F.when(
+            F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+        ).otherwise(
+            F.lit(float((k - 1) * HASH_SPACE)) / F.col("kth_hash").cast("double")
+        )
+        return per_v.agg(
+            F.lit(t).cast("long").alias("t"),
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum((F.col("n_sketch") >= k).cast("long")).alias("n_saturated"),
+            F.sum(F.floor(est * 1000.0)).alias("pairs_milli"),
+        )
+
+    sk = verts.select("v", hash_fn(F.col("v")).alias("h")).transform(materialize)
+    aggs = [round_agg(sk, 0)]
+    for t in range(1, rounds + 1):
+        msgs = e.join(
+            sk.withColumnRenamed("v", "dst").withColumnRenamed("h", "hn"), "dst"
+        ).select(F.col("src").alias("v"), F.col("hn").alias("h"))
+        sk = (
+            sk.unionByName(msgs)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+            .transform(materialize)
+        )
+        aggs.append(round_agg(sk, t))
+    return reduce(lambda a, b: a.unionByName(b), aggs)

@@ -745,3 +745,45 @@ def test_duplicate_window_stats_flags_shared_spans(spark):
     assert duplicate_window_stats(docs.union(short), window=8).where(
         "doc_id = 9"
     ).count() == 0
+
+
+def test_dedup_representatives_keeps_best_quality(spark):
+    """Per cluster the survivor is the highest-quality member (NOT the min
+    id); ties break to the smaller id; unpaired docs survive as singleton
+    clusters."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import dedup_representatives
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 10, 11, 99],
+                # cluster {1,2,3}: best is 3; cluster {10,11}: tie -> 10
+                "quality": [0.2, 0.5, 0.9, 0.7, 0.7, 0.4],
+            }
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    )
+    got = {
+        r.cluster_id: (r.rep_id, r.rep_q_key, r.n_members)
+        for r in dedup_representatives(docs, pairs).collect()
+    }
+    assert got == {
+        1: (3, 900000, 3),
+        10: (10, 700000, 2),
+        99: (99, 400000, 1),
+    }
+
+
+def test_dedup_representatives_integer_key_rounding(spark):
+    """The ranking key is round(quality*1e6) — quality differences below
+    5e-7 collapse to a tie and the id breaks it."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import dedup_representatives
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5, 6], "quality": [0.5000001, 0.5000002]})
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [5], "id_b": [6]}))
+    got = dedup_representatives(docs, pairs).collect()
+    assert len(got) == 1 and got[0].rep_id == 5 and got[0].rep_q_key == 500000

@@ -332,3 +332,122 @@ def test_cocitation_degree_cap_excludes_hub(spark):
     }
     # hub (outdeg 5 > 2) contributes no pairs; u and w each co-cite t0,t1
     assert got == {("t0", "t1"): 2}
+
+
+# ---------------------------------------------------------------------------
+# rich_club
+# ---------------------------------------------------------------------------
+
+
+def _rich_club_oracle(pairs, max_k):
+    E = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    deg: dict = {}
+    for a, b in E:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for k in range(1, max_k + 1):
+        rich = {v for v, d in deg.items() if d > k}
+        if len(rich) < 2:
+            continue
+        ek = sum(1 for a, b in E if a in rich and b in rich)
+        out[k] = (len(rich), ek, 2.0 * ek / (len(rich) * (len(rich) - 1)))
+    return out
+
+
+def test_rich_club_star_plus_clique(spark):
+    """K4 core {0,1,2,3} plus 6 spokes off vertex 0: hubs (deg > spoke
+    degree) must show φ rising toward 1 as k climbs into the clique."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import rich_club
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    spokes = [(0, v) for v in range(4, 10)]
+    pairs = k4 + spokes
+    got = {
+        r.k: (r.n_nodes, r.n_edges, r.phi)
+        for r in rich_club(_edges(spark, [(str(a), str(b)) for a, b in pairs]), max_k=8).collect()
+    }
+    want = _rich_club_oracle([(str(a), str(b)) for a, b in pairs], 8)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert abs(got[k][2] - want[k][2]) < 1e-12, k
+
+
+def test_rich_club_oracle_random(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import rich_club
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    pairs = [
+        (str(a), str(b))
+        for a, b in zip(rng.integers(0, 30, 200), rng.integers(0, 30, 200))
+    ]
+    got = {
+        r.k: (r.n_nodes, r.n_edges, round(r.phi, 9))
+        for r in rich_club(_edges(spark, pairs), max_k=20).collect()
+    }
+    want = {
+        k: (n, e, round(phi, 9))
+        for k, (n, e, phi) in _rich_club_oracle(pairs, 20).items()
+    }
+    assert got == want
+
+
+def test_rich_club_ignores_direction_duplicates_selfloops(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import rich_club
+
+    pairs = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a"), ("a", "b")]
+    got = {r.k: (r.n_nodes, r.n_edges) for r in rich_club(_edges(spark, pairs), max_k=3).collect()}
+    # triangle a-b-c: all degrees 2 → k=1 keeps all three and all edges
+    assert got == {1: (3, 3)}
+
+
+# ---------------------------------------------------------------------------
+# distance_distribution
+# ---------------------------------------------------------------------------
+
+
+def test_distance_distribution_exact_regime_line(spark):
+    """Directed line 0→1→2→3→4 with k large enough that no register
+    saturates: pairs_milli must be EXACTLY 1000·Σ|ball(v,t)|."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import (
+        distance_distribution,
+    )
+
+    e = _edges(spark, [(str(i), str(i + 1)) for i in range(4)])
+    got = {
+        r.t: (r.n_vertices, r.n_saturated, r.pairs_milli)
+        for r in distance_distribution(e, rounds=3, k=32).collect()
+    }
+    # balls: t=0 → 5; t=1 → 5+4; t=2 → 9+3; t=3 → 12+2
+    assert got == {0: (5, 0, 5000), 1: (5, 0, 9000), 2: (5, 0, 12000), 3: (5, 0, 14000)}
+
+
+def test_distance_distribution_final_round_matches_anf(spark):
+    """The t=rounds row must agree with neighborhood_function's per-vertex
+    estimates (floored-milli sum) — same registers, different aggregation."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import (
+        distance_distribution,
+        neighborhood_function,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pairs = [
+        (str(a), str(b))
+        for a, b in zip(rng.integers(0, 40, 120), rng.integers(0, 40, 120))
+    ]
+    e = _edges(spark, pairs)
+    dd = {r.t: r for r in distance_distribution(e, rounds=2, k=8).collect()}
+    anf = neighborhood_function(e, rounds=2, k=8).collect()
+    want_milli = sum(int(np.floor(r.estimate * 1000.0)) for r in anf)
+    want_sat = sum(1 for r in anf if r.n_sketch >= 8)
+    assert dd[2].pairs_milli == want_milli
+    assert dd[2].n_saturated == want_sat
+    assert dd[2].n_vertices == len(anf)
+    # N(t) is monotone non-decreasing in t
+    ts = sorted(dd)
+    assert all(dd[a].pairs_milli <= dd[b].pairs_milli for a, b in zip(ts, ts[1:]))
