@@ -1444,6 +1444,17 @@ def q_rich_club(spark, sf_dir):
     return rich_club(_entity_edge_df(spark, sf_dir), max_k=40)
 
 
+def q_lm_score(spark, sf_dir):
+    """Self-trained Laplace-smoothed bigram-LM document scores
+    (operators/text.lm_score — the CCNet-style model-based quality
+    filter, trained on the corpus itself): per-doc mean ln P(w2|w1) over
+    its bigrams, all JVM built-ins, vs the identical count-join SQL
+    twin (ln() 6-dp agreement regime shared with adamic_adar)."""
+    from pagerank_cuda_dynamic_spark.operators.text import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
 def q_dedup_best(spark, sf_dir):
     """Near-dup survivor selection (operators/dedup.dedup_representatives):
     corpus = documents<200 ∪ a punctuation-degraded copy (identical alnum
@@ -1562,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_distribution": q_distance_distribution,
         "rich_club": q_rich_club,
         "dedup_best": q_dedup_best,
+        "lm_score": q_lm_score,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "weighted_sample": q_weighted_sample,
     }
@@ -3305,6 +3317,32 @@ GROUP BY l.x, r.x HAVING count(*) >= 2
         "distance_distribution": _distance_distribution_sql(3, 32),
         "rich_club": _rich_club_sql(40),
         "dedup_best": _dedup_best_sql(),
+        "lm_score": """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents
+),
+bp AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                i -> struct_pack(w1 := tk[i], bg := tk[i] || ' ' || tk[i + 1]))) AS p
+  FROM t
+),
+b AS (SELECT doc_id, p.w1 AS w1, p.bg AS bg FROM bp),
+uc AS (SELECT w1, count(*) AS c1
+       FROM (SELECT unnest(tk) AS w1 FROM t) GROUP BY w1),
+bc AS (SELECT bg, count(*) AS c12 FROM b GROUP BY bg),
+v AS (SELECT count(*) AS v FROM uc),
+lp AS (
+  SELECT b.doc_id, ln((bc.c12 + 1.0) / (uc.c1 + v.v)) AS lp
+  FROM b JOIN bc USING (bg) JOIN uc USING (w1) CROSS JOIN v
+),
+sc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, sc.avg_logprob
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+""",
         "neighborhood_function": f"""
 WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
 verts AS MATERIALIZED (

@@ -398,3 +398,79 @@ __all__ = [
     "repetition_stats",
     "repetition_filter",
 ]
+
+
+def lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-trained bigram language-model score per document — the
+    model-based quality filter of CCNet-style pipelines (Wenzek et al.
+    2020), here with the LM trained on the corpus itself so outlier
+    documents (boilerplate, garbled text, wrong-language) score low
+    against the corpus's own statistics.
+
+    Model: add-one (Laplace) smoothed bigram LM over lowercased alnum
+    tokens.  P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), V = |vocab|.
+    score(doc) = mean over the doc's bigrams of ln P(w2|w1); documents
+    with < 2 tokens have no bigrams and are returned with n_bigrams = 0
+    and NULL avg_logprob (nothing to judge).
+
+    Scale posture: ALL JVM built-ins — tokens/bigrams via regexp +
+    slice/zip_with array ops, counts via two hash aggregates (unigram
+    and bigram, both map-side combinable), scoring = the exploded
+    bigram instances joined against the two count tables on their
+    natural keys + one id-keyed average.  The count tables are
+    vocab-/bigram-vocab-sized (≪ instance count; Zipf head keys are
+    hot on the INSTANCE side of the join, which is the probe side).
+    V is a 1-row scalar cross-joined in.  No Python, no windows,
+    no driver traffic.
+
+    Returns (id_col, n_bigrams, avg_logprob) — avg_logprob rounded to
+    6 dp (ln() agreement regime shared with linkpred's adamic_adar).
+    """
+    from pagerank_cuda_dynamic_spark.functions import tokens
+
+    t = docs.select(F.col(id_col), tokens(text_col).alias("tk"))
+    n = F.size("tk")
+    big = t.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("tk", 1, n - 1),
+                    F.slice("tk", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+                ),
+            ).otherwise(F.array())
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.bg")
+    uni = (
+        t.select(F.explode("tk").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        big.join(bg_counts, "bg")
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+    ids = docs.select(F.col(id_col))
+    return ids.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_logprob",
+    )

@@ -787,3 +787,70 @@ def test_dedup_representatives_integer_key_rounding(spark):
     pairs = spark.createDataFrame(pd.DataFrame({"id_a": [5], "id_b": [6]}))
     got = dedup_representatives(docs, pairs).collect()
     assert len(got) == 1 and got[0].rep_id == 5 and got[0].rep_q_key == 500000
+
+
+def test_lm_score_hand_computed(spark):
+    """Tiny corpus checked against hand-computed Laplace bigram logprobs:
+    uni a=3 b=2, V=2, c('a b')=2, c('b a')=1."""
+    import math
+
+    from pagerank_cuda_dynamic_spark.operators.text import lm_score
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b a", "a b", "x"]})
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in lm_score(docs).collect()}
+    lp_ab = math.log((2 + 1.0) / (3 + 3))  # V=3 (a, b, x)
+    lp_ba = math.log((1 + 1.0) / (2 + 3))
+    assert got[1] == (2, round((lp_ab + lp_ba) / 2, 6))
+    assert got[2] == (1, round(lp_ab, 6))
+    assert got[3] == (0, None)  # single token: no bigrams, nothing to judge
+
+
+def test_lm_score_python_oracle_random(spark):
+    """Random word soup vs a pure-Python replica of the smoothed bigram LM."""
+    import math
+    from collections import Counter
+
+    from pagerank_cuda_dynamic_spark.operators.text import lm_score
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "x1"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 12)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "text": texts})
+    )
+    toks = [t.split() for t in texts]
+    uni = Counter(w for tk in toks for w in tk)
+    bg = Counter((tk[i], tk[i + 1]) for tk in toks for i in range(len(tk) - 1))
+    V = len(uni)
+    want = {}
+    for i, tk in enumerate(toks):
+        lps = [
+            math.log((bg[(tk[j], tk[j + 1])] + 1.0) / (uni[tk[j]] + V))
+            for j in range(len(tk) - 1)
+        ]
+        want[i] = (len(lps), round(sum(lps) / len(lps), 6) if lps else None)
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in lm_score(docs).collect()}
+    assert got == want
+
+
+def test_lm_score_common_bigrams_score_higher(spark):
+    """A doc made of the corpus's dominant bigram outscores a doc of
+    one-off bigrams — the filter's point."""
+    from pagerank_cuda_dynamic_spark.operators.text import lm_score
+
+    common = "the cat " * 20
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [common, "zq wv kj ml pn br"],
+            }
+        )
+    )
+    got = {r.doc_id: r.avg_logprob for r in lm_score(docs).collect()}
+    assert got[1] > got[2]
