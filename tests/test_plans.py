@@ -234,3 +234,46 @@ def test_round4_ops_stay_jvm_side(spark, docs):
     scored = dsir_importance(docs, F.col("source") == "src1", n_buckets=64)
     p = plan_of(scored)
     assert "BatchEvalPython" not in p
+
+
+def test_late_round4_ops_jvm_side_and_window_scope(spark, docs):
+    """k_truss / salsa / cocitation / rich_club / distance_distribution /
+    lm_score / dedup_representatives: pure built-ins (no BatchEvalPython),
+    and the KMV rank-k windows stay v-partitioned (no Exchange
+    SinglePartition from a global window)."""
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.centrality import salsa
+    from pagerank_cuda_dynamic_spark.operators.components import k_truss
+    from pagerank_cuda_dynamic_spark.operators.dedup import dedup_representatives
+    from pagerank_cuda_dynamic_spark.operators.text import lm_score
+    from pagerank_cuda_dynamic_spark.operators.webgraph import (
+        cocitation_graph,
+        distance_distribution,
+        rich_club,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)], "src long, dst long"
+    )
+    assert "BatchEvalPython" not in plan_of(k_truss(e, k=3, rounds=2))
+    assert "BatchEvalPython" not in plan_of(salsa(e, iterations=2))
+    assert "BatchEvalPython" not in plan_of(cocitation_graph(e))
+    assert "BatchEvalPython" not in plan_of(rich_club(e, max_k=5))
+
+    assert "BatchEvalPython" not in plan_of(distance_distribution(e, rounds=1, k=4))
+    # the KMV rank-k window must be v-partitioned, never global: the pure
+    # sketch path (no scalar aggregates) must not contain SinglePartition
+    from pagerank_cuda_dynamic_spark.operators.webgraph import (
+        neighborhood_function,
+    )
+
+    p = plan_of(neighborhood_function(e, rounds=1, k=4))
+    assert "BatchEvalPython" not in p
+    assert "SinglePartition" not in p
+
+    assert "BatchEvalPython" not in plan_of(lm_score(docs))
+
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    q = docs.select("doc_id", F.lit(0.5).alias("quality"))
+    assert "BatchEvalPython" not in plan_of(dedup_representatives(q, pairs))
