@@ -1444,6 +1444,29 @@ def q_rich_club(spark, sf_dir):
     return rich_club(_entity_edge_df(spark, sf_dir), max_k=40)
 
 
+def q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised label propagation: supplier vertices seeded with
+    their nation, 4 synchronous clamped rounds over the undirected entity
+    graph (operators/components.seeded_label_propagation) — "which nation
+    dominates each vertex's neighborhood"; unreached vertices stay NULL.
+    Value-checked against the identically-unrolled NULL-aware CTE
+    oracle."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        seeded_label_propagation,
+    )
+
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("v"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("label"),
+        )
+    )
+    return seeded_label_propagation(
+        _entity_edge_df(spark, sf_dir), seeds, rounds=4
+    ).select(F.col("v").alias("entity"), "label")
+
+
 def q_lm_score(spark, sf_dir):
     """Self-trained Laplace-smoothed bigram-LM document scores
     (operators/text.lm_score — the CCNet-style model-based quality
@@ -1574,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "dedup_best": q_dedup_best,
         "lm_score": q_lm_score,
+        "seeded_lpa": q_seeded_lpa,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "weighted_sample": q_weighted_sample,
     }
@@ -2418,6 +2442,44 @@ SELECT n_k.k, n_nodes, COALESCE(n_edges, 0) AS n_edges,
 FROM n_k LEFT JOIN e_k ON e_k.k = n_k.k
 WHERE n_nodes >= 2
 """
+
+
+def _seeded_lpa_sql(rounds: int) -> str:
+    """Unrolled NULL-aware seeded LPA over the entity graph: seeds
+    (suppliers → their nation) clamped every round; winners computed only
+    from labeled sources; the literal capped sequence of
+    components.seeded_label_propagation."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL}))",
+        "und AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)",
+        "seeds AS MATERIALIZED ("
+        "SELECT 's' || s_suppkey AS v, min('n' || s_nationkey) AS lab "
+        "FROM supplier GROUP BY 1)",
+        "l0 AS (SELECT verts.v, seeds.lab FROM verts LEFT JOIN seeds ON seeds.v = verts.v)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT verts.v,
+         CASE WHEN s.lab IS NOT NULL THEN s.lab
+              ELSE coalesce(w.lab, p0.lab) END AS lab
+  FROM verts
+  JOIN l{i-1} p0 ON p0.v = verts.v
+  LEFT JOIN seeds s ON s.v = verts.v
+  LEFT JOIN (
+    SELECT u.dst AS v, p.lab,
+           ROW_NUMBER() OVER (PARTITION BY u.dst ORDER BY count(*) DESC, p.lab ASC) AS rn
+    FROM und u JOIN l{i-1} p ON p.v = u.src AND p.lab IS NOT NULL
+    GROUP BY u.dst, p.lab
+  ) w ON w.v = verts.v AND w.rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS entity, lab AS label FROM l{rounds}"
+    )
 
 
 def _dedup_best_sql() -> str:
@@ -3317,6 +3379,7 @@ GROUP BY l.x, r.x HAVING count(*) >= 2
         "distance_distribution": _distance_distribution_sql(3, 32),
         "rich_club": _rich_club_sql(40),
         "dedup_best": _dedup_best_sql(),
+        "seeded_lpa": _seeded_lpa_sql(4),
         "lm_score": """
 WITH t AS MATERIALIZED (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents

@@ -723,6 +723,38 @@ def section_ops(spark, results: dict) -> None:
         return heavy_hitters(t, "token", k=64).count()
 
     timed("heavy_hitter_tokens", hh_tokens)
+    from pagerank_cuda_dynamic_spark.operators.components import k_truss
+    from pagerank_cuda_dynamic_spark.operators.text import lm_score
+    from pagerank_cuda_dynamic_spark.operators.webgraph import (
+        distance_distribution,
+        rich_club,
+    )
+
+    timed("rich_club", lambda: rich_club(ent, max_k=40).count())
+    timed(
+        "distance_distribution",
+        lambda: distance_distribution(ent, rounds=3, k=32).count(),
+    )
+    timed(
+        "lm_score",
+        lambda: lm_score(docs).agg(F.sum("n_bigrams")).collect(),
+    )
+
+    def truss():
+        li = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        co = (
+            li.join(li.withColumnRenamed("p", "p2"), "k")
+            .where(F.col("p") < F.col("p2"))
+            .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+            .distinct()
+        )
+        return k_truss(co, k=12, rounds=6).count()
+
+    timed("k_truss", truss)
     ent.unpersist()
     g.unpersist()
 

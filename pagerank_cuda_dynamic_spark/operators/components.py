@@ -1011,3 +1011,80 @@ def louvain_moves(
         )
     und.unpersist()
     return c.select("v", F.col("c").alias("community"))
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 10,
+    presymmetrized: bool = False,
+) -> DataFrame:
+    """Semi-supervised label propagation (the hard-label relaxation of
+    Zhu & Ghahramani 2002): `seeds` is a (v, label) table of CLAMPED
+    vertices; every round each NON-seed vertex with ≥1 labeled neighbor
+    adopts the most frequent neighbor label (ties → smallest label),
+    recomputed synchronously; vertices no labeled vertex can reach stay
+    NULL.  The standard "spread the few ground-truth classes over the
+    graph" prep for node classification — distinct from `label_
+    propagation_joinagg`, where every vertex starts as its own community.
+
+    Same scale shape as LPA: per round ONE edges⋈labels shuffle (probe
+    side filtered to labeled sources) + the groupBy(dst, lab) →
+    min(struct(−count, lab)) winner chain — no windows wider than a key,
+    no driver traffic but the isEmpty() early-stop scalar.  The fixed
+    `rounds` cap is the operator contract (k_core's cap rule): extra
+    oracle rounds past the fixpoint are no-ops, so a capped unrolled SQL
+    twin agrees unconditionally.  Multiple seed rows per vertex collapse
+    deterministically to the smallest label.
+
+    Returns (v, label) over all graph vertices; label nullable."""
+    und = edges if presymmetrized else symmetrize(edges)
+    p = edges.sparkSession.sparkContext.defaultParallelism
+    und = und.repartition(p, "src").persist()
+    und.count()
+    verts = (
+        und.select(F.col("src").alias("v"))
+        .unionByName(und.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    seed1 = seeds.groupBy("v").agg(F.min("label").alias("seed_lab"))
+    base = verts.join(seed1, "v", "left").transform(materialize)
+    labels = base.select("v", F.col("seed_lab").alias("lab"))
+    for _ in range(rounds):
+        winner = (
+            und.join(
+                labels.where(F.col("lab").isNotNull()).withColumnRenamed("v", "src"),
+                "src",
+            )
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))
+                ).alias("w")
+            )
+            .select(F.col("dst").alias("v"), F.col("w.lab").alias("new_lab"))
+        )
+        new_labels = (
+            base.join(labels.withColumnRenamed("lab", "prev"), "v")
+            .join(winner, "v", "left")
+            .select(
+                "v",
+                F.coalesce(
+                    "seed_lab", F.coalesce("new_lab", "prev")
+                ).alias("lab"),
+            )
+            .transform(materialize)
+        )
+        changed = (
+            new_labels.withColumnRenamed("lab", "nl")
+            .join(labels, "v")
+            .where(~F.col("nl").eqNullSafe(F.col("lab")))
+        )
+        stop = changed.isEmpty()
+        labels = new_labels
+        if stop:
+            break
+    und.unpersist()
+    return labels.select("v", F.col("lab").alias("label"))

@@ -285,3 +285,79 @@ def test_k_truss_rejects_k_below_2(spark):
 
     with _pytest.raises(ValueError):
         k_truss(edges_df(spark, [0], [1]), k=1)
+
+
+# ---------------------------------------------------------------------------
+# seeded_label_propagation
+# ---------------------------------------------------------------------------
+
+
+def _slpa_df(spark, pairs, seeds):
+    import pandas as pd
+
+    e = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["src", "dst"]).astype(str)
+    )
+    s = spark.createDataFrame(
+        pd.DataFrame(seeds, columns=["v", "label"]).astype(str)
+    )
+    return e, s
+
+
+def test_seeded_lpa_spreads_and_clamps(spark):
+    """Line a-b-c-d with seeds a:X, d:Y.  Round 1: b←X (only labeled
+    neighbor a), c←Y (only d).  Round 2 RECOMPUTES synchronously: c now
+    sees {b:X, d:Y} — a tie, broken to the smallest label X; b's tie
+    also resolves X.  Fixpoint {X,X,X,Y}; the seeds never move."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        seeded_label_propagation,
+    )
+
+    e, s = _slpa_df(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        [("a", "X"), ("d", "Y")],
+    )
+    got = {r.v: r.label for r in seeded_label_propagation(e, s, rounds=4).collect()}
+    assert got == {"a": "X", "b": "X", "c": "X", "d": "Y"}
+
+
+def test_seeded_lpa_majority_and_tiebreak(spark):
+    """v has two X-neighbors and one Y-neighbor → X; u has one of each →
+    tie broken to the SMALLEST label."""
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        seeded_label_propagation,
+    )
+
+    e, s = _slpa_df(
+        spark,
+        [("x1", "v"), ("x2", "v"), ("y1", "v"), ("x1", "u"), ("y1", "u")],
+        [("x1", "X"), ("x2", "X"), ("y1", "A")],
+    )
+    got = {r.v: r.label for r in seeded_label_propagation(e, s, rounds=1).collect()}
+    assert got["v"] == "X"
+    assert got["u"] == "A"  # tie (1 X vs 1 A) → smallest label
+
+
+def test_seeded_lpa_unreachable_stays_null(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        seeded_label_propagation,
+    )
+
+    e, s = _slpa_df(
+        spark,
+        [("a", "b"), ("p", "q")],  # island p-q has no seed
+        [("a", "X")],
+    )
+    got = {r.v: r.label for r in seeded_label_propagation(e, s, rounds=3).collect()}
+    assert got == {"a": "X", "b": "X", "p": None, "q": None}
+
+
+def test_seeded_lpa_duplicate_seed_rows_collapse_to_min(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import (
+        seeded_label_propagation,
+    )
+
+    e, s = _slpa_df(spark, [("a", "b")], [("a", "Z"), ("a", "B")])
+    got = {r.v: r.label for r in seeded_label_propagation(e, s, rounds=2).collect()}
+    assert got == {"a": "B", "b": "B"}
