@@ -333,6 +333,34 @@ def label_propagation_joinagg(
     return labels.select("v", F.col("lab").alias("label"))
 
 
+def _degree_oriented(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-orient a canonical (src<dst) simple edge set: every edge
+    becomes (x, y, dy) with x the lower-(degree, id) endpoint and dy the
+    degree of y.  The skew-critical arboricity-bounded fan-out shared by
+    triangle_count, local_clustering, and k_truss's _edge_support — ONE
+    copy so a tie-break or degree fix can never desynchronize them.
+    Returns (fwd, deg); callers persist what they reuse."""
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
+    )
+    src_low = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = ed.select(
+        F.when(src_low, F.col("src")).otherwise(F.col("dst")).alias("x"),
+        F.when(src_low, F.col("dst")).otherwise(F.col("src")).alias("y"),
+        F.when(src_low, F.col("dd")).otherwise(F.col("ds")).alias("dy"),
+    )
+    return fwd, deg
+
+
 def triangle_count(edges: DataFrame, method: str = "arrays") -> DataFrame:
     """Global triangle count on the DEGREE-oriented graph: orient every
     undirected edge from the lower-(degree, id) endpoint to the higher.
@@ -364,24 +392,8 @@ def triangle_count(edges: DataFrame, method: str = "arrays") -> DataFrame:
         .select("src", "dst")
         .persist()
     )
-    deg = (
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ed = (
-        e.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
-        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
-    )
-    src_low = (F.col("ds") < F.col("dd")) | (
-        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
-    )
-    fwd = ed.select(
-        F.when(src_low, F.col("src")).otherwise(F.col("dst")).alias("x"),
-        F.when(src_low, F.col("dst")).otherwise(F.col("src")).alias("y"),
-        F.when(src_low, F.col("dd")).otherwise(F.col("ds")).alias("dy"),
-    ).persist()
+    fwd, _deg = _degree_oriented(e)
+    fwd = fwd.persist()
     # no eager fwd.count(): within-job cache population already dedups the
     # repeated reads, and the extra materialization pass measures ~25% slower
     if method == "arrays":
@@ -432,24 +444,9 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         .select("src", "dst")
         .persist()
     )
-    deg = (
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
-    )
-    ed = (
-        e.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
-        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
-    )
-    src_low = (F.col("ds") < F.col("dd")) | (
-        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
-    )
-    fwd = ed.select(
-        F.when(src_low, F.col("src")).otherwise(F.col("dst")).alias("x"),
-        F.when(src_low, F.col("dst")).otherwise(F.col("src")).alias("y"),
-    ).persist()
+    fwd, deg = _degree_oriented(e)
+    deg = deg.persist()
+    fwd = fwd.select("x", "y").persist()
     nbrs = fwd.groupBy("x").agg(F.collect_list("y").alias("nb"))
     tri_rows = (
         fwd.join(nbrs, "x")
@@ -492,23 +489,7 @@ def _edge_support(e: DataFrame) -> DataFrame:
     each triangle (x,y,z) credits its THREE canonical edges via one
     explode — 3·#triangles rows, never the wedge set.  Edges in no
     triangle get support 0.  Returns (src, dst, sup)."""
-    deg = (
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ed = (
-        e.join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
-        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
-    )
-    src_low = (F.col("ds") < F.col("dd")) | (
-        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
-    )
-    fwd = ed.select(
-        F.when(src_low, F.col("src")).otherwise(F.col("dst")).alias("x"),
-        F.when(src_low, F.col("dst")).otherwise(F.col("src")).alias("y"),
-    )
+    fwd = _degree_oriented(e)[0].select("x", "y")
     nbrs = fwd.groupBy("x").agg(F.collect_list("y").alias("nb"))
     tri = (
         fwd.join(nbrs, "x")

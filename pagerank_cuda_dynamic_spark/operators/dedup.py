@@ -274,7 +274,9 @@ def dedup_representatives(
     Determinism contract: the ranking key is the EXACT INTEGER
     round(quality·10⁶) (same 6-dp regime as text.quality_score), so the
     argmax is reproducible across engines / partitionings — float
-    comparisons never decide a survivor.  Selection is ONE hash
+    comparisons never decide a survivor.  NULL quality ranks LAST
+    (SQL's ORDER BY q_key DESC NULLS LAST): a doc nothing could judge
+    never beats a scored one.  Selection is ONE hash
     aggregate via min(struct(−q_key, id)) (lexicographic struct min ≡
     argmax-quality-then-min-id): no window, no per-cluster skew concern
     beyond the aggregate's own combiner.
@@ -296,17 +298,23 @@ def dedup_representatives(
             "q_key",
         )
     )
+    # NULL quality must sort LAST (struct-min on a nullable field would
+    # sort it FIRST and crown the unjudgeable doc): coalesce the sort key
+    # to +inf and carry the raw q_key through as a third struct field
+    nq = F.coalesce(-F.col("q_key"), F.lit(1 << 62))
     return member.groupBy("cluster_id").agg(
         F.min(
             F.struct(
-                (-F.col("q_key")).alias("nq"), F.col(id_col).alias("rid")
+                nq.alias("nq"),
+                F.col(id_col).alias("rid"),
+                F.col("q_key").alias("qk"),
             )
         ).alias("best"),
         F.count(F.lit(1)).alias("n_members"),
     ).select(
         "cluster_id",
         F.col("best.rid").alias("rep_id"),
-        (-F.col("best.nq")).alias("rep_q_key"),
+        F.col("best.qk").alias("rep_q_key"),
         "n_members",
     )
 

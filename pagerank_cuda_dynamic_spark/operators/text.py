@@ -397,6 +397,7 @@ __all__ = [
     "pack_sequences",
     "repetition_stats",
     "repetition_filter",
+    "lm_score",
 ]
 
 

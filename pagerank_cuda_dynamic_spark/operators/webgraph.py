@@ -159,12 +159,21 @@ def neighborhood_function(
 
     Returns (v, n_sketch, kth_hash, estimate) at t = rounds.
     """
+    for t, sk in _kmv_sketch_rounds(edges, rounds, k, hash_fn):
+        pass  # the lossless merge means only the final register matters
+    return _kmv_estimate(sk, k)
+
+
+def _kmv_sketch_rounds(edges: DataFrame, rounds: int, k: int, hash_fn=None):
+    """The shared ANF register iteration: yields (t, sketch) for
+    t = 0..rounds, where sketch(v) is EXACTLY the k smallest hashes of
+    the true ≤t-hop out-ball (lossless KMV merge — the invariant every
+    oracle depends on, maintained in exactly one place).  Each round is
+    ONE edge⋈sketch shuffle + a v-PARTITIONED rank-k window (never
+    global); every yielded sketch is materialized."""
     from pyspark.sql import Window
 
-    from pagerank_cuda_dynamic_spark.operators.sketches import (
-        HASH_SPACE,
-        _portable_hash64,
-    )
+    from pagerank_cuda_dynamic_spark.operators.sketches import _portable_hash64
     from pagerank_cuda_dynamic_spark.plans.barrier import materialize
 
     if hash_fn is None:
@@ -177,7 +186,8 @@ def neighborhood_function(
     )
     w = Window.partitionBy("v").orderBy("h")
     sk = verts.select("v", hash_fn(F.col("v")).alias("h")).transform(materialize)
-    for _ in range(rounds):
+    yield 0, sk
+    for t in range(1, rounds + 1):
         msgs = e.join(
             sk.withColumnRenamed("v", "dst").withColumnRenamed("h", "hn"), "dst"
         ).select(F.col("src").alias("v"), F.col("hn").alias("h"))
@@ -189,6 +199,14 @@ def neighborhood_function(
             .drop("rn")
             .transform(materialize)
         )
+        yield t, sk
+
+
+def _kmv_estimate(sk: DataFrame, k: int) -> DataFrame:
+    """Per-vertex register → (v, n_sketch, kth_hash, estimate): exact
+    count below saturation, else the one-division KMV estimator."""
+    from pagerank_cuda_dynamic_spark.operators.sketches import HASH_SPACE
+
     return sk.groupBy("v").agg(
         F.count(F.lit(1)).alias("n_sketch"),
         F.max("h").alias("kth_hash"),
@@ -264,6 +282,8 @@ __all__ = [
     "bowtie_decomposition",
     "neighborhood_function",
     "cocitation_graph",
+    "rich_club",
+    "distance_distribution",
 ]
 
 
@@ -362,53 +382,15 @@ def distance_distribution(
     """
     from functools import reduce
 
-    from pyspark.sql import Window
-
-    from pagerank_cuda_dynamic_spark.operators.sketches import (
-        HASH_SPACE,
-        _portable_hash64,
-    )
-    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
-
-    if hash_fn is None:
-        hash_fn = _portable_hash64
-    e = edges.select("src", "dst").distinct().transform(materialize)
-    verts = (
-        e.select(F.col("src").alias("v"))
-        .union(e.select(F.col("dst").alias("v")))
-        .distinct()
-    )
-    w = Window.partitionBy("v").orderBy("h")
-
     def round_agg(sk: DataFrame, t: int) -> DataFrame:
-        per_v = sk.groupBy("v").agg(
-            F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_hash")
-        )
-        est = F.when(
-            F.col("n_sketch") < k, F.col("n_sketch").cast("double")
-        ).otherwise(
-            F.lit(float((k - 1) * HASH_SPACE)) / F.col("kth_hash").cast("double")
-        )
-        return per_v.agg(
+        return _kmv_estimate(sk, k).agg(
             F.lit(t).cast("long").alias("t"),
             F.count(F.lit(1)).alias("n_vertices"),
             F.sum((F.col("n_sketch") >= k).cast("long")).alias("n_saturated"),
-            F.sum(F.floor(est * 1000.0)).alias("pairs_milli"),
+            F.sum(F.floor(F.col("estimate") * 1000.0)).alias("pairs_milli"),
         )
 
-    sk = verts.select("v", hash_fn(F.col("v")).alias("h")).transform(materialize)
-    aggs = [round_agg(sk, 0)]
-    for t in range(1, rounds + 1):
-        msgs = e.join(
-            sk.withColumnRenamed("v", "dst").withColumnRenamed("h", "hn"), "dst"
-        ).select(F.col("src").alias("v"), F.col("hn").alias("h"))
-        sk = (
-            sk.unionByName(msgs)
-            .distinct()
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k)
-            .drop("rn")
-            .transform(materialize)
-        )
-        aggs.append(round_agg(sk, t))
+    aggs = [
+        round_agg(sk, t) for t, sk in _kmv_sketch_rounds(edges, rounds, k, hash_fn)
+    ]
     return reduce(lambda a, b: a.unionByName(b), aggs)

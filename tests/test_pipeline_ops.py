@@ -854,3 +854,24 @@ def test_lm_score_common_bigrams_score_higher(spark):
     )
     got = {r.doc_id: r.avg_logprob for r in lm_score(docs).collect()}
     assert got[1] > got[2]
+
+
+def test_dedup_representatives_null_quality_ranks_last(spark):
+    """A NULL-quality member must never beat a scored one (NULLS LAST,
+    matching the SQL oracle's ORDER BY q_key DESC); an all-NULL cluster
+    falls back to the smallest id with NULL rep_q_key."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import dedup_representatives
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 7, 8], "quality": [0.9, None, None, None]}
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 7], "id_b": [2, 8]})
+    )
+    got = {
+        r.cluster_id: (r.rep_id, r.rep_q_key, r.n_members)
+        for r in dedup_representatives(docs, pairs).collect()
+    }
+    assert got == {1: (1, 900000, 2), 7: (7, None, 2)}
