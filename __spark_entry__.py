@@ -1444,6 +1444,16 @@ def q_rich_club(spark, sf_dir):
     return rich_club(_entity_edge_df(spark, sf_dir), max_k=40)
 
 
+def q_pseudo_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound of the undirected entity graph
+    (operators/graph.pseudo_diameter — deterministic pivots: min id,
+    then max-dist/min-id; two capped BFS closures) vs a two-stage
+    bounded recursive-CTE oracle replaying the identical pivot rule."""
+    from pagerank_cuda_dynamic_spark.operators.graph import pseudo_diameter
+
+    return pseudo_diameter(_entity_edge_df(spark, sf_dir), max_depth=32)
+
+
 def q_seeded_lpa(spark, sf_dir):
     """Semi-supervised label propagation: supplier vertices seeded with
     their nation, 4 synchronous clamped rounds over the undirected entity
@@ -1598,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best": q_dedup_best,
         "lm_score": q_lm_score,
         "seeded_lpa": q_seeded_lpa,
+        "pseudo_diameter": q_pseudo_diameter,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "weighted_sample": q_weighted_sample,
     }
@@ -3380,6 +3391,32 @@ GROUP BY l.x, r.x HAVING count(*) >= 2
         "rich_club": _rich_club_sql(40),
         "dedup_best": _dedup_best_sql(),
         "seeded_lpa": _seeded_lpa_sql(4),
+        "pseudo_diameter": f"""
+WITH RECURSIVE e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+und AS MATERIALIZED (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION SELECT dst, src FROM e0 WHERE src <> dst
+),
+verts AS (SELECT DISTINCT src AS v FROM und),
+s0 AS (SELECT min(v) AS v FROM verts),
+r0(v, d) AS (
+  SELECT v, 0 FROM s0
+  UNION
+  SELECT u.dst, r0.d + 1 FROM r0 JOIN und u ON u.src = r0.v WHERE r0.d < 32
+),
+d0 AS (SELECT v, min(d) AS d FROM r0 GROUP BY v),
+s1 AS (SELECT v FROM d0 ORDER BY d DESC, v ASC LIMIT 1),
+r1(v, d) AS (
+  SELECT v, 0 FROM s1
+  UNION
+  SELECT u.dst, r1.d + 1 FROM r1 JOIN und u ON u.src = r1.v WHERE r1.d < 32
+),
+d1 AS (SELECT v, min(d) AS d FROM r1 GROUP BY v)
+SELECT (SELECT v FROM s0) AS start_v,
+       (SELECT v FROM s1) AS far_v,
+       CAST((SELECT max(d) FROM d0) AS BIGINT) AS ecc_start,
+       CAST((SELECT max(d) FROM d1) AS BIGINT) AS diameter_lb
+""",
         "lm_score": """
 WITH t AS MATERIALIZED (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents

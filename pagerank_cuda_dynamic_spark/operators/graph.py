@@ -457,3 +457,51 @@ def jp_coloring(
         )
     und.unpersist()
     raise RuntimeError(f"jp_coloring did not finish in {max_rounds} rounds")
+
+
+def pseudo_diameter(edges: DataFrame, max_depth: int = 32) -> DataFrame:
+    """Double-sweep pseudo-diameter of the undirected graph (Magnien,
+    Latapy & Habib 2009): BFS from the smallest vertex id, jump to the
+    farthest vertex found (ties → smallest id), BFS again — the second
+    eccentricity is the classic diameter LOWER bound every web-graph
+    study reports (exact on trees; within a small factor in practice,
+    and far cheaper than all-pairs).
+
+    Determinism contract: both pivots are deterministic (min id; then
+    max dist with min-id tie-break), so the whole statistic is a pure
+    function of the graph and a fixed-unroll SQL oracle can replay it.
+    `max_depth` caps both sweeps (part of the contract, betweenness'
+    cap rule); a cap ≥ the true eccentricities leaves the result exact.
+    Disconnected graphs: the sweep measures the start vertex's
+    component — the standard convention.
+
+    Scale posture: two level-synchronous BFS closures (multi_source_
+    distances — one frontier⋈edges shuffle + a 2-key anti-join per
+    level) plus three 1-row driver scalars (the pivot ids and the
+    final maxima — bowtie_decomposition's largest-SCC pattern, not a
+    per-vertex collect).
+
+    Returns ONE row (start_v, far_v, ecc_start, diameter_lb).
+    """
+    spark = edges.sparkSession
+    und = symmetrize(edges).where(F.col("src") != F.col("dst"))
+    verts = (
+        und.select(F.col("src").alias("v"))
+        .unionByName(und.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    u0 = verts.agg(F.min("v").alias("v")).collect()[0]["v"]
+    d0 = multi_source_distances(und, spark.createDataFrame([(u0,)], ["s"]), max_depth)
+    far = d0.agg(
+        F.min(
+            F.struct((-F.col("dist")).alias("nd"), F.col("v").alias("v"))
+        ).alias("w")
+    ).collect()[0]["w"]
+    ecc0, u1 = -far["nd"], far["v"]
+    d1 = multi_source_distances(und, spark.createDataFrame([(u1,)], ["s"]), max_depth)
+    ecc1 = d1.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    # schema inferred so integer- and string-vertex graphs both work
+    return spark.createDataFrame(
+        [(u0, u1, int(ecc0), int(ecc1))],
+        ["start_v", "far_v", "ecc_start", "diameter_lb"],
+    )

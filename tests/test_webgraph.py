@@ -451,3 +451,45 @@ def test_distance_distribution_final_round_matches_anf(spark):
     # N(t) is monotone non-decreasing in t
     ts = sorted(dd)
     assert all(dd[a].pairs_milli <= dd[b].pairs_milli for a, b in zip(ts, ts[1:]))
+
+
+# ---------------------------------------------------------------------------
+# pseudo_diameter
+# ---------------------------------------------------------------------------
+
+
+def _pd_row(spark, pairs, **kw):
+    from pagerank_cuda_dynamic_spark.operators.graph import pseudo_diameter
+
+    return pseudo_diameter(_edges(spark, pairs), **kw).collect()[0]
+
+
+def test_pseudo_diameter_path_is_exact(spark):
+    r = _pd_row(spark, [(str(i), str(i + 1)) for i in range(5)])
+    assert (r.start_v, r.far_v, r.ecc_start, r.diameter_lb) == ("0", "5", 5, 5)
+
+
+def test_pseudo_diameter_star_second_sweep_finds_two(spark):
+    """From the center ecc is 1; the second sweep from a leaf finds the
+    true diameter 2 — the double-sweep's point."""
+    r = _pd_row(spark, [("c", "l1"), ("c", "l2"), ("c", "l3")])
+    assert (r.start_v, r.far_v, r.ecc_start, r.diameter_lb) == ("c", "l1", 1, 2)
+
+
+def test_pseudo_diameter_tiebreak_min_id(spark):
+    """Two vertices at max distance from the start: the pivot is the
+    SMALLEST id, deterministically."""
+    r = _pd_row(spark, [("a", "b"), ("a", "c")])
+    assert r.far_v == "b" and r.diameter_lb == 2
+
+
+def test_pseudo_diameter_disconnected_measures_start_component(spark):
+    r = _pd_row(spark, [("a", "b"), ("y", "z")])
+    assert (r.start_v, r.far_v, r.ecc_start, r.diameter_lb) == ("a", "b", 1, 1)
+
+
+def test_pseudo_diameter_cap_contract(spark):
+    """max_depth below the true eccentricity truncates BOTH sweeps — the
+    capped value is the contract, exactly like the SQL oracle's unroll."""
+    r = _pd_row(spark, [(str(i), str(i + 1)) for i in range(8)], max_depth=3)
+    assert r.ecc_start == 3 and r.diameter_lb == 3
