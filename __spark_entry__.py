@@ -1444,6 +1444,15 @@ def q_rich_club(spark, sf_dir):
     return rich_club(_entity_edge_df(spark, sf_dir), max_k=40)
 
 
+def q_degree_powerlaw(spark, sf_dir):
+    """CSN power-law degree-exponent MLE over the undirected entity graph
+    (operators/graph.degree_powerlaw — one degree count + ONE two-scalar
+    aggregate; ln() 6-dp regime) vs the identical-arithmetic SQL twin."""
+    from pagerank_cuda_dynamic_spark.operators.graph import degree_powerlaw
+
+    return degree_powerlaw(_entity_edge_df(spark, sf_dir), d_min=2)
+
+
 def q_pseudo_diameter(spark, sf_dir):
     """Double-sweep diameter lower bound of the undirected entity graph
     (operators/graph.pseudo_diameter — deterministic pivots: min id,
@@ -1609,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "seeded_lpa": q_seeded_lpa,
         "pseudo_diameter": q_pseudo_diameter,
+        "degree_powerlaw": q_degree_powerlaw,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "weighted_sample": q_weighted_sample,
     }
@@ -3391,6 +3401,24 @@ GROUP BY l.x, r.x HAVING count(*) >= 2
         "rich_club": _rich_club_sql(40),
         "dedup_best": _dedup_best_sql(),
         "seeded_lpa": _seeded_lpa_sql(4),
+        "degree_powerlaw": f"""
+WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+)
+SELECT count(*) AS n_vertices,
+       CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+       CAST(2 AS BIGINT) AS d_min,
+       round(1.0 + sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN d >= 2 THEN ln(d / 1.5) ELSE 0.0 END),
+             6) AS alpha
+FROM deg
+""",
         "pseudo_diameter": f"""
 WITH RECURSIVE e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
 und AS MATERIALIZED (

@@ -505,3 +505,47 @@ def pseudo_diameter(edges: DataFrame, max_depth: int = 32) -> DataFrame:
         [(u0, u1, int(ecc0), int(ecc1))],
         ["start_v", "far_v", "ecc_start", "diameter_lb"],
     )
+
+
+def degree_powerlaw(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """Continuous-approximation MLE of the power-law degree exponent
+    (Clauset, Shalizi & Newman 2009, eq. 3.1): over the undirected
+    simple graph's vertices with degree ≥ d_min,
+
+        α̂ = 1 + n_tail / Σ ln(d_i / (d_min − 1/2)),
+
+    the standard "is this graph scale-free, and how heavy is the tail"
+    statistic of web-graph studies (the reference's crawl graphs are the
+    canonical α ≈ 2.1 examples).  The half-shift is CSN's discrete
+    correction.
+
+    Scale posture: one degree count + ONE aggregate shipping two scalars
+    (n_tail, Σln) — the degree_assortativity pattern; ln() agreement is
+    the adamic_adar 6-dp regime.  Returns one row
+    (n_vertices, n_tail, d_min, alpha).
+    """
+    und = (
+        symmetrize(edges)
+        .where(F.col("src") != F.col("dst"))
+        .where(F.col("src") < F.col("dst"))
+    )
+    deg = (
+        und.select(F.col("src").alias("v"))
+        .unionByName(und.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tail = F.col("d") >= d_min
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(tail.cast("long")).alias("n_tail"),
+        F.lit(d_min).cast("long").alias("d_min"),
+        F.round(
+            1.0
+            + F.sum(tail.cast("long"))
+            / F.sum(
+                F.when(tail, F.log(F.col("d") / (d_min - 0.5))).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("alpha"),
+    )

@@ -133,3 +133,46 @@ def test_closeness_line(spark):
         total = sum(v - u for u in range(v))
         assert got[v] == (v, v / total)
     assert 0 not in got
+
+
+def test_degree_powerlaw_python_oracle(spark):
+    """α̂ vs a literal NumPy transcription of CSN eq. 3.1 on a random
+    multigraph (dupes/self-loops/directions normalized away first)."""
+    import numpy as np
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.graph import degree_powerlaw
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    e = spark.createDataFrame(pd.DataFrame({"src": src, "dst": dst}))
+    row = degree_powerlaw(e, d_min=3).collect()[0]
+
+    E = {tuple(sorted(p)) for p in zip(src.tolist(), dst.tolist()) if p[0] != p[1]}
+    deg: dict = {}
+    for a, b in E:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ds = np.array([d for d in deg.values() if d >= 3], dtype=float)
+    want = 1.0 + len(ds) / np.log(ds / 2.5).sum()
+    assert row.n_vertices == len(deg)
+    assert row.n_tail == len(ds)
+    assert abs(row.alpha - want) < 1e-6
+
+
+def test_degree_powerlaw_exact_star(spark):
+    """Star with 6 leaves, d_min=2: only the hub is in the tail —
+    α̂ = 1 + 1/ln(6/1.5) = 1 + 1/ln 4."""
+    import math
+
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.graph import degree_powerlaw
+
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": ["h"] * 6, "dst": [f"l{i}" for i in range(6)]})
+    )
+    row = degree_powerlaw(e, d_min=2).collect()[0]
+    assert (row.n_vertices, row.n_tail, row.d_min) == (7, 1, 2)
+    assert abs(row.alpha - (1 + 1 / math.log(4.0))) < 1e-6
