@@ -1444,6 +1444,16 @@ def q_rich_club(spark, sf_dir):
     return rich_club(_entity_edge_df(spark, sf_dir), max_k=40)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source shingle-overlap matrix (operators/dedup.source_overlap
+    — per-source shingle vocabularies, inverted-index pair join with the
+    dedup family's df cap): the corpus-mixing contamination diagnostic;
+    (source_a, source_b, n_shared, jaccard) for all source pairs."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir))
+
+
 def q_degree_powerlaw(spark, sf_dir):
     """CSN power-law degree-exponent MLE over the undirected entity graph
     (operators/graph.degree_powerlaw — one degree count + ONE two-scalar
@@ -1619,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_lpa": q_seeded_lpa,
         "pseudo_diameter": q_pseudo_diameter,
         "degree_powerlaw": q_degree_powerlaw,
+        "source_overlap": q_source_overlap,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "weighted_sample": q_weighted_sample,
     }
@@ -3401,6 +3412,30 @@ GROUP BY l.x, r.x HAVING count(*) >= 2
         "rich_club": _rich_club_sql(40),
         "dedup_best": _dedup_best_sql(),
         "seeded_lpa": _seeded_lpa_sql(4),
+        "source_overlap": """
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT s, g FROM (
+    SELECT source AS s, unnest(list_distinct(list_transform(
+        range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 1) + 1),
+        i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i+2), ' ')
+    ))) AS g
+    FROM documents
+  )
+),
+sizes AS (SELECT s, count(*) AS sz FROM sh GROUP BY s),
+rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 10000),
+kept AS (SELECT sh.s, sh.g FROM sh JOIN rare USING (g)),
+inter AS (
+  SELECT a.s AS source_a, b.s AS source_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.g = b.g AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT source_a, source_b, n_shared,
+       round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.s = source_a
+JOIN sizes sb ON sb.s = source_b
+""",
         "degree_powerlaw": f"""
 WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
 e AS MATERIALIZED (

@@ -319,6 +319,78 @@ def dedup_representatives(
     )
 
 
+def source_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    max_source_df: int = 10_000,
+) -> DataFrame:
+    """Cross-source shingle-overlap matrix — the corpus-mixing /
+    cross-corpus-contamination diagnostic run before blending training
+    sources: for every pair of sources, how many distinct word k-gram
+    shingles they share and the Jaccard of their shingle sets.  High
+    overlap between "independent" sources flags mirrored content the
+    doc-level dedup family then removes.
+
+    Scale posture: ONE distinct (source, shingle) projection (state =
+    per-source vocabularies, not per-doc), then the ngram_jaccard
+    inverted-index shape keyed on the shingle — a shingle in d sources
+    fans out d²/2 pair rows, so `max_source_df` drops ubiquitous
+    boilerplate shingles before the self-join (they carry no
+    source-identity signal — the dedup family's cap contract; sizes
+    stay exact so capped jaccard is a lower bound, exact whenever no
+    shared shingle exceeds the cap).  All JVM built-ins.
+
+    Returns (source_a, source_b, n_shared, jaccard) with a < b.
+    """
+    from pagerank_cuda_dynamic_spark.functions import word_shingles
+
+    sh = (
+        docs.select(
+            F.col(source_col).alias("s"),
+            F.explode(word_shingles(text_col, k)).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_source_df)
+        .select("g")
+    )
+    kept = sh.join(rare, "g", "left_semi")
+    a = kept.select(F.col("s").alias("source_a"), "g")
+    b = kept.select(F.col("s").alias("source_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("s", "source_a").withColumnRenamed("sz", "sz_a"),
+            "source_a",
+        )
+        .join(
+            sizes.withColumnRenamed("s", "source_b").withColumnRenamed("sz", "sz_b"),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     heldout: DataFrame,

@@ -875,3 +875,55 @@ def test_dedup_representatives_null_quality_ranks_last(spark):
         for r in dedup_representatives(docs, pairs).collect()
     }
     assert got == {1: (1, 900000, 2), 7: (7, None, 2)}
+
+
+def test_source_overlap_hand_computed(spark):
+    """Three sources: A and B share one trigram doc; C is disjoint — the
+    matrix reports the shared-shingle count and exact Jaccard."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "source": ["A", "B", "A", "C"],
+                "text": [
+                    "the quick brown fox",   # A: shingles {the quick brown, quick brown fox}
+                    "the quick brown fox",   # B: same two
+                    "jumps over lazy dogs",  # A extra: {jumps over lazy, over lazy dogs}
+                    "totally different words here",  # C
+                ],
+            }
+        )
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_shared, r.jaccard)
+        for r in source_overlap(docs).collect()
+    }
+    # A has 4 distinct shingles, B has 2, shared = 2 → j = 2/(4+2-2) = 0.5
+    assert got[("A", "B")] == (2, 0.5)
+    assert ("A", "C") not in got and ("B", "C") not in got  # zero overlap
+
+
+def test_source_overlap_cap_excludes_ubiquitous_shingle(spark):
+    """A shingle present in EVERY source is dropped by max_source_df
+    before the pair join (sizes stay exact, jaccard becomes the
+    documented lower bound)."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "source": ["A", "B", "C"],
+                "text": ["common boiler plate"] * 3,
+            }
+        )
+    )
+    full = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in source_overlap(docs).collect()
+    }
+    capped = source_overlap(docs, max_source_df=2).collect()
+    assert full == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1}
+    assert capped == []  # the only shingle has source-df 3 > 2
