@@ -134,8 +134,13 @@ def bsp_pack(
     unique-index adds (1e-10-identical, summation regrouping only).
     MEASURED on the Zipf bench family this is ~35% SLOWER than row order
     (hot head keeps the gather cache-resident; see BENCH records r4 vs
-    r4b), hence opt-in — it targets flat/uniform src distributions whose
-    working set genuinely exceeds LLC.
+    r4b), hence opt-in — it targets working sets that genuinely exceed
+    LLC.  MEASURED WIN in that regime (BENCH_r4f_scale4x_blocked vs
+    _scale4x): at 4× the bench graph (26.6 M vertices, 213 MB rank
+    vector — pure DRAM) block_width=1e6 is +41% at local[32]
+    (541 → 764 M edges/s) while ~7% slower at local[8] — enable it when
+    |V|·8 B ≫ LLC and the core count is high enough to thrash the
+    shared cache.
 
     Scale note: bounds and hubs are derived DISTRIBUTEDLY — hub detection
     is a `HAVING count > cut` aggregate that ships only the (tiny, ≤

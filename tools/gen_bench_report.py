@@ -177,6 +177,24 @@ def generate(
             a("is size-stable.  On a real cluster the extra")
         a("executors BRING their own memory systems, which is exactly the")
         a("resource this box cannot add.")
+        if scale4x.get("_blocked"):
+            bsc = scale4x["_blocked"]["scaling"]["stats"]
+            a("")
+            a(f"And the engine has a lever FOR this regime: the opt-in")
+            a("(src-block, dst) cache-blocked gather layout — a measured LOSS")
+            a("on the 1× graph (hot head cache-resident; r4b record) — WINS")
+            a(f"here (`{scale4x['_blocked_name']}`, block_width 10⁶):")
+            a("")
+            a("| parallelism | row-order | blocked |")
+            a("|---|---|---|")
+            for cpus in sorted(xsc["stats"], key=int):
+                ro = xsc["stats"][cpus]["edges_per_sec_per_superstep"]
+                bl = bsc[cpus]["edges_per_sec_per_superstep"]
+                a(f"| local[{cpus}] | {fmt_mps(ro)} | **{fmt_mps(bl)}** ({bl/ro:.2f}×) |")
+            a("")
+            a("Guidance (now in the bsp_pack docstring): enable blocking when")
+            a("|V|·8 B ≫ LLC and the core count is high enough to thrash the")
+            a("shared cache; keep row order while any of the rank vector fits.")
     a("")
     a("## Dynamic family — batch-fraction sweep (reference main.sh regime)")
     a("")
@@ -387,10 +405,16 @@ def main() -> None:
             tcp_full_name = f"BENCH/{tcp_fulls[-1].name}"
     scale4x = None
     scale4x_name = None
-    scale4xs = sorted(src.parent.glob("*scale4x*.local.json"))
+    scale4xs = sorted(
+        p for p in src.parent.glob("*scale4x*.local.json") if "blocked" not in p.name
+    )
     if scale4xs:
         scale4x = json.loads(scale4xs[-1].read_text())
         scale4x_name = f"BENCH/{scale4xs[-1].name}"
+        blocked = sorted(src.parent.glob("*scale4x_blocked*.local.json"))
+        if blocked:
+            scale4x["_blocked"] = json.loads(blocked[-1].read_text())
+            scale4x["_blocked_name"] = f"BENCH/{blocked[-1].name}"
     out.write_text(
         generate(
             d,
