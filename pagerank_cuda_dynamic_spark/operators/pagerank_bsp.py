@@ -100,6 +100,18 @@ def _indegrees(graph) -> np.ndarray:
     return indeg
 
 
+def _auto_block_width(p: int, n: int, env: str | None) -> int:
+    """Gather-layout decision (measured on both sides, see bsp_pack):
+    explicit env/param always wins (0 = force row order); otherwise
+    block when the rank vector dwarfs LLC (|V|·8 B > 128 MB) AND the
+    core count is high enough to thrash the shared cache (p ≥ 16)."""
+    if env is not None:
+        return int(env)
+    if p >= 16 and n * 8 > 128 * 2**20:
+        return 1_000_000
+    return 0
+
+
 def bsp_pack(
     graph,
     p: int | None = None,
@@ -124,8 +136,9 @@ def bsp_pack(
     that receive no edges get an empty stub row) — the barrier loop waits
     on every stripe's flag, so a missing stripe would deadlock it.
 
-    Cache-blocked gather layout (OPT-IN via block_width>0 or
-    SPARK_GRAFT_BLOCK_WIDTH): each stripe's regular edges are ALSO packed
+    Cache-blocked gather layout (AUTO when |V|·8 B > 128 MB and p ≥ 16 —
+    the regime it measurably wins; force via block_width / SPARK_GRAFT_
+    BLOCK_WIDTH, 0 = row order): each stripe's regular edges are ALSO packed
     reordered by (src // block_width, dst) with run boundaries
     (srcb/runoff/rundst/rboff blobs); the static loop then gathers rdiv
     one block_width·8-byte rank-vector window at a time instead of
@@ -155,15 +168,17 @@ def bsp_pack(
     if stripe_edges is None:
         stripe_edges = int(os.environ.get("SPARK_GRAFT_STRIPE_EDGES", "150000"))
     if block_width is None:
-        # 0 = row-order gather (default).  The blocked layout was built for
-        # the N→4N scaling bottleneck but MEASURED SLOWER on the bench
-        # family (local[8] 0.114→0.155 s, local[32] 0.039→0.055 s median
-        # superstep; BENCH_r4_scaling10 vs the r4b record): the Zipf head
-        # keeps the hot rank entries cache-resident already, so blocking
-        # only adds run-accumulation overhead.  Kept opt-in for flatter
-        # src distributions (env/param), with forced-multi-block parity
-        # tests either way.
-        block_width = int(os.environ.get("SPARK_GRAFT_BLOCK_WIDTH", "0"))
+        # Row-order gather while any of the rank vector is cache-resident
+        # (blocking MEASURED SLOWER there: r4b record — the Zipf head keeps
+        # hot entries in LLC and blocking only adds run-accumulation
+        # overhead), AUTO-blocked in the regime blocking was built for and
+        # MEASURED to win (+41% at local[32], scale4x_blocked record):
+        # rank vector ≫ LLC (|V|·8 B > 128 MB) AND enough cores to thrash
+        # the shared cache (p ≥ 16).  Env/param always override (0 = force
+        # row order); forced-multi-block parity tests cover both layouts.
+        block_width = _auto_block_width(
+            p, graph.n, os.environ.get("SPARK_GRAFT_BLOCK_WIDTH")
+        )
     weighted = "w" in graph.edges.columns
     e = graph.edges
     total = e.count()

@@ -245,3 +245,19 @@ def test_bsp_fine_stripes_parity(spark):
     assert np.allclose(t.ranks, b.ranks, atol=1e-10)
     assert a.iterations == b.iterations == t.iterations
     g.unpersist()
+
+
+def test_auto_block_width_rule():
+    """Layout decision: env always wins; auto-block only when the rank
+    vector dwarfs LLC (>128 MB) AND p >= 16."""
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
+        _auto_block_width,
+    )
+
+    big = 20_000_000  # 160 MB rank vector
+    small = 6_650_010  # 53 MB (the 1x bench graph): stays row-order
+    assert _auto_block_width(32, big, None) == 1_000_000
+    assert _auto_block_width(8, big, None) == 0       # few cores
+    assert _auto_block_width(32, small, None) == 0    # cache-resident head
+    assert _auto_block_width(32, big, "0") == 0       # env forces row order
+    assert _auto_block_width(8, small, "64") == 64    # env forces blocking
