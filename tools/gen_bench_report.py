@@ -96,7 +96,8 @@ def generate(
         a("BENCH_r4_scaling10 [coarse stripes, 0.692] and the current record);")
         a("(3) a (src-block, dst) cache-blocked gather layout was built and")
         a("measured as the alternative hypothesis and is SLOWER on this family")
-        a("(committed as the r4b record; layout kept opt-in); (4) the two-JVM")
+        a("(committed as the r4b record; layout now auto-selected only in its")
+        a("measured win regime, see the headroom section); (4) the two-JVM")
         a("local-cluster runs below show the cross-node cost is one O(|V|·8 B)")
         a("ring transfer per iteration, independent of executor count — the")
         a("term that actually governs N→4N executor scaling off this box.")
@@ -180,7 +181,7 @@ def generate(
         if scale4x.get("_blocked"):
             bsc = scale4x["_blocked"]["scaling"]["stats"]
             a("")
-            a(f"And the engine has a lever FOR this regime: the opt-in")
+            a(f"And the engine has a lever FOR this regime: the")
             a("(src-block, dst) cache-blocked gather layout — a measured LOSS")
             a("on the 1× graph (hot head cache-resident; r4b record) — WINS")
             a(f"here (`{scale4x['_blocked_name']}`, block_width 10⁶):")
@@ -192,9 +193,9 @@ def generate(
                 bl = bsc[cpus]["edges_per_sec_per_superstep"]
                 a(f"| local[{cpus}] | {fmt_mps(ro)} | **{fmt_mps(bl)}** ({bl/ro:.2f}×) |")
             a("")
-            a("Guidance (now in the bsp_pack docstring): enable blocking when")
-            a("|V|·8 B ≫ LLC and the core count is high enough to thrash the")
-            a("shared cache; keep row order while any of the rank vector fits.")
+            a("bsp_pack now AUTO-selects blocking exactly here (|V|·8 B >")
+            a("128 MB and p ≥ 16, env/param override) and keeps row order")
+            a("while any of the rank vector is cache-resident.")
     a("")
     a("## Dynamic family — batch-fraction sweep (reference main.sh regime)")
     a("")
