@@ -360,6 +360,9 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
         .persist()
     )
     n = verts.count()
+    if n == 0:
+        e.unpersist()
+        return verts.select("v", F.lit(0.0).alias("score"))
     x = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(materialize)
     for _ in range(iterations):
         raw = (
@@ -391,10 +394,13 @@ def betweenness(
 
         δ(v) = Σ_{w : v→w, dist(w)=dist(v)+1} σ(v)/σ(w) · (1 + δ(w)),
 
-    and report bc(v) = Σ_s δ_s(v) over non-source rows.  Exact when
-    S = V; with sampled S it is the standard unbiased |S|/n-scaled
-    estimator (Brandes–Pich).  All |S| sources advance in ONE keyed
-    frontier per level — never |S| sequential runs.
+    and report bc(v) = Σ_s δ_s(v) over non-source rows — the UNSCALED
+    sampled-source dependency sum.  Exact betweenness when S = V; with
+    sampled S, multiply by n/|S| yourself to get the Brandes–Pich
+    unbiased estimator (the raw sum is returned so the fixed-source SQL
+    oracle and the exact S=V case share one definition).  All |S|
+    sources advance in ONE keyed frontier per level — never |S|
+    sequential runs.
 
     Forward level = one frontier⋈edges shuffle + a (s,v) anti-join +
     one σ-sum; backward level = one (s,succ) join + one σ-ratio sum.

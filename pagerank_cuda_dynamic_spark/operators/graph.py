@@ -227,8 +227,9 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     )
     out = stats.collect()[0]
     e.unpersist()
+    rec = 0.0 if out["n_edges"] == 0 else float(out["reciprocity"])
     return edges.sparkSession.createDataFrame(
-        [(out["n_edges"], out["n_reciprocal"], float(out["reciprocity"]))],
+        [(out["n_edges"], out["n_reciprocal"], rec)],
         "n_edges long, n_reciprocal long, reciprocity double",
     )
 
@@ -262,6 +263,8 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     ).collect()[0]
     und.unpersist()
     m = mo["m"]
+    if m == 0:
+        return edges.sparkSession.createDataFrame([(0, 0.0)], "m long, r double")
     num = mo["sxy"] / m - (mo["sx"] / m) * (mo["sy"] / m)
     denx = mo["sxx"] / m - (mo["sx"] / m) ** 2
     deny = mo["syy"] / m - (mo["sy"] / m) ** 2
@@ -377,6 +380,14 @@ def maximal_independent_set(
         ).select(F.col("dst").alias("v")).distinct()
         gone = winners.unionByName(nbrs).distinct()
         live = live.join(gone, "v", "left_anti").transform(materialize)
+    if not live.isEmpty():
+        # Mirror jp_coloring: a truncated run would silently break the
+        # "maximal" contract (callers rely on every vertex being decided).
+        raise RuntimeError(
+            "maximal_independent_set: live vertices remain after "
+            f"max_rounds={max_rounds}; raise the cap (pathological "
+            "decreasing-priority hash chain)"
+        )
     mis = chosen if chosen is not None else verts.limit(0).select("v")
     return verts.select("v").join(
         mis.select("v", F.lit(True).alias("mis")), "v", "left"

@@ -361,7 +361,9 @@ def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     b = chunks.select(
         F.col("media_id").alias("id_b"), F.col("phash").alias("ph_b"), "chunk", "ckey"
     )
-    return (
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    out = materialize(
         a.join(b, ["chunk", "ckey"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "ph_a", "ph_b")
@@ -370,6 +372,8 @@ def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    ph.unpersist()
+    return out
 
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:

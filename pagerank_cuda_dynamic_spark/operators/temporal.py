@@ -115,13 +115,21 @@ def asof_join(
     The right side must be unique per (key, ts) for deterministic output
     (same requirement DuckDB's ASOF JOIN imposes); callers aggregate
     duplicates away first.  One shuffle on `key_col`, zero range joins.
+
+    The carry is the WHOLE right row (one non-null struct per right
+    row), not per-column `last(ignorenulls)` — so a matched right row
+    whose payload column is NULL yields NULL, exactly like DuckDB's
+    ASOF, instead of leaking an older non-null payload forward.
     """
+    from pyspark.sql.types import StructType
+
     lcols = left.columns
+    row_type = StructType([right.schema[c] for c in value_cols])
     tagged_r = right.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r_row"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in (key_col, ts_col)],
     )
@@ -129,8 +137,7 @@ def asof_join(
         F.col(key_col),
         F.col(ts_col),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(row_type).alias("_r_row"),
         *[F.col(c) for c in lcols if c not in (key_col, ts_col)],
     )
     w = (
@@ -140,12 +147,9 @@ def asof_join(
     )
     unioned = tagged_r.unionByName(tagged_l)
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        "*", F.last(F.col("_r_row"), ignorenulls=True).over(w).alias("_m")
     )
     return carried.where(F.col("_tag") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in value_cols]
+        *lcols,
+        *[F.col("_m").getField(c).alias(f"{c}{suffix}") for c in value_cols],
     )

@@ -120,6 +120,40 @@ def test_perceptual_hash_near_duplicates(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_image_near_duplicates_releases_storage(spark):
+    """The internal phash persist must be freed once the candidate join
+    materializes (same storage-leak class fixed in components.py):
+    after the call the SQL cache manager holds no cached plans."""
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_near_duplicates,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, "image", bytearray(encode_bmp((rng.random((8, 8, 3)) * 255).astype(np.uint8))),
+         "image/bmp", 8, 8, None)
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "kind", "content", "mime", "width", "height", "duration_ms",
+            ],
+        ),
+        MEDIA_SCHEMA,
+    )
+    spark.catalog.clearCache()
+    image_near_duplicates(media, max_hamming=3).collect()
+    # DataFrame.persist registers in the cache manager; localCheckpoint
+    # barriers do not — so emptiness == every operator persist was freed.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 # ---------------------------------------------------------------------------
 # set_decoder end-to-end with a real external codec (minimal pure-python PNG)
 # ---------------------------------------------------------------------------
