@@ -77,6 +77,11 @@ class PagerankResult:
     marking_time: float = 0.0
     affected_initial: int = 0
     superstep_seconds: list = field(default_factory=list)
+    # wall split (BSP path): pack_seconds = stripe-CSR build (0.0 when the
+    # snapshot's pack was cached), setup_seconds = memmap init + barrier
+    # dispatch up to the first superstep.  time ≈ pack + setup + Σ supersteps.
+    pack_seconds: float = 0.0
+    setup_seconds: float = 0.0
     # loop-carried state for segmented/checkpointed runs:
     # {"vaff": ndarray|None, "movers": ndarray|None, "converged": bool}
     state: dict = field(default_factory=dict)

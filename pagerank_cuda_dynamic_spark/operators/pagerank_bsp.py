@@ -104,10 +104,14 @@ def _auto_block_width(p: int, n: int, env: str | None) -> int:
     """Gather-layout decision (measured on both sides, see bsp_pack):
     explicit env/param always wins (0 = force row order); otherwise
     block when the rank vector dwarfs LLC (|V|·8 B > 128 MB) AND the
-    core count is high enough to thrash the shared cache (p ≥ 16)."""
+    PHYSICAL core count is high enough to thrash the shared cache
+    (≥ 16).  Physical cores, not defaultParallelism: a session with
+    inflated parallelism on a small box still has one LLC, and the
+    blocking win/loss is a property of the cache, not the scheduler."""
     if env is not None:
         return int(env)
-    if p >= 16 and n * 8 > 128 * 2**20:
+    cores = os.cpu_count() or p
+    if min(cores, p) >= 16 and n * 8 > 128 * 2**20:
         return 1_000_000
     return 0
 
@@ -227,31 +231,61 @@ def bsp_pack(
     bc_bounds = sc.broadcast(bounds)
     bc_hubs = sc.broadcast(hubs)
 
-    interior = F.array(*[F.lit(int(b)) for b in bounds[1:-1]])
-    range_stripe = F.aggregate(
-        interior,
-        F.lit(0),
-        lambda acc, b: acc + F.when(F.col("dst") >= b, 1).otherwise(0),
-    ).cast("int")
-    if hubs.size:
-        hub_set = F.array(*[F.lit(int(h)) for h in hubs])
-        is_hub = F.array_contains(hub_set, F.col("dst"))
-        stripe_col = F.when(
-            is_hub, F.pmod(F.col("src"), F.lit(n_stripes)).cast("int")
-        ).otherwise(range_stripe)
-    else:
-        stripe_col = range_stripe
-    cols = ["src", "dst"] + (["w"] if weighted else [])
-    with_stripe = graph.edges.select(*cols, stripe_col.alias("stripe"))
+    # --- routing: ONE hash shuffle lands each contiguous stripe BLOCK on
+    # its own task.  The per-row stripe is a vectorized searchsorted in a
+    # pandas UDF (a JVM higher-order-function fold over the ~n_stripes
+    # bounds array measured ~20 s/pass at 27M edges — 6x the whole Arrow
+    # transfer); the shuffle key is a probed integer k_b per block with
+    # pmod(murmur3(k_b), n_parts) == b, so repartition(n_parts, key) IS the
+    # identity block->partition map (verified: HashPartitioning and
+    # F.hash share Murmur3/seed-42) and every pack task can derive the
+    # stripe set it owns from its partition id alone — which lets it emit
+    # its own empty-stripe stub rows (the barrier loop spins on every
+    # stripe's flag) and kills both the stub-detection collect and the
+    # blob re-repartition that used to materialize the pack twice.
+    n_parts = max(min(n_stripes, p), 1)
+    blk_of = (np.arange(n_stripes, dtype=np.int64) * n_parts) // n_stripes
+    probe = (
+        spark.range(0, 32 * n_parts + 64)
+        .select("id", F.pmod(F.hash("id"), F.lit(n_parts)).alias("b"))
+        .toPandas()
+    )
+    key_of_block = np.full(n_parts, -1, dtype=np.int64)
+    for kid, b in zip(probe["id"].to_numpy(), probe["b"].to_numpy()):
+        if key_of_block[int(b)] < 0:
+            key_of_block[int(b)] = int(kid)
+    assert (key_of_block >= 0).all(), "murmur3 probe failed to cover all blocks"
+    key_of_stripe = key_of_block[blk_of]
+    interior_np = bounds[1:-1]
+    ns_cap = n_stripes
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _stripe_of(src_np: np.ndarray, dst_np: np.ndarray) -> np.ndarray:
+        stripe = np.searchsorted(interior_np, dst_np, side="right")
+        hub_ids = bc_hubs.value
+        if hub_ids.size:
+            pos = np.searchsorted(hub_ids, dst_np)
+            is_h = (pos < hub_ids.size) & (
+                hub_ids[np.minimum(pos, hub_ids.size - 1)] == dst_np
+            )
+            stripe = np.where(is_h, src_np % ns_cap, stripe)
+        return stripe
+
+    @F.pandas_udf("long")
+    def _route_key(src_s: pd.Series, dst_s: pd.Series) -> pd.Series:
+        stripe = _stripe_of(
+            src_s.to_numpy(dtype=np.int64), dst_s.to_numpy(dtype=np.int64)
+        )
+        return pd.Series(key_of_stripe[stripe])
+
+    cols = ["src", "dst"] + (["w"] if weighted else [])
+    routed = graph.edges.select(
+        *cols, _route_key("src", "dst").alias("rkey")
+    ).repartition(n_parts, "rkey")
+
+    def pack_one(s: int, src_all, dst_all, w_all) -> dict:
         b = bc_bounds.value
         hub_ids = bc_hubs.value
-        s = int(key[0])
         lo, hi = int(b[s]), int(b[s + 1])
-        src_all = pdf["src"].to_numpy(dtype=np.int64)
-        dst_all = pdf["dst"].to_numpy(dtype=np.int64)
-        w_all = pdf["w"].to_numpy(dtype=np.float64) if weighted else None
         if hub_ids.size:
             hub_col = np.searchsorted(hub_ids, dst_all)
             hub_col = np.where(
@@ -326,58 +360,82 @@ def bsp_pack(
         huoff = np.concatenate([[0], np.cumsum(hucnt)]).astype(np.int64)
         if hsrc.size and hsrc.max() < 2**31:
             hsrc = hsrc.astype(np.int32)
-        return pd.DataFrame(
-            {
-                "stripe": [s],
-                "lo": [lo],
-                "hi": [hi],
-                "src_bin": [src.tobytes()],
-                "src32": [src.dtype == np.int32],
-                "offsets_bin": [offsets.tobytes()],
-                "usrc_bin": [usrc.astype(np.int64).tobytes()],
-                "uoff_bin": [uoff.tobytes()],
-                "dstloc_bin": [dstloc.tobytes()],
-                "hub_src_bin": [hsrc.tobytes()],
-                "hub_src32": [hsrc.dtype == np.int32],
-                "hub_offsets_bin": [hoffsets.tobytes()],
-                "husrc_bin": [husrc.astype(np.int64).tobytes()],
-                "huoff_bin": [huoff.tobytes()],
-                "hubcol_bin": [hubcol.tobytes()],
-                "w_bin": [w_reg.tobytes() if weighted else b""],
-                "hub_w_bin": [w_hub.tobytes() if weighted else b""],
-                "srcb_bin": [src_blk.tobytes()],
-                "runoff_bin": [run_off.tobytes()],
-                "rundst_bin": [run_dst.tobytes()],
-                "rboff_bin": [rb_off.tobytes()],
-            }
-        )
+        return {
+            "stripe": s,
+            "lo": lo,
+            "hi": hi,
+            "src_bin": src.tobytes(),
+            "src32": src.dtype == np.int32,
+            "offsets_bin": offsets.tobytes(),
+            "usrc_bin": usrc.astype(np.int64).tobytes(),
+            "uoff_bin": uoff.tobytes(),
+            "dstloc_bin": dstloc.tobytes(),
+            "hub_src_bin": hsrc.tobytes(),
+            "hub_src32": hsrc.dtype == np.int32,
+            "hub_offsets_bin": hoffsets.tobytes(),
+            "husrc_bin": husrc.astype(np.int64).tobytes(),
+            "huoff_bin": huoff.tobytes(),
+            "hubcol_bin": hubcol.tobytes(),
+            "w_bin": w_reg.tobytes() if weighted else b"",
+            "hub_w_bin": w_hub.tobytes() if weighted else b"",
+            "srcb_bin": src_blk.tobytes(),
+            "runoff_bin": run_off.tobytes(),
+            "rundst_bin": run_dst.tobytes(),
+            "rboff_bin": rb_off.tobytes(),
+        }
 
-    packed0 = (
-        with_stripe.repartition(n_stripes, "stripe")
-        .groupBy("stripe")
-        .applyInPandas(pack, PACK_SCHEMA)
-        .persist()
+    def pack_partition(batches):
+        """Pack every stripe this partition OWNS (blk_of == partitionId) —
+        including empty ones as stub rows, so exactly one row per stripe
+        exists globally and the barrier loop never waits on a missing
+        flag.  Runs on empty partitions too (verified behavior)."""
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        own = np.flatnonzero(blk_of == pid)
+        pdfs = [pdf for pdf in batches]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True)
+            src_all = pdf["src"].to_numpy(dtype=np.int64)
+            dst_all = pdf["dst"].to_numpy(dtype=np.int64)
+            w_all = pdf["w"].to_numpy(dtype=np.float64) if weighted else None
+            stripe = _stripe_of(src_all, dst_all)
+            order = np.argsort(stripe, kind="stable")
+            src_all, dst_all = src_all[order], dst_all[order]
+            if weighted:
+                w_all = w_all[order]
+            stripe = stripe[order]
+            cuts_ = np.searchsorted(stripe, own)
+            ends_ = np.searchsorted(stripe, own, side="right")
+        rows = []
+        for i, s in enumerate(own):
+            if pdfs:
+                a, z = int(cuts_[i]), int(ends_[i])
+                rows.append(
+                    pack_one(
+                        int(s),
+                        src_all[a:z],
+                        dst_all[a:z],
+                        w_all[a:z] if weighted else None,
+                    )
+                )
+            else:
+                rows.append(
+                    pack_one(
+                        int(s),
+                        np.empty(0, np.int64),
+                        np.empty(0, np.int64),
+                        np.empty(0, np.float64) if weighted else None,
+                    )
+                )
+        if rows:
+            yield pd.DataFrame(rows, columns=_PACK_COLS)
+
+    packed = routed.drop("rkey").mapInPandas(pack_partition, PACK_SCHEMA).persist()
+    n_rows = packed.count()
+    assert n_rows == n_stripes, (
+        f"pack emitted {n_rows} stripe rows, expected {n_stripes}"
     )
-    # guarantee one row per stripe: a stripe with zero edges would never be
-    # emitted by applyInPandas, and the barrier loop spins on its flag
-    present = {r["stripe"] for r in packed0.select("stripe").collect()}
-    missing = sorted(set(range(n_stripes)) - present)
-    packed = packed0
-    if missing:
-        stub = pd.DataFrame(
-            {
-                "stripe": np.array(missing, dtype=np.int32),
-                "lo": [int(bounds[s]) for s in missing],
-                "hi": [int(bounds[s + 1]) for s in missing],
-                **{c: [b""] * len(missing) for c in _PACK_COLS if c.endswith("_bin")},
-                "src32": [True] * len(missing),
-                "hub_src32": [True] * len(missing),
-            }
-        )[_PACK_COLS]
-        packed = packed.unionByName(spark.createDataFrame(stub, PACK_SCHEMA))
-    packed = packed.repartition(min(n_stripes, p)).persist()
-    packed.count()
-    packed0.unpersist()
     return packed, bounds, n_stripes, hubs
 
 
@@ -429,7 +487,17 @@ def _bsp_loop(
         assert opts.dangling == "selfloop", "BSP dynamic modes assume self-looped graphs"
         assert not weighted, "BSP dynamic modes are unweighted (reference regime)"
 
-    packed, bounds, n_stripes, hubs = graph.bsp_packed()
+    # Dynamic loops never read the blocked-gather blobs (they gather by
+    # affected-row CSR slices, not full-stripe block sweeps) — skip
+    # building them so large-|V| dynamic runs don't pay the auto-block
+    # lexsort/memory for nothing.  A cached pack (e.g. from a prior
+    # static run on the same snapshot) is reused either way.
+    t_pack = time.time()
+    pack_cached = getattr(graph, "_bsp_packed", None) is not None
+    packed, bounds, n_stripes, hubs = graph.bsp_packed(
+        block_width=0 if dynamic else None
+    )
+    pack_sec = 0.0 if pack_cached else time.time() - t_pack
     n_hubs = int(hubs.size)
     outdeg = graph.outdeg_array()
     # Guard only the dangling zeros (their rdiv is never read): a plain
@@ -893,6 +961,9 @@ def _bsp_loop(
 
     results = [x for x in packed.rdd.barrier().mapPartitions(loop).collect() if x]
     iters, step_times = results[0]
+    # setup = memmap init + barrier dispatch + stripe deserialization and
+    # any other wall outside the worker-timed supersteps
+    setup_sec = (time.time() - t_pack) - pack_sec - sum(step_times)
     rank_file = "rank_0.npy" if dynamic else f"rank_{iters % 2}.npy"
     r = np.array(np.load(os.path.join(workdir, rank_file), mmap_mode="r"))
     el_final = float(np.load(os.path.join(workdir, "el.npy"), mmap_mode="r")[iters, :].max())
@@ -919,6 +990,8 @@ def _bsp_loop(
         affected_initial=int(vaff0.sum()) if dynamic else 0,
         superstep_seconds=step_times,
         state=state,
+        pack_seconds=pack_sec,
+        setup_seconds=max(setup_sec, 0.0),
     )
 
 
@@ -1001,9 +1074,16 @@ class WeightedSnapshot:
             self._wdeg = arr
         return self._wdeg
 
-    def bsp_packed(self, p: int | None = None, hub_factor: float = 4.0) -> tuple:
+    def bsp_packed(
+        self,
+        p: int | None = None,
+        hub_factor: float = 4.0,
+        block_width: int | None = None,
+    ) -> tuple:
         if self._bsp_packed is None:
-            self._bsp_packed = bsp_pack(self, p, hub_factor=hub_factor)
+            self._bsp_packed = bsp_pack(
+                self, p, hub_factor=hub_factor, block_width=block_width
+            )
         return self._bsp_packed
 
     def unpersist(self) -> None:

@@ -34,14 +34,24 @@ class GraphSnapshot:
     _packed: DataFrame | None = field(default=None, repr=False)
     _bsp_packed: tuple | None = field(default=None, repr=False)
 
-    def bsp_packed(self, p: int | None = None, hub_factor: float = 4.0) -> tuple:
+    def bsp_packed(
+        self,
+        p: int | None = None,
+        hub_factor: float = 4.0,
+        block_width: int | None = None,
+    ) -> tuple:
         """Cached (packed, bounds, n_stripes, hubs) stripe-CSR build for the
         BSP loop — built once per snapshot like the reference's device CSR.
-        hub_factor applies only to the first (building) call."""
+        hub_factor / block_width apply only to the first (building) call;
+        dynamic loops pass block_width=0 to skip the blocked-gather blobs
+        they never read (extra lexsort + ~|E|·4B they'd otherwise pay in
+        the auto-block regime)."""
         if self._bsp_packed is None:
             from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import bsp_pack
 
-            self._bsp_packed = bsp_pack(self, p, hub_factor=hub_factor)
+            self._bsp_packed = bsp_pack(
+                self, p, hub_factor=hub_factor, block_width=block_width
+            )
         return self._bsp_packed
 
     def packed(self) -> DataFrame:

@@ -185,7 +185,7 @@ def test_bsp_blocked_gather_parity(spark):
         def outdeg_array(self):
             return self._g.outdeg_array()
 
-        def bsp_packed(self):
+        def bsp_packed(self, *a, **k):
             return packed, bounds, n_stripes, hubs
 
     f = Forced(g)
@@ -229,7 +229,7 @@ def test_bsp_fine_stripes_parity(spark):
         def outdeg_array(self):
             return self._g.outdeg_array()
 
-        def bsp_packed(self):
+        def bsp_packed(self, *a, **k):
             return packed, bounds, n_stripes, hubs
 
     f = Forced(g)

@@ -168,7 +168,7 @@ def test_tcp_dfp_salted_hubs_matches_bsp(spark):
         def outdeg_array(self):
             return self._g.outdeg_array()
 
-        def bsp_packed(self):
+        def bsp_packed(self, *a, **k):
             if self._packed is None:
                 self._packed = bsp_pack(self._g, hub_factor=0.05)
             return self._packed
