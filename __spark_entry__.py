@@ -1530,7 +1530,66 @@ def q_dedup_best(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRY ORDER POLICY (see README "Registry window policy"): the
+    # external driver's correctness gate verifies the FIRST ~50 entries
+    # only, so queries with the least external evidence go first.  Round
+    # 5 rotation: the 51 round-3/4 additions (never driver-checked; judge
+    # gate + pytest only) occupy slots 1-50; kmv_users_by_type sits at 51
+    # because kmv_vocab externally exercises the same KMV sketch path;
+    # the 50 round-1/2 queries (driver-green in CORRECTNESS_r01-r04)
+    # follow.  Rotate again if the window moves.
     return {
+        "line_dedup": q_line_dedup,
+        "session_stats": q_session_stats,
+        "asof_join": q_asof_join,
+        "hits": q_hits,
+        "salsa": q_salsa,
+        "ppr_suppliers": q_ppr_suppliers,
+        "k_core_30": q_k_core,
+        "scc": q_scc,
+        "link_pred_copurchase": q_link_pred,
+        "multi_source_distances": q_multi_source_distances,
+        "harmonic_centrality": q_harmonic_centrality,
+        "walk_corpus": q_walk_corpus,
+        "local_clustering": q_local_clustering,
+        "neighbor_sample": q_neighbor_sample,
+        "feature_propagation": q_feature_propagation,
+        "katz_10": q_katz,
+        "betweenness": q_betweenness,
+        "closeness": q_closeness,
+        "eigenvector_20": q_eigenvector,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "pagerank_time_decay": q_pagerank_time_decay,
+        "dsir_weights": q_dsir_weights,
+        "louvain": q_louvain,
+        "corpus_profile": q_corpus_profile,
+        "duplicate_spans": q_duplicate_spans,
+        "mis": q_mis,
+        "jp_coloring": q_jp_coloring,
+        "kmv_vocab": q_kmv_vocab,
+        "cc_incremental": q_cc_incremental,
+        "cc_decremental": q_cc_decremental,
+        "triangles_incremental": q_triangles_incremental,
+        "coreness": q_coreness,
+        "host_graph": q_host_graph,
+        "bowtie": q_bowtie,
+        "cocitation": q_cocitation,
+        "k_truss": q_k_truss,
+        "bib_coupling": q_bib_coupling,
+        "neighborhood_function": q_neighborhood_function,
+        "distance_distribution": q_distance_distribution,
+        "rich_club": q_rich_club,
+        "dedup_best": q_dedup_best,
+        "lm_score": q_lm_score,
+        "seeded_lpa": q_seeded_lpa,
+        "pseudo_diameter": q_pseudo_diameter,
+        "degree_powerlaw": q_degree_powerlaw,
+        "source_overlap": q_source_overlap,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "weighted_sample": q_weighted_sample,
+        "kmv_users_by_type": q_kmv_users_by_type,
         "entity_edges": q_entity_edges,
         "temporal_edges": q_temporal_edges,
         "out_degrees": q_out_degrees,
@@ -1581,57 +1640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_pj": q_connected_components_pj,
         "minhash_verified": q_minhash_verified,
         "token_vocabulary": q_token_vocabulary,
-        "line_dedup": q_line_dedup,
-        "session_stats": q_session_stats,
-        "asof_join": q_asof_join,
-        "hits": q_hits,
-        "salsa": q_salsa,
-        "ppr_suppliers": q_ppr_suppliers,
-        "k_core_30": q_k_core,
-        "scc": q_scc,
-        "link_pred_copurchase": q_link_pred,
-        "multi_source_distances": q_multi_source_distances,
-        "harmonic_centrality": q_harmonic_centrality,
-        "walk_corpus": q_walk_corpus,
-        "local_clustering": q_local_clustering,
-        "neighbor_sample": q_neighbor_sample,
-        "feature_propagation": q_feature_propagation,
-        "katz_10": q_katz,
-        "betweenness": q_betweenness,
-        "closeness": q_closeness,
-        "eigenvector_20": q_eigenvector,
-        "reciprocity": q_reciprocity,
-        "assortativity": q_assortativity,
-        "avg_neighbor_degree": q_avg_neighbor_degree,
-        "pagerank_time_decay": q_pagerank_time_decay,
-        "dsir_weights": q_dsir_weights,
-        "louvain": q_louvain,
-        "corpus_profile": q_corpus_profile,
-        "duplicate_spans": q_duplicate_spans,
-        "mis": q_mis,
-        "jp_coloring": q_jp_coloring,
-        "kmv_vocab": q_kmv_vocab,
-        "kmv_users_by_type": q_kmv_users_by_type,
-        "cc_incremental": q_cc_incremental,
-        "cc_decremental": q_cc_decremental,
-        "triangles_incremental": q_triangles_incremental,
-        "coreness": q_coreness,
-        "host_graph": q_host_graph,
-        "bowtie": q_bowtie,
-        "cocitation": q_cocitation,
-        "k_truss": q_k_truss,
-        "bib_coupling": q_bib_coupling,
-        "neighborhood_function": q_neighborhood_function,
-        "distance_distribution": q_distance_distribution,
-        "rich_club": q_rich_club,
-        "dedup_best": q_dedup_best,
-        "lm_score": q_lm_score,
-        "seeded_lpa": q_seeded_lpa,
-        "pseudo_diameter": q_pseudo_diameter,
-        "degree_powerlaw": q_degree_powerlaw,
-        "source_overlap": q_source_overlap,
-        "heavy_hitter_tokens": q_heavy_hitter_tokens,
-        "weighted_sample": q_weighted_sample,
     }
 
 

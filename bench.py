@@ -91,6 +91,13 @@ def section_scaling(results: dict) -> None:
                     "median_superstep_sec": round(med, 4),
                     "mean_superstep_sec": round(float(np.mean(res.superstep_seconds)), 4),
                     "loop_wall_sec": round(res.time, 1),
+                    # wall split (r4 verdict: pack regression was invisible
+                    # inside the single wall number): pack = stripe-CSR
+                    # build, setup = memmap init + barrier dispatch,
+                    # loop = Σ worker-timed supersteps
+                    "pack_sec": round(res.pack_seconds, 2),
+                    "setup_sec": round(res.setup_seconds, 2),
+                    "loop_sec": round(float(np.sum(res.superstep_seconds)), 2),
                 }
             )
             if rep == 0:
@@ -107,6 +114,9 @@ def section_scaling(results: dict) -> None:
             "mean_superstep_sec": runs[cpus][0]["mean_superstep_sec"],
             "edges_per_sec_per_superstep": round(firsts[cpus]["edges"] / med, 0),
             "loop_wall_sec": runs[cpus][0]["loop_wall_sec"],
+            "pack_sec": runs[cpus][0]["pack_sec"],
+            "setup_sec": runs[cpus][0]["setup_sec"],
+            "loop_sec": runs[cpus][0]["loop_sec"],
         }
         if repeats > 1:
             stats[cpus]["repeat_runs"] = runs[cpus]
@@ -161,6 +171,92 @@ def section_scaling(results: dict) -> None:
             shutil.rmtree(SHM, ignore_errors=True)
 
 
+def section_scaling_2proc(results: dict) -> None:
+    """Executor-scaling analog this sandbox CAN measure (r4 verdict task #3):
+    the same full-size STATIC loop on local-cluster[1,16,MB] (one executor
+    JVM) vs local-cluster[2,16,MB] (two executor JVMs, each with its own
+    heap + python workers), paired back-to-back so host drift cancels.
+    Per-process efficiency = (med_superstep_1proc / med_superstep_2proc)/2.
+    Each executor brings its own JVM heap/GC — the closest this one box
+    gets to "executors bring their own memory"; the DRAM bus stays shared,
+    so this bounds the scheduler/JVM contribution to the N→4N ratio,
+    complementing the pure-numpy roofline that bounds the hardware's.
+    Runs BOTH loop flavors: BSP (memmap exchange on /dev/shm — same-host
+    multi-JVM) and TCP ring (socket exchange — the true cross-node path)."""
+    from pyspark.sql import SparkSession
+
+    from pagerank_cuda_dynamic_spark.sources.bench_graph import dense_transcript_graph
+    from pagerank_cuda_dynamic_spark.plans import GraphSnapshot
+    from pagerank_cuda_dynamic_spark.operators.pagerank import PagerankOptions
+    from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import pagerank_static_bsp
+    from pagerank_cuda_dynamic_spark.operators.pagerank_tcp import pagerank_static_tcp
+
+    repeats = int(os.environ.get("SPARK_GRAFT_2PROC_REPEATS", "3"))
+    convs = int(os.environ.get("SPARK_GRAFT_2PROC_CONVS", str(BENCH_CONVS)))
+    worker_mb = int(os.environ.get("SPARK_GRAFT_2PROC_MB", "10240"))
+    meds: dict = {p: {1: [], 2: []} for p in ("bsp", "tcp")}
+    info: dict = {}
+    for rep in range(repeats):
+        for nproc in (1, 2):
+            master = f"local-cluster[{nproc},16,{worker_mb}]"
+            spark = (
+                SparkSession.builder.master(master)
+                .appName(f"bench-2proc-{nproc}p-r{rep}")
+                .config("spark.sql.shuffle.partitions", str(16 * nproc))
+                .config("spark.executor.memory", f"{worker_mb * 3 // 4}m")
+                .config(
+                    "spark.executorEnv.PYTHONPATH",
+                    str(Path(__file__).resolve().parent),
+                )
+                .config("spark.ui.showConsoleProgress", "false")
+                .getOrCreate()
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            try:
+                e, n = dense_transcript_graph(
+                    spark, convs, adjacency_hops=HOPS, seed=SEED
+                )
+                g = GraphSnapshot.build(
+                    e, n=n, partitions=spark.sparkContext.defaultParallelism
+                )
+                m = g.edges.count()
+                for path in ("bsp", "tcp"):
+                    res = (
+                        pagerank_static_bsp(g, PagerankOptions())
+                        if path == "bsp"
+                        else pagerank_static_tcp(g)
+                    )
+                    med = _median_steady(res.superstep_seconds)
+                    meds[path][nproc].append(med)
+                    if rep == 0:
+                        info.setdefault(path, {})[str(nproc)] = {
+                            "master": master,
+                            "edges": m,
+                            "iterations": res.iterations,
+                            "median_superstep_sec": round(med, 4),
+                            "edges_per_sec_per_superstep": round(m / med, 0),
+                        }
+                g.unpersist()
+            finally:
+                spark.stop()
+    out: dict = {"repeats": repeats, "paths": {}}
+    for path in ("bsp", "tcp"):
+        ratios = [
+            (meds[path][1][i] / meds[path][2][i]) / 2.0 for i in range(repeats)
+        ]
+        out["paths"][path] = {
+            **info.get(path, {}),
+            "pair_ratios": [round(r, 3) for r in ratios],
+            "per_process_efficiency_median": round(float(np.median(ratios)), 3),
+        }
+        print(
+            f"# 2proc {path}: pairs={[round(r, 3) for r in ratios]} "
+            f"median={np.median(ratios):.3f}",
+            file=sys.stderr,
+        )
+    results["scaling_2proc"] = out
+
+
 def section_dynamic(spark, results: dict) -> None:
     import pyspark.sql.functions as F
 
@@ -208,7 +304,9 @@ def section_dynamic(spark, results: dict) -> None:
         )
         dels, ins = tidy_batch(g.edges, empty, spark.createDataFrame(ins_pdf))
         g2 = g.with_batch(dels, ins)
+        t0 = time.time()
         g2.bsp_packed()
+        t_pack = time.time() - t0
 
         t0 = time.time()
         s2 = pagerank_static_bsp(g2, PagerankOptions())
@@ -229,6 +327,9 @@ def section_dynamic(spark, results: dict) -> None:
             results["queries"]["dyn_dfp"] = round(t_dfp, 2)
         row = {
             "batch_size": int(ins.count()),
+            # pack is ONE-OFF per graph version, shared by all four
+            # techniques below (static/nd/df/dfp reuse the cached pack)
+            "pack_sec": round(t_pack, 2),
             "static_loop_sec": round(sum(s2.superstep_seconds), 3),
             "nd_loop_sec": round(sum(nd.superstep_seconds), 3),
             "df_loop_sec": round(sum(df_res.superstep_seconds), 3),
@@ -764,6 +865,37 @@ def section_ops(spark, results: dict) -> None:
     ent.unpersist()
     g.unpersist()
 
+    # Round-4 operator families timed through the registry itself (r4
+    # verdict task #4: these had no wall-time row, so perf regressions in
+    # them were invisible).  Each call is the exact queries() entry the
+    # correctness gate verifies, run at the bench SF.
+    import __spark_entry__ as entrymod
+
+    reg = entrymod.queries()
+    for qname in (
+        "salsa",
+        "hits",
+        "katz_10",
+        "scc",
+        "seeded_lpa",
+        "bowtie",
+        "cocitation",
+        "bib_coupling",
+        "neighborhood_function",
+        "pseudo_diameter",
+        "mis",
+        "jp_coloring",
+        "kmv_vocab",
+        "cc_decremental",
+        "degree_powerlaw",
+        "source_overlap",
+        "weighted_sample",
+        "corpus_profile",
+        "duplicate_spans",
+        "token_vocabulary",
+    ):
+        timed(qname, lambda n=qname: reg[n](spark, SF_DIR).count())
+
 
 def main() -> None:
     t_all = time.time()
@@ -772,12 +904,14 @@ def main() -> None:
     # the dynamic sweep (e.g. with a higher SPARK_GRAFT_DYN_BATCHES).
     sections = set(
         os.environ.get(
-            "SPARK_GRAFT_BENCH_SECTIONS", "scaling,dynamic,sweep,ops,tcp"
+            "SPARK_GRAFT_BENCH_SECTIONS", "scaling,scaling2p,dynamic,sweep,ops,tcp"
         ).split(",")
     )
     results: dict = {"queries": {}}
     if "scaling" in sections:
         section_scaling(results)
+    if "scaling2p" in sections:
+        section_scaling_2proc(results)
     if sections & {"dynamic", "sweep", "ops"}:
         spark = _mk_spark(CPUS, "bench-main")
         try:
@@ -800,6 +934,7 @@ def main() -> None:
         "cpus": CPUS,
         "edges_per_sec_per_superstep": results.get("edges_per_sec_per_superstep"),
         "scaling": results.get("scaling"),
+        "scaling_2proc": results.get("scaling_2proc"),
         "dynamic": results.get("dynamic"),
         "dynamic_sweep": results.get("dynamic_sweep"),
         "tcp": results.get("tcp"),
@@ -832,6 +967,12 @@ def main() -> None:
         "engine_fraction_of_host_roofline": (scaling.get("roofline") or {}).get(
             "engine_fraction_of_roofline"
         ),
+        # two-executor-JVM static scaling (each JVM its own heap):
+        # per-process efficiency medians for the BSP and TCP loops
+        "scaling_2proc_efficiency": {
+            p: row.get("per_process_efficiency_median")
+            for p, row in ((results.get("scaling_2proc") or {}).get("paths") or {}).items()
+        },
         "dynamic_speedups": {
             f: {
                 "df": row.get("df_speedup_vs_static_loop"),

@@ -56,10 +56,26 @@ def generate(
     a("Superstep statistic = median (steady state; the mean includes memmap")
     a("warm-up and GC stragglers, both one-off or rare).")
     a("")
-    a("| parallelism | median superstep | edges/s per superstep | loop wall |")
-    a("|---|---|---|---|")
-    a(f"| local[{lo}]  (N)  | {slo['median_superstep_sec']*1000:.1f} ms | **{fmt_mps(slo['edges_per_sec_per_superstep'])}** | {slo['loop_wall_sec']:.1f} s |")
-    a(f"| local[{hi}] (4N) | {shi['median_superstep_sec']*1000:.1f} ms | **{fmt_mps(shi['edges_per_sec_per_superstep'])}** | {shi['loop_wall_sec']:.1f} s |")
+    if "pack_sec" in slo:
+        a("| parallelism | median superstep | edges/s per superstep | wall | = pack | + setup | + loop |")
+        a("|---|---|---|---|---|---|---|")
+        for tag, st in ((f"local[{lo}]  (N) ", slo), (f"local[{hi}] (4N)", shi)):
+            a(
+                f"| {tag} | {st['median_superstep_sec']*1000:.1f} ms | "
+                f"**{fmt_mps(st['edges_per_sec_per_superstep'])}** | "
+                f"{st['loop_wall_sec']:.1f} s | {st['pack_sec']:.1f} s | "
+                f"{st['setup_sec']:.1f} s | {st['loop_sec']:.1f} s |"
+            )
+        a("")
+        a("(wall split per the r4 verdict: *pack* = one-off stripe-CSR build —")
+        a("amortized across every run on the same graph version, exactly like")
+        a("the reference's device CSR upload; *setup* = memmap init + barrier")
+        a("dispatch; *loop* = Σ worker-timed supersteps, the recurring cost.)")
+    else:
+        a("| parallelism | median superstep | edges/s per superstep | loop wall |")
+        a("|---|---|---|---|")
+        a(f"| local[{lo}]  (N)  | {slo['median_superstep_sec']*1000:.1f} ms | **{fmt_mps(slo['edges_per_sec_per_superstep'])}** | {slo['loop_wall_sec']:.1f} s |")
+        a(f"| local[{hi}] (4N) | {shi['median_superstep_sec']*1000:.1f} ms | **{fmt_mps(shi['edges_per_sec_per_superstep'])}** | {shi['loop_wall_sec']:.1f} s |")
     a("")
     a(f"**Scaling efficiency N→4N = {sc['efficiency_median_superstep']:.3f} (target ≥ 0.8, BASELINE.json rule)** —")
     a("evidenced as the sandbox proxy for two cluster sizes: identical job +")
@@ -196,6 +212,34 @@ def generate(
             a("bsp_pack now AUTO-selects blocking exactly here (|V|·8 B >")
             a("128 MB and p ≥ 16, env/param override) and keeps row order")
             a("while any of the rank vector is cache-resident.")
+    sc2 = d.get("scaling_2proc") or {}
+    if sc2.get("paths"):
+        a("")
+        a("### Two-executor-JVM static scaling (each JVM its own heap)")
+        a("")
+        a(f"The same full-size static loop on `local-cluster[1,16,MB]` (one")
+        a(f"executor JVM) vs `local-cluster[2,16,MB]` (two executor JVMs),")
+        a(f"{sc2['repeats']} paired repeats — the executor-scaling analog this single box")
+        a("can measure: each executor brings its own JVM heap, GC, and python")
+        a("workers, exactly as on a real cluster; only the DRAM bus stays")
+        a("shared.  Per-process efficiency = (med₁ᵖ/med₂ᵖ)/2.")
+        a("")
+        a("| loop | 1 proc (16 cores) | 2 proc (32 cores) | pair ratios | per-process efficiency |")
+        a("|---|---|---|---|---|")
+        for pth, row in sc2["paths"].items():
+            one, two = row.get("1", {}), row.get("2", {})
+            a(
+                f"| {pth.upper()} | {one.get('median_superstep_sec', 0)*1000:.1f} ms "
+                f"({fmt_mps(one.get('edges_per_sec_per_superstep', 0))}) | "
+                f"{two.get('median_superstep_sec', 0)*1000:.1f} ms "
+                f"({fmt_mps(two.get('edges_per_sec_per_superstep', 0))}) | "
+                f"{row['pair_ratios']} | **{row['per_process_efficiency_median']}** |"
+            )
+        a("")
+        a("Reading: where this matches the single-JVM local[16]→local[32]")
+        a("ratio, the thread-vs-process distinction costs nothing — the")
+        a("sub-linear part is the shared memory system (roofline above), the")
+        a("term a real cluster multiplies with executor count.")
     a("")
     a("## Dynamic family — batch-fraction sweep (reference main.sh regime)")
     a("")
@@ -346,6 +390,27 @@ def generate(
         "heavy_hitter_tokens": "exact heavy-hitter tokens (Misra–Gries + verify)",
         "pagerank_tcp_static": "PageRank static via TCP ring exchange",
         "pagerank_tcp_dfp": "PageRank DF-P dynamic via TCP ring",
+        # round-4 operator families, timed through the registry entries
+        "salsa": "SALSA hub/authority scores (registry query)",
+        "hits": "HITS hub/authority scores (registry query)",
+        "katz_10": "Katz centrality, 10 rounds (registry query)",
+        "scc": "strongly connected components (registry query)",
+        "seeded_lpa": "seeded label propagation (registry query)",
+        "bowtie": "bow-tie decomposition (registry query)",
+        "cocitation": "co-citation pairs (registry query)",
+        "bib_coupling": "bibliographic coupling pairs (registry query)",
+        "neighborhood_function": "ANF neighborhood function (registry query)",
+        "pseudo_diameter": "pseudo-diameter (registry query)",
+        "mis": "maximal independent set (registry query)",
+        "jp_coloring": "Jones–Plassmann coloring (registry query)",
+        "kmv_vocab": "KMV distinct-vocabulary sketch (registry query)",
+        "cc_decremental": "decremental connected components (registry query)",
+        "degree_powerlaw": "power-law degree MLE (registry query)",
+        "source_overlap": "cross-source shingle overlap (registry query)",
+        "weighted_sample": "weighted sample (registry query)",
+        "corpus_profile": "per-stratum corpus percentiles (registry query)",
+        "duplicate_spans": "substring-span duplication profile (registry query)",
+        "token_vocabulary": "token vocabulary top-N (registry query)",
     }
     for k, lbl in label.items():
         if k in q:
