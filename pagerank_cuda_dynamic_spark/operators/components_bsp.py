@@ -29,7 +29,10 @@ from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
 def _label_loop(graph: GraphSnapshot, mode: str, max_rounds: int) -> np.ndarray:
     """Shared BSP label loop.  mode='min' (CC) or 'mode' (LPA)."""
     N = graph.n
-    packed, bounds, n_stripes, hubs = graph.bsp_packed(hub_factor=float("inf"))
+    # direct bsp_pack (row-stream mode): this loop reads the blob rows
+    # itself and runs exactly once per call, so the snapshot-level stripe
+    # spill (GraphSnapshot.bsp_packed) would add writes it never reads back
+    packed, bounds, n_stripes, hubs = bsp_pack(graph, hub_factor=float("inf"))
     workdir = _scratch_dir()
     os.makedirs(workdir, exist_ok=True)
 
@@ -125,6 +128,7 @@ def _label_loop(graph: GraphSnapshot, mode: str, max_rounds: int) -> np.ndarray:
     rounds = results[0]
     out = np.array(np.load(os.path.join(workdir, f"lab_{rounds % 2}.npy"), mmap_mode="r"))
     shutil.rmtree(workdir, ignore_errors=True)
+    packed.unpersist()
     return out
 
 

@@ -60,6 +60,22 @@ from pagerank_cuda_dynamic_spark.operators.pagerank import (
     PagerankResult,
 )
 
+from pagerank_cuda_dynamic_spark.operators import _stripe_pack
+from pagerank_cuda_dynamic_spark.operators._stripe_pack import (
+    _pack_stripe_raw,
+    _raw_to_row,
+    _spill_write,
+    _stub_pack_row,
+)
+
+# Worker closures (pack_one, the delta merge) call these helpers; ship
+# their CODE with the closure instead of a module reference — Spark Python
+# workers do not see the driver's runtime sys.path edits (see
+# _stripe_pack's module docstring).
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_stripe_pack)
+
 PACK_SCHEMA = (
     "stripe int, lo long, hi long, "
     "src_bin binary, src32 boolean, offsets_bin binary, "
@@ -122,6 +138,7 @@ def bsp_pack(
     hub_factor: float = 4.0,
     block_width: int | None = None,
     stripe_edges: int | None = None,
+    spill_dir: str | None = None,
 ):
     """Stripe-packed CSR blobs + salted hub blocks, one row per dst stripe,
     repartitioned so each stripe is whole in one task.  Returns
@@ -291,105 +308,14 @@ def bsp_pack(
 
     def pack_one(s: int, src_all, dst_all, w_all) -> dict:
         b = bc_bounds.value
-        hub_ids = bc_hubs.value
-        lo, hi = int(b[s]), int(b[s + 1])
-        if hub_ids.size:
-            hub_col = np.searchsorted(hub_ids, dst_all)
-            hub_col = np.where(
-                (hub_col < hub_ids.size) & (hub_ids[np.minimum(hub_col, hub_ids.size - 1)] == dst_all),
-                hub_col,
-                -1,
-            )
-            is_h = hub_col >= 0
-        else:
-            is_h = np.zeros(src_all.size, dtype=bool)
-        # regular rows → contiguous-stripe CSR (dst order)
-        src = src_all[~is_h]
-        dstoff = dst_all[~is_h] - lo
-        w_reg = w_all[~is_h] if weighted else None
-        order = np.argsort(dstoff, kind="stable")
-        src = src[order]
-        dstoff = dstoff[order]
-        if weighted:
-            w_reg = w_reg[order]
-        counts = np.bincount(dstoff, minlength=hi - lo)
-        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        # src-sorted view of the same edges (mover-extension index)
-        order2 = np.argsort(src, kind="stable")
-        src_by_src = src[order2]
-        dstloc = dstoff[order2].astype(np.int32)
-        usrc, ucnt = np.unique(src_by_src, return_counts=True)
-        uoff = np.concatenate([[0], np.cumsum(ucnt)]).astype(np.int64)
-        # cache-blocked gather order: (src block, dst), with run boundaries
-        # at every (block, dst) change — see the docstring's layout note.
-        # Weighted graphs keep the row-order path (weights would need the
-        # same reorder; the weighted family is not the scaling hot path).
-        if src.size and not weighted and block_width > 0:
-            blk = src // block_width
-            order3 = np.lexsort((dstoff, blk))
-            src_blk = src[order3]
-            dst3 = dstoff[order3].astype(np.int32)
-            blk3 = blk[order3]
-            change = np.empty(src.size, dtype=bool)
-            change[0] = True
-            change[1:] = (dst3[1:] != dst3[:-1]) | (blk3[1:] != blk3[:-1])
-            run_off = np.flatnonzero(change).astype(np.int64)
-            run_dst = dst3[run_off]
-            run_blk = blk3[run_off]
-            bchange = np.empty(run_off.size, dtype=bool)
-            bchange[0] = True
-            bchange[1:] = run_blk[1:] != run_blk[:-1]
-            rb_off = np.append(np.flatnonzero(bchange), run_off.size).astype(np.int64)
-        else:
-            src_blk = np.empty(0, np.int64)
-            run_off = np.empty(0, np.int64)
-            run_dst = np.empty(0, np.int32)
-            rb_off = np.empty(0, np.int64)
-        if src.size and src.max() < 2**31:
-            src = src.astype(np.int32)
-            src_blk = src_blk.astype(np.int32)
-        # hub rows → hub-block CSR over the full hub list (col order)
-        hsrc = src_all[is_h]
-        hcol = hub_col[is_h] if hub_ids.size else np.empty(0, np.int64)
-        w_hub = w_all[is_h] if weighted else None
-        horder = np.argsort(hcol, kind="stable")
-        hsrc = hsrc[horder]
-        hcol = hcol[horder]
-        if weighted:
-            w_hub = w_hub[horder]
-        hcounts = np.bincount(hcol, minlength=hub_ids.size)
-        hoffsets = np.concatenate([[0], np.cumsum(hcounts)]).astype(np.int64)
-        # src-sorted view of the hub edges
-        horder2 = np.argsort(hsrc, kind="stable")
-        hsrc_by_src = hsrc[horder2]
-        hubcol = hcol[horder2].astype(np.int32)
-        husrc, hucnt = np.unique(hsrc_by_src, return_counts=True)
-        huoff = np.concatenate([[0], np.cumsum(hucnt)]).astype(np.int64)
-        if hsrc.size and hsrc.max() < 2**31:
-            hsrc = hsrc.astype(np.int32)
-        return {
-            "stripe": s,
-            "lo": lo,
-            "hi": hi,
-            "src_bin": src.tobytes(),
-            "src32": src.dtype == np.int32,
-            "offsets_bin": offsets.tobytes(),
-            "usrc_bin": usrc.astype(np.int64).tobytes(),
-            "uoff_bin": uoff.tobytes(),
-            "dstloc_bin": dstloc.tobytes(),
-            "hub_src_bin": hsrc.tobytes(),
-            "hub_src32": hsrc.dtype == np.int32,
-            "hub_offsets_bin": hoffsets.tobytes(),
-            "husrc_bin": husrc.astype(np.int64).tobytes(),
-            "huoff_bin": huoff.tobytes(),
-            "hubcol_bin": hubcol.tobytes(),
-            "w_bin": w_reg.tobytes() if weighted else b"",
-            "hub_w_bin": w_hub.tobytes() if weighted else b"",
-            "srcb_bin": src_blk.tobytes(),
-            "runoff_bin": run_off.tobytes(),
-            "rundst_bin": run_dst.tobytes(),
-            "rboff_bin": rb_off.tobytes(),
-        }
+        raw = _pack_stripe_raw(
+            s, int(b[s]), int(b[s + 1]), src_all, dst_all, w_all,
+            bc_hubs.value, block_width, weighted,
+        )
+        if spill_dir:
+            _spill_write(spill_dir, raw)
+            return _stub_pack_row(raw)
+        return _raw_to_row(raw)
 
     def pack_partition(batches):
         """Pack every stripe this partition OWNS (blk_of == partitionId) —
@@ -443,6 +369,23 @@ def bsp_pack(
     assert n_rows == n_stripes, (
         f"pack emitted {n_rows} stripe rows, expected {n_stripes}"
     )
+    if spill_dir:
+        # spill is complete iff the pack job materialized every stripe row
+        # (asserted above) — the marker gates the loop's spill-load path
+        import pickle
+
+        with open(os.path.join(spill_dir, "META.pkl"), "wb") as f:
+            pickle.dump(
+                {
+                    "bounds": bounds, "hubs": hubs, "n_stripes": n_stripes,
+                    "n_parts": n_parts, "block_width": block_width,
+                    "weighted": weighted, "n": graph.n,
+                },
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+        with open(os.path.join(spill_dir, "COMPLETE"), "w") as f:
+            f.write(str(n_stripes))
     return packed, bounds, n_stripes, hubs
 
 
@@ -505,6 +448,26 @@ def _bsp_loop(
         block_width=0 if dynamic else None
     )
     pack_sec = 0.0 if pack_cached else time.time() - t_pack
+    # stripe spill: when the pack wrote raw stripe records to the
+    # snapshot's scratch spill (GraphSnapshot.bsp_packed does), the loop
+    # loads them straight from the shared FS instead of re-streaming
+    # ~|E|·12 B of blob rows JVM→Arrow→Python on EVERY invocation — the
+    # dominant setup cost for repeat runs (warm starts, dynamic batches).
+    # The row-stream path remains for packs without a spill (weighted
+    # snapshots, direct bsp_pack callers).
+    spill = getattr(graph, "_bsp_spill", None)
+    SPILL = (
+        spill
+        if spill and os.path.exists(os.path.join(spill, "COMPLETE"))
+        else None
+    )
+    if packed is not None:
+        NPARTS = packed.rdd.getNumPartitions()
+    else:  # delta-packed snapshot: stripe records exist only in the spill
+        import pickle
+
+        with open(os.path.join(SPILL, "META.pkl"), "rb") as f:
+            NPARTS = int(pickle.load(f)["n_parts"])
     n_hubs = int(hubs.size)
     outdeg = graph.outdeg_array()
     # Guard only the dangling zeros (their rdiv is never read): a plain
@@ -627,62 +590,97 @@ def _bsp_loop(
             return ragged_take(starts, lens)
 
         hub_ids = _np.load(os.path.join(wd, "hubs.npy"), mmap_mode="r") if NH else None
+        raws = []
+        if SPILL is not None:
+            # spill-load: stripe ownership is positional (s ≡ pid mod
+            # NPARTS — the pack's round-robin blk_of rule), so the task
+            # reconstructs its stripe set from its partition id alone and
+            # reads raw records off the shared scratch
+            import pickle as _pickle
+            from pyspark import TaskContext as _TC2
+
+            for _ in it:
+                pass  # drain the skeleton partition
+            _mypid = _TC2.get().partitionId()
+            for s2 in range(_mypid, NSTRIPES, NPARTS):
+                with open(os.path.join(SPILL, f"s{s2}.pkl"), "rb") as fh:
+                    raws.append(_pickle.load(fh))
+        else:
+            for row in it:
+                lo, hi = int(row["lo"]), int(row["hi"])
+                width = hi - lo
+                offsets = _np.frombuffer(row["offsets_bin"], dtype=_np.int64)
+                if offsets.size != width + 1:  # empty stub stripe
+                    offsets = _np.zeros(width + 1, dtype=_np.int64)
+                uoff = _np.frombuffer(row["uoff_bin"], dtype=_np.int64)
+                if uoff.size == 0:
+                    uoff = _np.zeros(1, dtype=_np.int64)
+                hoff = (
+                    _np.frombuffer(row["hub_offsets_bin"], dtype=_np.int64)
+                    if NH
+                    else _np.zeros(1, _np.int64)
+                )
+                if NH and hoff.size != NH + 1:
+                    hoff = _np.zeros(NH + 1, dtype=_np.int64)
+                huoff = _np.frombuffer(row["huoff_bin"], dtype=_np.int64)
+                if huoff.size == 0:
+                    huoff = _np.zeros(1, dtype=_np.int64)
+                raws.append(
+                    {
+                        "s": int(row["stripe"]), "lo": lo, "hi": hi,
+                        "src": _np.frombuffer(
+                            row["src_bin"],
+                            dtype=_np.int32 if row["src32"] else _np.int64,
+                        ),
+                        "offsets": offsets,
+                        "usrc": _np.frombuffer(row["usrc_bin"], dtype=_np.int64),
+                        "uoff": uoff,
+                        "dstloc": _np.frombuffer(row["dstloc_bin"], dtype=_np.int32),
+                        "hsrc": _np.frombuffer(
+                            row["hub_src_bin"],
+                            dtype=_np.int32 if row["hub_src32"] else _np.int64,
+                        ),
+                        "hoff": hoff,
+                        "husrc": _np.frombuffer(row["husrc_bin"], dtype=_np.int64),
+                        "huoff": huoff,
+                        "hubcol": _np.frombuffer(row["hubcol_bin"], dtype=_np.int32),
+                        "w_reg": _np.frombuffer(row["w_bin"], dtype=_np.float64)
+                        if WEIGHTED
+                        else None,
+                        "w_hub": _np.frombuffer(row["hub_w_bin"], dtype=_np.float64)
+                        if WEIGHTED
+                        else None,
+                        "srcb": _np.frombuffer(
+                            row["srcb_bin"],
+                            dtype=_np.int32 if row["src32"] else _np.int64,
+                        ),
+                        "run_off": _np.frombuffer(row["runoff_bin"], dtype=_np.int64),
+                        "run_dst": _np.frombuffer(row["rundst_bin"], dtype=_np.int32),
+                        "rb_off": _np.frombuffer(row["rboff_bin"], dtype=_np.int64),
+                    }
+                )
         stripes = []
-        for row in it:
-            lo, hi = int(row["lo"]), int(row["hi"])
-            width = hi - lo
-            src = _np.frombuffer(
-                row["src_bin"], dtype=_np.int32 if row["src32"] else _np.int64
-            )
-            offsets = _np.frombuffer(row["offsets_bin"], dtype=_np.int64)
-            if offsets.size != width + 1:  # empty stub stripe
-                offsets = _np.zeros(width + 1, dtype=_np.int64)
+        for raw in raws:
+            lo, hi = int(raw["lo"]), int(raw["hi"])
+            src, offsets = raw["src"], raw["offsets"]
             counts = (offsets[1:] - offsets[:-1]).astype(_np.int64)
             ridx = _np.minimum(offsets[:-1], max(src.size - 1, 0))
             empty = counts == 0
-            usrc = _np.frombuffer(row["usrc_bin"], dtype=_np.int64)
-            uoff = _np.frombuffer(row["uoff_bin"], dtype=_np.int64)
-            if uoff.size == 0:
-                uoff = _np.zeros(1, dtype=_np.int64)
-            dstloc = _np.frombuffer(row["dstloc_bin"], dtype=_np.int32)
+            usrc, uoff, dstloc = raw["usrc"], raw["uoff"], raw["dstloc"]
             self_srcord = None
             if do_prune and dstloc.size:
                 srcs_exp = _np.repeat(usrc, (uoff[1:] - uoff[:-1]))
                 self_srcord = srcs_exp == (dstloc.astype(_np.int64) + lo)
             # hub block (salted in-edges this stripe holds, over all hubs)
-            hsrc = _np.frombuffer(
-                row["hub_src_bin"],
-                dtype=_np.int32 if row["hub_src32"] else _np.int64,
-            )
-            hoff = (
-                _np.frombuffer(row["hub_offsets_bin"], dtype=_np.int64)
-                if NH
-                else _np.zeros(1, _np.int64)
-            )
-            if NH and hoff.size != NH + 1:
-                hoff = _np.zeros(NH + 1, dtype=_np.int64)
+            hsrc, hoff = raw["hsrc"], raw["hoff"]
             hcounts = (hoff[1:] - hoff[:-1]).astype(_np.int64) if NH else None
             hridx = _np.minimum(hoff[:-1], max(hsrc.size - 1, 0)) if NH else None
             hempty = hcounts == 0 if NH else None
-            husrc = _np.frombuffer(row["husrc_bin"], dtype=_np.int64)
-            huoff = _np.frombuffer(row["huoff_bin"], dtype=_np.int64)
-            if huoff.size == 0:
-                huoff = _np.zeros(1, dtype=_np.int64)
-            hubcol = _np.frombuffer(row["hubcol_bin"], dtype=_np.int32)
+            husrc, huoff, hubcol = raw["husrc"], raw["huoff"], raw["hubcol"]
             hself_srcord = None
             if do_prune and NH and hubcol.size:
                 hsrcs_exp = _np.repeat(husrc, (huoff[1:] - huoff[:-1]))
                 hself_srcord = hsrcs_exp == _np.asarray(hub_ids)[hubcol]
-            w_reg = _np.frombuffer(row["w_bin"], dtype=_np.float64) if WEIGHTED else None
-            w_hub = _np.frombuffer(row["hub_w_bin"], dtype=_np.float64) if WEIGHTED else None
-            # cache-blocked gather order (static fast path; empty when
-            # weighted or the stripe has no edges)
-            srcb = _np.frombuffer(
-                row["srcb_bin"], dtype=_np.int32 if row["src32"] else _np.int64
-            )
-            run_off = _np.frombuffer(row["runoff_bin"], dtype=_np.int64)
-            run_dst = _np.frombuffer(row["rundst_bin"], dtype=_np.int32)
-            rb_off = _np.frombuffer(row["rboff_bin"], dtype=_np.int64)
             # hubs homed in this stripe (owner combines partials)
             own_cols = (
                 _np.flatnonzero((_np.asarray(hub_ids) >= lo) & (_np.asarray(hub_ids) < hi))
@@ -692,7 +690,7 @@ def _bsp_loop(
             own_offs = _np.asarray(hub_ids)[own_cols] - lo if NH else None
             stripes.append(
                 {
-                    "s": int(row["stripe"]), "lo": lo, "hi": hi,
+                    "s": int(raw["s"]), "lo": lo, "hi": hi,
                     "src": src, "offsets": offsets, "counts": counts,
                     "ridx": ridx, "empty": empty,
                     "usrc": usrc, "uoff": uoff, "dstloc": dstloc,
@@ -701,12 +699,14 @@ def _bsp_loop(
                     "hridx": hridx, "hempty": hempty,
                     "husrc": husrc, "huoff": huoff, "hubcol": hubcol,
                     "hself_srcord": hself_srcord,
-                    "w_reg": w_reg, "w_hub": w_hub,
-                    "srcb": srcb, "run_off": run_off,
-                    "run_dst": run_dst, "rb_off": rb_off,
+                    "w_reg": raw["w_reg"] if WEIGHTED else None,
+                    "w_hub": raw["w_hub"] if WEIGHTED else None,
+                    "srcb": raw["srcb"], "run_off": raw["run_off"],
+                    "run_dst": raw["run_dst"], "rb_off": raw["rb_off"],
                     "own_cols": own_cols, "own_offs": own_offs,
                 }
             )
+        del raws
         deg = _np.load(os.path.join(wd, "deg.npy"), mmap_mode="r")
         ranks = [
             _np.load(os.path.join(wd, "rank_0.npy"), mmap_mode="r+"),
@@ -966,7 +966,14 @@ def _bsp_loop(
         else:
             yield None
 
-    results = [x for x in packed.rdd.barrier().mapPartitions(loop).collect() if x]
+    if SPILL is not None:
+        # lightweight skeleton job: one int per partition, stripes load
+        # from the spill — no blob rows cross the JVM/Python boundary
+        sc = graph.edges.sparkSession.sparkContext
+        base = sc.parallelize(range(NPARTS), NPARTS)
+        results = [x for x in base.barrier().mapPartitions(loop).collect() if x]
+    else:
+        results = [x for x in packed.rdd.barrier().mapPartitions(loop).collect() if x]
     iters, step_times = results[0]
     # setup = memmap init + barrier dispatch + stripe deserialization and
     # any other wall outside the worker-timed supersteps

@@ -33,6 +33,7 @@ class GraphSnapshot:
     _outdeg_np: np.ndarray | None = field(default=None, repr=False)
     _packed: DataFrame | None = field(default=None, repr=False)
     _bsp_packed: tuple | None = field(default=None, repr=False)
+    _bsp_spill: str | None = field(default=None, repr=False)
 
     def bsp_packed(
         self,
@@ -45,12 +46,26 @@ class GraphSnapshot:
         hub_factor / block_width apply only to the first (building) call;
         dynamic loops pass block_width=0 to skip the blocked-gather blobs
         they never read (extra lexsort + ~|E|·4B they'd otherwise pay in
-        the auto-block regime)."""
-        if self._bsp_packed is None:
-            from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import bsp_pack
+        the auto-block regime).
 
+        The pack SPILLS raw stripe records to a scratch dir shared with the
+        executors (the same premise as the loop's memmap exchange): repeat
+        loop invocations — warm starts, dynamic batches, repeated queries —
+        load stripes off the spill instead of re-streaming ~|E|·12 B of blob
+        rows through Arrow every run."""
+        if self._bsp_packed is None:
+            from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
+                _scratch_dir,
+                bsp_pack,
+            )
+
+            self._bsp_spill = _scratch_dir() + "_spill"
             self._bsp_packed = bsp_pack(
-                self, p, hub_factor=hub_factor, block_width=block_width
+                self,
+                p,
+                hub_factor=hub_factor,
+                block_width=block_width,
+                spill_dir=self._bsp_spill,
             )
         return self._bsp_packed
 
@@ -143,11 +158,17 @@ class GraphSnapshot:
         )
 
     def unpersist(self) -> None:
+        import shutil
+
         self.edges.unpersist()
         self.degrees.unpersist()
         if self._packed is not None:
             self._packed.unpersist()
             self._packed = None
         if self._bsp_packed is not None:
-            self._bsp_packed[0].unpersist()
+            if self._bsp_packed[0] is not None:
+                self._bsp_packed[0].unpersist()
             self._bsp_packed = None
+        if self._bsp_spill is not None:
+            shutil.rmtree(self._bsp_spill, ignore_errors=True)
+            self._bsp_spill = None
