@@ -389,6 +389,168 @@ def bsp_pack(
     return packed, bounds, n_stripes, hubs
 
 
+DELTA_MAX_BATCH = int(os.environ.get("SPARK_GRAFT_DELTA_MAX_BATCH", "200000"))
+
+
+def delta_pack(child, parent, deletions, insertions, spill_dir: str):
+    """Incremental stripe pack: merge a small batch into the PARENT's
+    spilled stripe records instead of re-shuffling all |E| edges.
+
+    The reference's dynamic thesis is that a batch's cost should scale with
+    the batch, not the graph (batch.hxx:222–247 applies updates in place;
+    the device CSR is rebuilt only for the touched ranges).  The full
+    bsp_pack is a full-data shuffle — correct for a new graph, absurd for a
+    67-edge insert batch.  Here each owner task reconstructs only its
+    TOUCHED stripes' edge lists from the parent spill (dst from CSR counts,
+    hub dst from the hub-block counts), applies set semantics
+    ((E \\ D) ∪ I — duplicate inserts and missing deletes are no-ops), and
+    re-packs those stripes; untouched stripes are hardlinked.  Bounds and
+    hub list are inherited from the parent (a small batch cannot move the
+    balance point materially; routing stays consistent by construction).
+
+    Cost: one |batch|-broadcast job over n_parts tasks, O(|batch| +
+    Σ|touched stripes|) work, zero shuffle.  Also derives the child's
+    out-degree array from the parent's + the applied delta, so the child
+    skips the |E| groupBy + |V| collect entirely.
+
+    Returns (None, bounds, n_stripes, hubs) — the packed-DataFrame slot is
+    None because every consumer path reads the spill — or None when
+    ineligible (no parent spill, weighted, n changed, batch too big)."""
+    import pickle
+
+    pspill = getattr(parent, "_bsp_spill", None)
+    if not pspill or not os.path.exists(os.path.join(pspill, "COMPLETE")):
+        return None
+    with open(os.path.join(pspill, "META.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    # src·n+dst keys must fit int64; weighted packs carry per-edge payloads
+    # the reconstruction does not model
+    if meta.get("weighted") or child.n != meta["n"] or child.n >= 2**31:
+        return None
+    lim = DELTA_MAX_BATCH
+    dpdf = deletions.select("src", "dst").limit(lim + 1).toPandas()
+    ipdf = insertions.select("src", "dst").limit(lim + 1).toPandas()
+    if len(dpdf) > lim or len(ipdf) > lim:
+        return None
+    bounds = np.asarray(meta["bounds"], dtype=np.int64)
+    hubs = np.asarray(meta["hubs"], dtype=np.int64)
+    n_stripes, n_parts = int(meta["n_stripes"]), int(meta["n_parts"])
+    block_width = int(meta["block_width"] or 0)
+    N = int(child.n)
+    interior = bounds[1:-1]
+
+    def _route(src, dst):
+        stripe = np.searchsorted(interior, dst, side="right")
+        if hubs.size:
+            pos = np.searchsorted(hubs, dst)
+            is_h = (pos < hubs.size) & (
+                hubs[np.minimum(pos, hubs.size - 1)] == dst
+            )
+            stripe = np.where(is_h, src % n_stripes, stripe)
+        return stripe
+
+    d_src = dpdf["src"].to_numpy(np.int64)
+    d_dst = dpdf["dst"].to_numpy(np.int64)
+    # universal self-loops are re-injected by the full path
+    # (GraphSnapshot.build self_loops=True), so a (v,v) deletion is a
+    # no-op there — match that semantics instead of removing the loop
+    keep_d = d_src != d_dst
+    d_src, d_dst = d_src[keep_d], d_dst[keep_d]
+    i_src = ipdf["src"].to_numpy(np.int64)
+    i_dst = ipdf["dst"].to_numpy(np.int64)
+    d_stripe = _route(d_src, d_dst)
+    i_stripe = _route(i_src, i_dst)
+    d_key = d_src * N + d_dst
+    i_key = i_src * N + i_dst
+    PARENT, CHILD = pspill, spill_dir
+    NSTR, NP, BW, NN, HUBS = n_stripes, n_parts, block_width, N, hubs
+
+    def merge(it):
+        import os as _os
+        import pickle as _pickle
+        import shutil as _shutil
+
+        import numpy as _np
+        from pyspark import TaskContext as _TC
+
+        for _ in it:
+            pass  # drain the skeleton partition
+        pid = _TC.get().partitionId()
+        _os.makedirs(CHILD, exist_ok=True)
+        a_ins, a_del = [], []
+        for s in range(pid, NSTR, NP):
+            pp = _os.path.join(PARENT, f"s{s}.pkl")
+            cp = _os.path.join(CHILD, f"s{s}.pkl")
+            dm = d_stripe == s
+            im = i_stripe == s
+            if not dm.any() and not im.any():
+                # untouched stripe: hardlink shares the parent's record
+                # (tmpfs refcounts survive the parent spill's removal)
+                if not _os.path.exists(cp):
+                    try:
+                        _os.link(pp, cp)
+                    except OSError:
+                        _shutil.copy(pp, cp)
+                continue
+            with open(pp, "rb") as fh:
+                raw = _pickle.load(fh)
+            lo, hi = int(raw["lo"]), int(raw["hi"])
+            counts = raw["offsets"][1:] - raw["offsets"][:-1]
+            dst_reg = lo + _np.repeat(
+                _np.arange(hi - lo, dtype=_np.int64), counts
+            )
+            src_reg = raw["src"].astype(_np.int64)
+            if HUBS.size:
+                hcnt = raw["hoff"][1:] - raw["hoff"][:-1]
+                src_all = _np.concatenate(
+                    [src_reg, raw["hsrc"].astype(_np.int64)]
+                )
+                dst_all = _np.concatenate([dst_reg, _np.repeat(HUBS, hcnt)])
+            else:
+                src_all, dst_all = src_reg, dst_reg
+            key = src_all * NN + dst_all
+            kept = key
+            if dm.any():
+                dk = _np.unique(d_key[dm])
+                kept = key[~_np.isin(key, dk)]
+                adk = dk[_np.isin(dk, key)]
+                if adk.size:
+                    a_del.append(adk // NN)
+            if im.any():
+                ik = _np.unique(i_key[im])
+                new = ik[~_np.isin(ik, kept)]
+                if new.size:
+                    a_ins.append(new // NN)
+                merged = _np.concatenate([kept, new])
+            else:
+                merged = kept
+            raw2 = _pack_stripe_raw(
+                s, lo, hi, merged // NN, merged % NN, None, HUBS, BW, False
+            )
+            _spill_write(CHILD, raw2)
+        yield (
+            _np.concatenate(a_ins) if a_ins else _np.empty(0, _np.int64),
+            _np.concatenate(a_del) if a_del else _np.empty(0, _np.int64),
+        )
+
+    sc = child.edges.sparkSession.sparkContext
+    rows = sc.parallelize(range(n_parts), n_parts).mapPartitions(merge).collect()
+    with open(os.path.join(spill_dir, "META.pkl"), "wb") as f:
+        pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+    with open(os.path.join(spill_dir, "COMPLETE"), "w") as f:
+        f.write(str(n_stripes))
+    # child out-degrees = parent's + applied delta (self-loops unchanged by
+    # contract) — skips the |E| groupBy + |V|-row collect on the child
+    out = parent.outdeg_array().copy()
+    for a_ins, a_del in rows:
+        if a_ins.size:
+            np.add.at(out, a_ins, 1.0)
+        if a_del.size:
+            np.subtract.at(out, a_del, 1.0)
+    child._outdeg_np = out
+    return None, bounds, n_stripes, hubs
+
+
 def _ragged_take(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Vectorized concatenation of ranges [starts[i], starts[i]+lens[i]).
     starts/lens must have lens > 0."""

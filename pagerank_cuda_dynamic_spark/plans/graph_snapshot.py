@@ -34,6 +34,9 @@ class GraphSnapshot:
     _packed: DataFrame | None = field(default=None, repr=False)
     _bsp_packed: tuple | None = field(default=None, repr=False)
     _bsp_spill: str | None = field(default=None, repr=False)
+    # (parent, deletions, insertions) when this snapshot came from
+    # with_batch — lets bsp_packed() build an incremental delta pack
+    _delta: tuple | None = field(default=None, repr=False)
 
     def bsp_packed(
         self,
@@ -53,6 +56,21 @@ class GraphSnapshot:
         loop invocations — warm starts, dynamic batches, repeated queries —
         load stripes off the spill instead of re-streaming ~|E|·12 B of blob
         rows through Arrow every run."""
+        if self._bsp_packed is None and self._delta is not None:
+            # batch-derived snapshot + packed parent → incremental pack:
+            # O(|batch| + touched stripes), no |E| shuffle (delta_pack's
+            # docstring has the full design)
+            from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
+                _scratch_dir,
+                delta_pack,
+            )
+
+            spill = _scratch_dir() + "_spill"
+            got = delta_pack(self, *self._delta, spill_dir=spill)
+            self._delta = None  # one shot: parent ref must not pin memory
+            if got is not None:
+                self._bsp_spill = spill
+                self._bsp_packed = got
         if self._bsp_packed is None:
             from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import (
                 _scratch_dir,
@@ -146,16 +164,47 @@ class GraphSnapshot:
         return self._outdeg_np
 
     def with_batch(
-        self, deletions: DataFrame, insertions: DataFrame, n: int | None = None
+        self,
+        deletions: DataFrame,
+        insertions: DataFrame,
+        n: int | None = None,
+        repartition: bool = True,
     ) -> "GraphSnapshot":
         """New snapshot with the batch applied (batch.hxx:222–247).  Self
         loops are preserved by construction: deletions of (v,v) are the
         caller's responsibility to avoid (the reference never deletes the
-        loops it injected)."""
-        new_edges = apply_batch(self.edges, deletions, insertions)
-        return GraphSnapshot.build(
-            new_edges, n=n or self.n, self_loops=True
-        )
+        loops it injected).
+
+        repartition=False is the dynamic-regime fast path and assumes a
+        TIDIED batch (tidy_batch's contract: dels ⊆ E, ins ∩ E = ∅, ins
+        unique, n unchanged): the child edge set is then a NARROW plan —
+        broadcast anti-join + append, no dedup shuffle, no repartition.
+        Correct rows either way; only the physical dst-clustering differs,
+        and the BSP pack routes by its own key regardless."""
+        new_n = n or self.n
+        if repartition:
+            new_edges = apply_batch(self.edges, deletions, insertions)
+            child = GraphSnapshot.build(new_edges, n=new_n, self_loops=True)
+        else:
+            assert new_n == self.n, "fast-path with_batch cannot grow the id space"
+            on = ["src", "dst"]
+            # (v,v) deletions are no-ops on the default path (build
+            # re-injects universal self-loops) — hold that here too
+            e = (
+                self.edges.join(
+                    F.broadcast(
+                        deletions.select(on).where(F.col("src") != F.col("dst"))
+                    ),
+                    on,
+                    "left_anti",
+                )
+                .unionByName(insertions.select(on))
+                .persist()
+            )
+            e.count()
+            child = GraphSnapshot(edges=e, n=new_n, degrees=out_degrees(e).persist())
+        child._delta = (self, deletions, insertions)
+        return child
 
     def unpersist(self) -> None:
         import shutil

@@ -155,7 +155,12 @@ def run_temporal_batches(
         )
         empty = ins_raw.limit(0)
         dels, ins = tidy_batch(g.edges, empty, ins_raw)
-        g2 = g.with_batch(dels, ins)
+        # materialize the tidied batch once (its plan probes |E|) and take
+        # the fast-path child: delta pack + narrow edge set, no |E| shuffle
+        ins = edges_seq.sparkSession.createDataFrame(
+            ins.toPandas(), schema="src long, dst long"
+        )
+        g2 = g.with_batch(dels, ins, repartition=False)
         t0 = time.time()
         if technique == "static":
             res = pagerank_static_bsp(g2, opts)
