@@ -29,6 +29,8 @@ def generate(
     tcp_full_name: str | None = None,
     scale4x: dict | None = None,
     scale4x_name: str | None = None,
+    scale4x_dyn: dict | None = None,
+    scale4x_dyn_name: str | None = None,
 ) -> str:
     sc = d["scaling"]
     lo, hi = str(sc["n_cores"]), str(sc["n4_cores"])
@@ -212,6 +214,31 @@ def generate(
             a("bsp_pack now AUTO-selects blocking exactly here (|V|·8 B >")
             a("128 MB and p ≥ 16, env/param override) and keeps row order")
             a("while any of the rank vector is cache-resident.")
+    x4d = (scale4x_dyn or {}).get("dynamic") or {}
+    if x4d.get("by_fraction"):
+        a("")
+        a("### Dynamic family at 4× size (past-LLC rank vectors)")
+        a("")
+        a(f"`{scale4x_dyn_name}` — the full dynamic comparison on the")
+        a(f"{x4d['edges']:,}-edge graph (one insert batch per fraction; loop")
+        a("seconds = median superstep × iterations):")
+        a("")
+        a("| fraction | batch | pack | static loop | DF loop | DF-P loop | DF speedup | DF-P speedup |")
+        a("|---|---|---|---|---|---|---|---|")
+        for frac, row in x4d["by_fraction"].items():
+            a(
+                f"| {frac}·\\|E\\| | {row['batch_size']:,} | {row['pack_sec']} s "
+                f"| {row['static_loop_med_sec']} s | {row['df_loop_med_sec']} s "
+                f"| {row['dfp_loop_med_sec']} s | {row['df_speedup_vs_static_loop']}× "
+                f"| **{row['dfp_speedup_vs_static_loop']}×** |"
+            )
+        a("")
+        a("The dynamic economics survive past-LLC rank vectors (DF/DF-P ≥ 1×")
+        a("at both fractions), with an honest asymmetry: static supersteps at")
+        a("4× ride the cache-blocked gather layout, while dynamic gathers are")
+        a("affected-row-scattered by nature — so per-superstep cost favors")
+        a("static more than at 1× size, and the DF margin compresses at 1e-4.")
+        a("Errors stay ≤ 7e-10 L∞ vs fresh static recompute.")
     sc2 = d.get("scaling_2proc") or {}
     if sc2.get("paths"):
         a("")
@@ -471,12 +498,19 @@ def main() -> None:
             tcp_full_name = f"BENCH/{tcp_fulls[-1].name}"
     scale4x = None
     scale4x_name = None
-    scale4xs = sorted(
-        p for p in src.parent.glob("*scale4x*.local.json") if "blocked" not in p.name
-    )
-    if scale4xs:
-        scale4x = json.loads(scale4xs[-1].read_text())
-        scale4x_name = f"BENCH/{scale4xs[-1].name}"
+    scale4x_dyn = None
+    scale4x_dyn_name = None
+    # static-scaling 4x record = latest with a "scaling" block; dynamic 4x
+    # record = latest with a "dynamic" block (they come from separate runs)
+    for p in sorted(
+        q for q in src.parent.glob("*scale4x*.local.json") if "blocked" not in q.name
+    ):
+        cand = json.loads(p.read_text())
+        if cand.get("scaling"):
+            scale4x, scale4x_name = cand, f"BENCH/{p.name}"
+        if cand.get("dynamic"):
+            scale4x_dyn, scale4x_dyn_name = cand, f"BENCH/{p.name}"
+    if scale4x:
         blocked = sorted(src.parent.glob("*scale4x_blocked*.local.json"))
         if blocked:
             scale4x["_blocked"] = json.loads(blocked[-1].read_text())
@@ -493,6 +527,8 @@ def main() -> None:
             micro_name=micro_name,
             tcp_full=tcp_full,
             tcp_full_name=tcp_full_name,
+            scale4x_dyn=scale4x_dyn,
+            scale4x_dyn_name=scale4x_dyn_name,
         )
     )
     print(f"wrote {out} from {src}" + (f" + {extra_name}" if extra_name else ""))
