@@ -46,6 +46,23 @@ def _distinct_edges(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst").distinct()
 
 
+# State vectors (one score row per vertex) are broadcast into the gather
+# join while |V| stays under this bound, mirroring the reference's
+# device-resident rank vector (pagerankCuda.hxx:676-692: edges stream,
+# ranks sit in device memory).  Without the hint the materialized state
+# is a LogicalRDD whose default size estimate disables auto-broadcast,
+# so Spark shuffles the FULL edge table every half-step — measured 3-4 s
+# per half-step vs ~0.4 s broadcast at 1.2 M edges / 36 k vertices.
+# Past the bound (rank vector no longer executor-resident at reasonable
+# memory) the loop falls back to the shuffle join, which a cluster
+# deployment pairs with a pre-partitioned edge table.
+_STATE_BROADCAST_MAX_VERTS = 8_000_000
+
+
+def _state_side(scores: DataFrame, n_verts: int) -> DataFrame:
+    return F.broadcast(scores) if n_verts <= _STATE_BROADCAST_MAX_VERTS else scores
+
+
 def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
     """Kleinberg HITS: `iterations` synchronous rounds of
 
@@ -79,35 +96,47 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
     hub = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(
         materialize
     )
-    auth = verts.select("v", F.lit(0.0).alias("s")).transform(materialize)
 
     def _half_step(scores: DataFrame, probe: str, build: str) -> DataFrame:
         """One gather over E (probe = edge column joined to `scores`,
-        build = edge column grouped into the new score) + L2 barrier."""
+        build = edge column grouped into the new score) + L2 barrier.
+
+        Two loop-scale savings over the naive joinagg shape: vertices
+        absent from the gather result have score 0 and contribute
+        nothing to the next gather or to the L2 norm, so the
+        zero-restoring `verts` left join runs ONCE at the end instead of
+        per half-step; and the L2 norm is folded in lazily as a 1-row
+        crossJoin (one Spark job per half-step, no driver collect —
+        measured 65 s → ~30 s for 20 iterations at sf0.1)."""
         raw = (
-            verts.join(
-                e.join(scores.withColumnRenamed("v", probe), probe)
-                .groupBy(F.col(build).alias("v"))
-                .agg(F.sum("s").alias("acc")),
-                "v",
-                "left",
-            )
-            .select("v", F.coalesce(F.col("acc"), F.lit(0.0)).alias("s"))
+            e.join(_state_side(scores.withColumnRenamed("v", probe), n), probe)
+            .groupBy(F.col(build).alias("v"))
+            .agg(F.sum("s").alias("s"))
             .transform(materialize)
         )
-        norm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n")).collect()[0]["n"]
-        if not norm:
-            return raw
-        # lazy narrow projection — lineage is already truncated at `raw`,
-        # so no second checkpoint is needed per half-step
-        return raw.select("v", (F.col("s") / F.lit(norm)).alias("s"))
+        norm = raw.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2")
+        )
+        return raw.crossJoin(F.broadcast(norm)).select(
+            "v",
+            F.when(F.col("_l2") > 0, F.col("s") / F.col("_l2"))
+            .otherwise(F.col("s"))
+            .alias("s"),
+        )
 
+    auth = verts.select("v", F.lit(0.0).alias("s"))
     for _ in range(iterations):
         auth = _half_step(hub, "src", "dst")
         hub = _half_step(auth, "dst", "src")
 
-    out = auth.withColumnRenamed("s", "auth").join(
-        hub.withColumnRenamed("s", "hub"), "v"
+    out = (
+        verts.join(auth.withColumnRenamed("s", "auth"), "v", "left")
+        .join(hub.withColumnRenamed("s", "hub"), "v", "left")
+        .select(
+            "v",
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
     )
     e.unpersist()
     verts.unpersist()
@@ -125,26 +154,33 @@ def salsa(edges: DataFrame, iterations: int = 20) -> DataFrame:
     from auth ≡ 1/|{v : indeg(v) ≥ 1}| over authority-side vertices.
     Because both half-steps are column-stochastic averages, total mass
     is preserved EXACTLY (Σ auth = Σ hub = 1 every round) — so unlike
-    `hits` there is NO normalization barrier and therefore ZERO driver
-    traffic inside the loop: the whole run is one declarative chain of
-    edge-keyed shuffles, the best-scaling member of the link-analysis
-    trio (PageRank needs the dangling/teleport scalar, HITS the L2
-    norm).  Self-loops excluded as in `hits`.  Returns (v, auth, hub);
+    `hits` there is no normalization barrier at all: the whole run is
+    one declarative chain of edge-keyed shuffles with zero driver
+    traffic inside the loop (`hits` needs an L2-norm barrier per
+    half-step, though it too now folds the norm in as a lazy 1-row
+    crossJoin rather than a driver collect; PageRank needs the
+    dangling/teleport scalar).  Self-loops excluded as in `hits`.
+    Returns (v, auth, hub);
     vertices with no in-edges have auth 0, no out-edges hub 0.
 
     Reference parity note: same gather shape as the rank pull of
     pagerankCuda.hxx:676-692 with 1/deg folded onto the PROBE side —
     exactly how the reference folds 1/outdeg into its rdiv vector.
     """
-    e = _distinct_edges(edges).where(F.col("src") != F.col("dst"))
+    e = _distinct_edges(edges).where(F.col("src") != F.col("dst")).persist()
+    e.count()
     verts = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
         .persist()
     )
-    verts.count()
-    indeg = e.groupBy(F.col("dst").alias("v")).agg(F.count(F.lit(1)).alias("ind"))
+    n_verts = verts.count()
+    indeg = (
+        e.groupBy(F.col("dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ind"))
+        .persist()
+    )
     outdeg = e.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("outd"))
     # fold 1/deg onto the probe side once, like the reference's rdiv vector
     ew = (
@@ -159,43 +195,38 @@ def salsa(edges: DataFrame, iterations: int = 20) -> DataFrame:
         .persist()
     )
     ew.count()
+    e.unpersist()
     n_auth = indeg.count()
-    auth = (
-        verts.join(indeg, "v", "left")
-        .select(
-            "v",
-            F.when(F.col("ind").isNotNull(), F.lit(1.0 / n_auth))
-            .otherwise(F.lit(0.0))
-            .alias("s"),
-        )
-        .transform(materialize)
+    auth = indeg.select("v", F.lit(1.0 / n_auth).alias("s")).transform(
+        materialize
     )
-    hub = None
+    indeg.unpersist()
+    # Inside the loop, vertices absent from a gather have score 0 and
+    # contribute nothing to the next gather, so the zero-restoring
+    # `verts` left join runs ONCE at the end instead of per half-step
+    # (same loop-scale saving as `hits`; zero driver traffic remains).
+    hub = verts.select("v", F.lit(0.0).alias("s"))
     for _ in range(iterations):
         hub = (
-            verts.join(
-                ew.join(auth.withColumnRenamed("v", "dst"), "dst")
-                .groupBy(F.col("src").alias("v"))
-                .agg(F.sum(F.col("s") * F.col("w_in")).alias("acc")),
-                "v",
-                "left",
-            )
-            .select("v", F.coalesce("acc", F.lit(0.0)).alias("s"))
+            ew.join(_state_side(auth.withColumnRenamed("v", "dst"), n_verts), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum(F.col("s") * F.col("w_in")).alias("s"))
             .transform(materialize)
         )
         auth = (
-            verts.join(
-                ew.join(hub.withColumnRenamed("v", "src"), "src")
-                .groupBy(F.col("dst").alias("v"))
-                .agg(F.sum(F.col("s") * F.col("w_out")).alias("acc")),
-                "v",
-                "left",
-            )
-            .select("v", F.coalesce("acc", F.lit(0.0)).alias("s"))
+            ew.join(_state_side(hub.withColumnRenamed("v", "src"), n_verts), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("s") * F.col("w_out")).alias("s"))
             .transform(materialize)
         )
-    out = auth.withColumnRenamed("s", "auth").join(
-        hub.withColumnRenamed("s", "hub"), "v"
+    out = (
+        verts.join(auth.withColumnRenamed("s", "auth"), "v", "left")
+        .join(hub.withColumnRenamed("s", "hub"), "v", "left")
+        .select(
+            "v",
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
     )
     ew.unpersist()
     verts.unpersist()
@@ -232,12 +263,12 @@ def katz(
         .distinct()
         .persist()
     )
-    verts.count()
+    n_verts = verts.count()
     x = verts.select("v", F.lit(float(beta)).alias("s")).transform(materialize)
     for _ in range(iterations - 1):
         x = (
             verts.join(
-                e.join(x.withColumnRenamed("v", "src"), "src")
+                e.join(_state_side(x.withColumnRenamed("v", "src"), n_verts), "src")
                 .groupBy(F.col("dst").alias("v"))
                 .agg(F.sum("s").alias("acc")),
                 "v",
@@ -283,7 +314,7 @@ def personalized_pagerank(
         .distinct()
         .persist()
     )
-    verts.count()
+    n_verts = verts.count()
     # universal self-loops, as add_self_loops (operators/graph.py:31)
     e = (
         e0.union(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
@@ -319,7 +350,7 @@ def personalized_pagerank(
     tp = tp.transform(materialize)
     for _ in range(iterations):
         contrib = (
-            ew.join(ranks.withColumnRenamed("v", "src"), "src")
+            ew.join(_state_side(ranks.withColumnRenamed("v", "src"), n_verts), "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
@@ -363,22 +394,30 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
     if n == 0:
         e.unpersist()
         return verts.select("v", F.lit(0.0).alias("score"))
+    # Same loop-scale savings as the HITS half-step: absent vertices are
+    # exact zeros (contribute nothing to the gather or the norm), so the
+    # zero-restoring verts join runs once at the end; the L2 norm folds
+    # in as a lazy 1-row crossJoin; the state vector broadcasts while
+    # |V| is executor-resident.
     x = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(materialize)
     for _ in range(iterations):
         raw = (
-            verts.join(
-                e.join(x.withColumnRenamed("v", "src"), "src")
-                .groupBy(F.col("dst").alias("v"))
-                .agg(F.sum("s").alias("acc")),
-                "v",
-                "left",
-            )
-            .select("v", F.coalesce("acc", F.lit(0.0)).alias("s"))
+            e.join(_state_side(x.withColumnRenamed("v", "src"), n), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("s").alias("s"))
             .transform(materialize)
         )
-        norm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n")).collect()[0]["n"]
-        x = raw.select("v", (F.col("s") / F.lit(norm)).alias("s")) if norm else raw
-    out = x.withColumnRenamed("s", "score")
+        norm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2"))
+        x = raw.crossJoin(F.broadcast(norm)).select(
+            "v",
+            F.when(F.col("_l2") > 0, F.col("s") / F.col("_l2"))
+            .otherwise(F.col("s"))
+            .alias("s"),
+        )
+    out = (
+        verts.join(x.withColumnRenamed("s", "score"), "v", "left")
+        .select("v", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
     e.unpersist()
     verts.unpersist()
     return out
