@@ -380,7 +380,12 @@ def section_dynamic_sweep(spark, results: dict) -> None:
 
     n_conv = max(BENCH_CONVS // 4, 2000)
     n_batches = int(os.environ.get("SPARK_GRAFT_DYN_BATCHES", "7"))
-    fractions = [1e-5, 1e-4, 1e-3]
+    # SPARK_GRAFT_SWEEP_FRACS lets a long campaign resume fraction-by-
+    # fraction after an interruption (records are merged by fraction key)
+    fractions = [
+        float(f)
+        for f in os.environ.get("SPARK_GRAFT_SWEEP_FRACS", "1e-5,1e-4,1e-3").split(",")
+    ]
     e, n = dense_transcript_graph(spark, n_conv, adjacency_hops=HOPS, seed=SEED)
     g = GraphSnapshot.build(e, n=n)
     m = g.edges.count()
@@ -402,7 +407,14 @@ def section_dynamic_sweep(spark, results: dict) -> None:
         iters: dict = {t: [] for t in ("static", "nd", "df", "dfp")}
         errs: list = []
         for b in range(n_batches):
-            rng = np.random.default_rng(SEED + 1000 * fractions.index(frac) + b)
+            # seed by canonical fraction position so a resumed partial
+            # campaign draws the same batches as an uninterrupted one
+            frac_slot = (
+                [1e-5, 1e-4, 1e-3].index(frac)
+                if frac in (1e-5, 1e-4, 1e-3)
+                else fractions.index(frac)
+            )
+            rng = np.random.default_rng(SEED + 1000 * frac_slot + b)
             ins_pdf = pd.DataFrame(
                 {
                     "src": rng.integers(0, n, k).astype(np.int64),

@@ -39,28 +39,17 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..plans.barrier import materialize
+from ..plans.barrier import broadcast_state, materialize
 
 
 def _distinct_edges(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst").distinct()
 
 
-# State vectors (one score row per vertex) are broadcast into the gather
-# join while |V| stays under this bound, mirroring the reference's
-# device-resident rank vector (pagerankCuda.hxx:676-692: edges stream,
-# ranks sit in device memory).  Without the hint the materialized state
-# is a LogicalRDD whose default size estimate disables auto-broadcast,
-# so Spark shuffles the FULL edge table every half-step — measured 3-4 s
-# per half-step vs ~0.4 s broadcast at 1.2 M edges / 36 k vertices.
-# Past the bound (rank vector no longer executor-resident at reasonable
-# memory) the loop falls back to the shuffle join, which a cluster
-# deployment pairs with a pre-partitioned edge table.
-_STATE_BROADCAST_MAX_VERTS = 8_000_000
-
-
-def _state_side(scores: DataFrame, n_verts: int) -> DataFrame:
-    return F.broadcast(scores) if n_verts <= _STATE_BROADCAST_MAX_VERTS else scores
+# Measured here: without the broadcast-state hint each HITS half-step
+# shuffles the full edge table — 3-4 s vs ~0.4 s broadcast at 1.2 M
+# edges / 36 k vertices (see plans/barrier.broadcast_state).
+_state_side = broadcast_state
 
 
 def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
@@ -460,36 +449,49 @@ def betweenness(
         .transform(materialize)
     )
     levels = [lev0]
+    # (s, v) state frames broadcast into the edge joins while they stay
+    # executor-resident; exact level counts come free from the fixpoint
+    # check, so the broadcast_state bound uses real sizes, not estimates
+    level_counts = [lev0.count()]
     visited = lev0.select("s", "v")
+    visited_count = level_counts[0]
     t = 0
     while t < max_depth:
         t += 1
         frontier = levels[-1]
+        bfront = broadcast_state(frontier, level_counts[-1])
         nxt = (
-            frontier.join(e, frontier.v == e.src)
+            bfront.join(e, bfront.v == e.src)
             .select("s", F.col("dst").alias("v"), "sig")
-            .join(visited, ["s", "v"], "left_anti")
+            .join(broadcast_state(visited, visited_count), ["s", "v"], "left_anti")
             .groupBy("s", "v")
             .agg(F.sum("sig").alias("sig"))
             .transform(materialize)
         )
-        if nxt.isEmpty():
+        cnt = nxt.count()
+        if cnt == 0:
             break
         levels.append(nxt)
+        level_counts.append(cnt)
         visited = visited.unionByName(nxt.select("s", "v")).transform(materialize)
+        visited_count += cnt
     # backward dependency accumulation, deepest level first (δ there = 0)
     deltas = [None] * len(levels)
     deltas[-1] = levels[-1].select("s", "v", "sig", F.lit(0.0).alias("delta"))
     for i in range(len(levels) - 2, -1, -1):
         cur, succ = levels[i], deltas[i + 1]
+        bcur = broadcast_state(cur, level_counts[i])
         contrib = (
-            cur.join(e, cur.v == e.src)
+            bcur.join(e, bcur.v == e.src)
             .join(
-                succ.select(
-                    "s",
-                    F.col("v").alias("dst"),
-                    F.col("sig").alias("sig_w"),
-                    F.col("delta").alias("delta_w"),
+                broadcast_state(
+                    succ.select(
+                        "s",
+                        F.col("v").alias("dst"),
+                        F.col("sig").alias("sig_w"),
+                        F.col("delta").alias("delta_w"),
+                    ),
+                    level_counts[i + 1],
                 ),
                 ["s", "dst"],
             )
@@ -501,7 +503,7 @@ def betweenness(
             )
         )
         deltas[i] = (
-            cur.join(contrib, ["s", "v"], "left")
+            cur.join(broadcast_state(contrib, level_counts[i]), ["s", "v"], "left")
             .select(
                 "s", "v", "sig", F.coalesce("acc", F.lit(0.0)).alias("delta")
             )
@@ -545,6 +547,7 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         .transform(materialize)
     )
     n_edges = und.count()
+    n_verts = und.select("src").distinct().count()
     for _ in range(max_rounds):
         if n_edges == 0:
             break
@@ -555,8 +558,8 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             .select("v")
         )
         nxt = (
-            und.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            und.join(broadcast_state(keep.withColumnRenamed("v", "src"), n_verts), "src", "left_semi")
+            .join(broadcast_state(keep.withColumnRenamed("v", "dst"), n_verts), "dst", "left_semi")
             .select("src", "dst")
             .transform(materialize)
         )
@@ -600,10 +603,14 @@ def coreness(edges: DataFrame, rounds: int = 12) -> DataFrame:
     und.count()
     c = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("c"))
     c = c.transform(materialize)
+    n_verts = c.count()
     w = Window.partitionBy("src").orderBy(F.desc("nc"), "dst")
     for _ in range(rounds):
         vals = und.join(
-            c.withColumnRenamed("v", "dst").withColumnRenamed("c", "nc"), "dst"
+            broadcast_state(
+                c.withColumnRenamed("v", "dst").withColumnRenamed("c", "nc"), n_verts
+            ),
+            "dst",
         )
         c = (
             vals.withColumn("rn", F.row_number().over(w))

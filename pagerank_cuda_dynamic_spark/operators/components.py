@@ -14,7 +14,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
 
 from pagerank_cuda_dynamic_spark.operators.graph import symmetrize
 
@@ -175,20 +175,27 @@ def connected_components_joinagg(
     if vertices is None:
         assert n is not None, "need n or vertices"
         vertices = spark.range(n).select(F.col("id").alias("v"))
+        n_verts = n
     else:
         vertices = vertices.select("v").distinct()
+        n_verts = vertices.count()
     labels = vertices.select(
         "v", F.col("v").alias("lab")
     ).transform(materialize)
     frontier = labels
     while True:
+        # broadcast-state gather: und keeps its src partitioning, the
+        # per-round label/message frames (≤|V| rows) ship map-side
         msgs = (
-            und.join(frontier.withColumnRenamed("v", "src"), "src")
+            und.join(
+                broadcast_state(frontier.withColumnRenamed("v", "src"), n_verts),
+                "src",
+            )
             .groupBy("dst")
             .agg(F.min("lab").alias("cand"))
         )
         improved = (
-            labels.join(msgs.withColumnRenamed("dst", "v"), "v")
+            labels.join(broadcast_state(msgs.withColumnRenamed("dst", "v"), n_verts), "v")
             .where(F.col("cand") < F.col("lab"))
             .select("v", F.col("cand").alias("lab"))
             .transform(materialize)
@@ -197,7 +204,9 @@ def connected_components_joinagg(
             break
         labels = (
             labels.join(
-                improved.withColumnRenamed("lab", "new_lab"), "v", "left"
+                broadcast_state(improved.withColumnRenamed("lab", "new_lab"), n_verts),
+                "v",
+                "left",
             )
             .select("v", F.coalesce("new_lab", "lab").alias("lab"))
             .transform(materialize)
@@ -242,21 +251,24 @@ def connected_components_pointer_jump(
     if vertices is None:
         assert n is not None, "need n or vertices"
         vertices = spark.range(n).select(F.col("id").alias("v"))
+        n_verts = n
     else:
         vertices = vertices.select("v").distinct()
+        n_verts = vertices.count()
     labels = vertices.select("v", F.col("v").alias("lab")).transform(materialize)
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        # 1. hook: min neighbor label (plus own)
+        # 1. hook: min neighbor label (plus own); broadcast-state gather
+        # keeps und's src partitioning in place
         nbr_min = (
-            und.join(labels.withColumnRenamed("v", "src"), "src")
+            und.join(broadcast_state(labels.withColumnRenamed("v", "src"), n_verts), "src")
             .groupBy("dst")
             .agg(F.min("lab").alias("nlab"))
             .withColumnRenamed("dst", "v")
         )
         hooked = (
-            labels.join(nbr_min, "v", "left")
+            labels.join(broadcast_state(nbr_min, n_verts), "v", "left")
             .select("v", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
         )
         # 2. jump: lab <- lab(lab) (path halving)
@@ -264,13 +276,13 @@ def connected_components_pointer_jump(
             F.col("v").alias("lab"), F.col("lab").alias("plab")
         )
         jumped = (
-            hooked.join(parent, "lab", "left")
+            hooked.join(broadcast_state(parent, n_verts), "lab", "left")
             .select("v", F.least("lab", F.coalesce("plab", "lab")).alias("lab"))
             .transform(materialize)
         )
         changed = (
             jumped.withColumnRenamed("lab", "nl")
-            .join(labels, "v")
+            .join(broadcast_state(labels, n_verts), "v")
             .where(F.col("nl") != F.col("lab"))
         )
         stop = changed.isEmpty()
@@ -304,7 +316,7 @@ def label_propagation_joinagg(
     ).transform(materialize)
     for _ in range(max_rounds):
         winner = (
-            und.join(labels.withColumnRenamed("v", "src"), "src")
+            und.join(broadcast_state(labels.withColumnRenamed("v", "src"), n), "src")
             .groupBy("dst", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("dst")
@@ -316,13 +328,13 @@ def label_propagation_joinagg(
             .select(F.col("dst").alias("v"), F.col("w.lab").alias("new_lab"))
         )
         new_labels = (
-            labels.join(winner, "v", "left")
+            labels.join(broadcast_state(winner, n), "v", "left")
             .select("v", F.coalesce("new_lab", "lab").alias("lab"))
             .transform(materialize)
         )
         changed = (
             new_labels.withColumnRenamed("lab", "nl")
-            .join(labels, "v")
+            .join(broadcast_state(labels, n), "v")
             .where(F.col("nl") != F.col("lab"))
         )
         stop = changed.isEmpty()
@@ -622,6 +634,7 @@ def strongly_connected_components(
         .distinct()
         .transform(materialize)
     )
+    n_verts = verts.count()
     done: DataFrame | None = None
     rem_e = e_all
     rem_v = verts
@@ -634,8 +647,11 @@ def strongly_connected_components(
         while True:
             msgs = (
                 rem_e.join(
-                    frontier.withColumnRenamed("v", "src").withColumnRenamed(
-                        "c", "cs"
+                    broadcast_state(
+                        frontier.withColumnRenamed("v", "src").withColumnRenamed(
+                            "c", "cs"
+                        ),
+                        n_verts,
                     ),
                     "src",
                 )
@@ -643,7 +659,7 @@ def strongly_connected_components(
                 .agg(F.min("cs").alias("cand"))
             )
             improved = (
-                color.join(msgs.withColumnRenamed("dst", "v"), "v")
+                color.join(broadcast_state(msgs.withColumnRenamed("dst", "v"), n_verts), "v")
                 .where(F.col("cand") < F.col("c"))
                 .select("v", F.col("cand").alias("c"))
                 .transform(materialize)
@@ -652,7 +668,9 @@ def strongly_connected_components(
                 break
             color = (
                 color.join(
-                    improved.withColumnRenamed("c", "new_c"), "v", "left"
+                    broadcast_state(improved.withColumnRenamed("c", "new_c"), n_verts),
+                    "v",
+                    "left",
                 )
                 .select("v", F.coalesce("new_c", "c").alias("c"))
                 .transform(materialize)
@@ -664,15 +682,16 @@ def strongly_connected_components(
         while True:
             preds = (
                 rem_e.join(
-                    bfs_frontier.withColumnRenamed("v", "dst"), "dst"
+                    broadcast_state(bfs_frontier.withColumnRenamed("v", "dst"), n_verts),
+                    "dst",
                 )
                 .select(F.col("src").alias("v"), "c")
                 .distinct()
             )
             # stay inside the color class: (v, c) must be a coloring row
             new = (
-                preds.join(color, ["v", "c"], "left_semi")
-                .join(reached, "v", "left_anti")
+                preds.join(broadcast_state(color, n_verts), ["v", "c"], "left_semi")
+                .join(broadcast_state(reached, n_verts), "v", "left_anti")
                 .transform(materialize)
             )
             if new.isEmpty():
@@ -683,10 +702,20 @@ def strongly_connected_components(
         done = found if done is None else done.union(found)
         done = done.transform(materialize)
         # -- 3. peel ------------------------------------------------------
-        rem_v = rem_v.join(reached, "v", "left_anti").transform(materialize)
+        rem_v = rem_v.join(broadcast_state(reached, n_verts), "v", "left_anti").transform(
+            materialize
+        )
         rem_e = (
-            rem_e.join(reached.withColumnRenamed("v", "src"), "src", "left_anti")
-            .join(reached.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            rem_e.join(
+                broadcast_state(reached.withColumnRenamed("v", "src"), n_verts),
+                "src",
+                "left_anti",
+            )
+            .join(
+                broadcast_state(reached.withColumnRenamed("v", "dst"), n_verts),
+                "dst",
+                "left_anti",
+            )
             .transform(materialize)
         )
     else:
@@ -935,10 +964,16 @@ def louvain_moves(
         .agg(F.count(F.lit(1)).alias("d"))
         .transform(materialize)
     )
+    n_verts = deg.count()
     c = deg.select("v", F.col("v").alias("c")).transform(materialize)
     w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("cc"))
     for t in range(rounds):
-        cdst = c.select(F.col("v").alias("dst"), F.col("c").alias("cc"))
+        # broadcast-state gather: und stays put (and keeps its src
+        # partitioning for the groupBy below — zero edge-table shuffle
+        # per round while |V| is executor-resident)
+        cdst = broadcast_state(
+            c.select(F.col("v").alias("dst"), F.col("c").alias("cc")), n_verts
+        )
         k = (
             und.join(cdst, "dst")
             .groupBy(F.col("src").alias("v"), "cc")
@@ -960,10 +995,10 @@ def louvain_moves(
             k.unionByName(stay0)
             .groupBy("v", "cc")
             .agg(F.max("k").alias("k"))
-            .join(c, "v")
+            .join(broadcast_state(c, n_verts), "v")
             .where((F.col("cc") == F.col("c")) | direction)
-            .join(stot, "cc")
-            .join(deg, "v")
+            .join(broadcast_state(stot, n_verts), "cc")
+            .join(broadcast_state(deg, n_verts), "v")
             .withColumn(
                 "score",
                 F.lit(int(two_m)) * F.col("k")
@@ -981,7 +1016,7 @@ def louvain_moves(
             "v", F.col("score").alias("stay_score")
         )
         c = (
-            best.join(stay, "v")
+            best.join(broadcast_state(stay, n_verts), "v")
             .select(
                 "v",
                 F.when(F.col("score") > F.col("stay_score"), F.col("cc"))
@@ -1030,11 +1065,15 @@ def seeded_label_propagation(
     )
     seed1 = seeds.groupBy("v").agg(F.min("label").alias("seed_lab"))
     base = verts.join(seed1, "v", "left").transform(materialize)
+    n_verts = base.count()
     labels = base.select("v", F.col("seed_lab").alias("lab"))
     for _ in range(rounds):
         winner = (
             und.join(
-                labels.where(F.col("lab").isNotNull()).withColumnRenamed("v", "src"),
+                broadcast_state(
+                    labels.where(F.col("lab").isNotNull()).withColumnRenamed("v", "src"),
+                    n_verts,
+                ),
                 "src",
             )
             .groupBy("dst", "lab")
@@ -1048,8 +1087,8 @@ def seeded_label_propagation(
             .select(F.col("dst").alias("v"), F.col("w.lab").alias("new_lab"))
         )
         new_labels = (
-            base.join(labels.withColumnRenamed("lab", "prev"), "v")
-            .join(winner, "v", "left")
+            base.join(broadcast_state(labels.withColumnRenamed("lab", "prev"), n_verts), "v")
+            .join(broadcast_state(winner, n_verts), "v", "left")
             .select(
                 "v",
                 F.coalesce(
@@ -1060,7 +1099,7 @@ def seeded_label_propagation(
         )
         changed = (
             new_labels.withColumnRenamed("lab", "nl")
-            .join(labels, "v")
+            .join(broadcast_state(labels, n_verts), "v")
             .where(~F.col("nl").eqNullSafe(F.col("lab")))
         )
         stop = changed.isEmpty()

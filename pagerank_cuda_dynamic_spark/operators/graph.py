@@ -102,18 +102,26 @@ def bfs_reachable(edges: DataFrame, seeds: DataFrame, max_rounds: int = 10**9) -
     Returns distinct visited vertex ids (column v) including the seeds.
     Each round localCheckpoints to truncate lineage (iterative plans grow
     exponentially otherwise)."""
-    from pagerank_cuda_dynamic_spark.plans.barrier import materialize  # lazy: plans ↔ operators cycle
+    from pagerank_cuda_dynamic_spark.plans.barrier import (  # lazy: plans ↔ operators cycle
+        broadcast_state,
+        materialize,
+    )
 
     visited = seeds.select("v").distinct().transform(materialize)
     frontier = visited
     n = visited.count()
+    n_front = n
     rounds = 0
     while rounds < max_rounds:
+        # frontier/visited broadcast into the edge join while they stay
+        # executor-resident (exact counts come free from the fixpoint
+        # check), so the edge table never reshuffles per level
+        bfront = broadcast_state(frontier, n_front)
         nxt = (
-            frontier.join(edges, frontier.v == edges.src)
+            bfront.join(edges, bfront.v == edges.src)
             .select(F.col("dst").alias("v"))
             .distinct()
-            .join(visited, "v", "left_anti")
+            .join(broadcast_state(visited, n), "v", "left_anti")
             .transform(materialize)
         )
         n_new = nxt.count()
@@ -121,6 +129,7 @@ def bfs_reachable(edges: DataFrame, seeds: DataFrame, max_rounds: int = 10**9) -
             break
         visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
+        n_front = n_new
         n += n_new
         rounds += 1
     return visited
@@ -137,7 +146,10 @@ def multi_source_distances(
 
     Each round is one frontier ⋈ edges shuffle + a 2-key anti-join; rounds
     = eccentricity bound (≤ max_depth).  sources: 1-column DataFrame."""
-    from pagerank_cuda_dynamic_spark.plans.barrier import materialize  # lazy: plans ↔ operators cycle
+    from pagerank_cuda_dynamic_spark.plans.barrier import (  # lazy: plans ↔ operators cycle
+        broadcast_state,
+        materialize,
+    )
 
     e = edges.select("src", "dst").distinct()
     visited = (
@@ -147,21 +159,26 @@ def multi_source_distances(
         .transform(materialize)
     )
     frontier = visited
+    n_front = n_vis = visited.count()
     depth = 0
     while depth < max_depth:
         depth += 1
+        bfront = broadcast_state(frontier, n_front)
         nxt = (
-            frontier.join(e, frontier.v == e.src)
+            bfront.join(e, bfront.v == e.src)
             .select("s", F.col("dst").alias("v"))
             .distinct()
-            .join(visited, ["s", "v"], "left_anti")
+            .join(broadcast_state(visited, n_vis), ["s", "v"], "left_anti")
             .withColumn("dist", F.lit(depth))
             .transform(materialize)
         )
-        if nxt.isEmpty():
+        n_new = nxt.count()
+        if n_new == 0:
             break
         visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
+        n_front = n_new
+        n_vis += n_new
     return visited
 
 
@@ -292,7 +309,7 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
         .agg(F.avg("dn").alias("knn"))
     )
     out = deg.join(knn, "v").select("v", "d", "knn")
-    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+    from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
 
     out = materialize(out)
     und.unpersist()
@@ -318,7 +335,7 @@ def maximal_independent_set(
     Returns (v, mis:boolean) for every vertex of the undirected simple
     view.  priority_hash defaults to xxhash64; pass an md5-derived column
     fn for cross-engine oracles."""
-    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+    from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
 
     if priority_hash is None:
         priority_hash = F.xxhash64
@@ -344,18 +361,22 @@ def maximal_independent_set(
         .select("v", priority_hash(F.col("v")).alias("h"))
         .transform(materialize)
     )
+    n_verts = verts.count()
     live = verts
     chosen = None
     for _ in range(max_rounds):
         if live.isEmpty():
             break
+        # live/winner frames (≤|V| rows) broadcast into every und join,
+        # so the persisted edge table never reshuffles per round
+        blive = broadcast_state(live, n_verts)
         e_live = (
-            und.join(live.select(F.col("v").alias("src")), "src", "left_semi")
-            .join(live.select(F.col("v").alias("dst")), "dst", "left_semi")
+            und.join(blive.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(blive.select(F.col("v").alias("dst")), "dst", "left_semi")
         )
         nbr_min = (
             e_live.join(
-                live.select(
+                blive.select(
                     F.col("v").alias("dst"),
                     F.col("h").alias("nh"),
                 ),
@@ -365,7 +386,7 @@ def maximal_independent_set(
             .agg(F.min(F.struct("nh", "dst")).alias("m"))
         )
         winners = (
-            live.join(nbr_min, "v", "left")
+            live.join(broadcast_state(nbr_min, n_verts), "v", "left")
             .where(
                 F.col("m").isNull()
                 | (F.struct(F.col("h"), F.col("v")) < F.struct("m.nh", "m.dst"))
@@ -376,10 +397,14 @@ def maximal_independent_set(
         chosen = winners if chosen is None else chosen.unionByName(winners)
         # remove winners and their neighbors from the live set
         nbrs = und.join(
-            winners.withColumnRenamed("v", "src"), "src", "left_semi"
+            broadcast_state(winners.withColumnRenamed("v", "src"), n_verts),
+            "src",
+            "left_semi",
         ).select(F.col("dst").alias("v")).distinct()
         gone = winners.unionByName(nbrs).distinct()
-        live = live.join(gone, "v", "left_anti").transform(materialize)
+        live = live.join(broadcast_state(gone, n_verts), "v", "left_anti").transform(
+            materialize
+        )
     if not live.isEmpty():
         # Mirror jp_coloring: a truncated run would silently break the
         # "maximal" contract (callers rely on every vertex being decided).
@@ -409,7 +434,7 @@ def jp_coloring(
     Per round: same two shuffles as maximal_independent_set.  Returns
     (v, color:int) with colors 0..r-1; raises if max_rounds is hit with
     uncolored vertices left (pathological hash chains — raise the cap)."""
-    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+    from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
 
     if priority_hash is None:
         priority_hash = F.xxhash64
@@ -435,6 +460,7 @@ def jp_coloring(
         .select("v", priority_hash(F.col("v")).alias("h"))
         .transform(materialize)
     )
+    n_verts = live.count()
     colored = None
     for t in range(max_rounds):
         if live.isEmpty():
@@ -442,19 +468,22 @@ def jp_coloring(
             if colored is None:
                 return spark.createDataFrame([], "v string, color int")
             return colored
+        # live/winner frames broadcast into every und join (≤|V| rows),
+        # so the persisted edge table never reshuffles per round
+        blive = broadcast_state(live, n_verts)
         e_live = (
-            und.join(live.select(F.col("v").alias("src")), "src", "left_semi")
-            .join(live.select(F.col("v").alias("dst")), "dst", "left_semi")
+            und.join(blive.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(blive.select(F.col("v").alias("dst")), "dst", "left_semi")
         )
         nbr_min = (
             e_live.join(
-                live.select(F.col("v").alias("dst"), F.col("h").alias("nh")), "dst"
+                blive.select(F.col("v").alias("dst"), F.col("h").alias("nh")), "dst"
             )
             .groupBy(F.col("src").alias("v"))
             .agg(F.min(F.struct("nh", "dst")).alias("m"))
         )
         winners = (
-            live.join(nbr_min, "v", "left")
+            live.join(broadcast_state(nbr_min, n_verts), "v", "left")
             .where(
                 F.col("m").isNull()
                 | (F.struct(F.col("h"), F.col("v")) < F.struct("m.nh", "m.dst"))
@@ -463,7 +492,7 @@ def jp_coloring(
             .transform(materialize)
         )
         colored = winners if colored is None else colored.unionByName(winners)
-        live = live.join(winners.select("v"), "v", "left_anti").transform(
+        live = live.join(broadcast_state(winners.select("v"), n_verts), "v", "left_anti").transform(
             materialize
         )
     und.unpersist()

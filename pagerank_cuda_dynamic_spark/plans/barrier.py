@@ -25,7 +25,26 @@ to inherited stats.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+# Per-vertex state frames (a score/label/register row per vertex) are
+# broadcast into their gather joins while |V| stays under this bound,
+# mirroring the reference's device-resident rank vector
+# (pagerankCuda.hxx:676-692: edges stream, ranks sit in device memory).
+# Without the hint a materialized state frame is a LogicalRDD whose
+# default size estimate disables auto-broadcast, so iterative loops
+# shuffle the FULL edge table every superstep once the edges outgrow
+# the auto threshold.  Past the bound (state no longer executor-resident
+# at reasonable memory) loops fall back to the shuffle join, which a
+# cluster deployment pairs with a pre-partitioned edge table.
+STATE_BROADCAST_MAX_ROWS = 8_000_000
+
+
+def broadcast_state(state: DataFrame, n_rows: int) -> DataFrame:
+    """Broadcast-hint a per-vertex state frame when its row count is
+    executor-resident; identity (shuffle join) otherwise."""
+    return F.broadcast(state) if n_rows <= STATE_BROADCAST_MAX_ROWS else state
 
 
 def materialize(df: DataFrame) -> DataFrame:
