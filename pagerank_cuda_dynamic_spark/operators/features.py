@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..plans.barrier import materialize
+from ..plans.barrier import broadcast_state, materialize
 
 
 def explode_features(feats: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -76,12 +76,20 @@ def propagate_features(
     e = e.persist()
     e.count()
     x = feats.select("v", "dim", "val")
+    if hops > 0:
+        x_rows = x.count()
     for _ in range(hops):
+        # the |V|·d-row feature table broadcasts into the edge join while
+        # executor-resident (real counts — materialized frames carry no
+        # usable size estimate), so e keeps its partitioning across hops;
+        # past the bound this falls back to the |E|·d shuffle any
+        # implementation pays
         x = (
-            e.join(x.withColumnRenamed("v", "src"), "src")
+            e.join(broadcast_state(x.withColumnRenamed("v", "src"), x_rows), "src")
             .groupBy(F.col("dst").alias("v"), F.col("dim"))
             .agg(F.avg("val").alias("val"))
             .transform(materialize)
         )
+        x_rows = x.count()
     e.unpersist()
     return x

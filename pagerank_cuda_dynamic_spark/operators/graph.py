@@ -309,7 +309,7 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
         .agg(F.avg("dn").alias("knn"))
     )
     out = deg.join(knn, "v").select("v", "d", "knn")
-    from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
 
     out = materialize(out)
     und.unpersist()

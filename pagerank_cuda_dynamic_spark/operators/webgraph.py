@@ -174,7 +174,7 @@ def _kmv_sketch_rounds(edges: DataFrame, rounds: int, k: int, hash_fn=None):
     from pyspark.sql import Window
 
     from pagerank_cuda_dynamic_spark.operators.sketches import _portable_hash64
-    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+    from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
 
     if hash_fn is None:
         hash_fn = _portable_hash64
@@ -186,10 +186,19 @@ def _kmv_sketch_rounds(edges: DataFrame, rounds: int, k: int, hash_fn=None):
     )
     w = Window.partitionBy("v").orderBy("h")
     sk = verts.select("v", hash_fn(F.col("v")).alias("h")).transform(materialize)
+    sk_rows = sk.count()
     yield 0, sk
     for t in range(1, rounds + 1):
+        # the ≤ k·|V|-row register table broadcasts into the edge join
+        # while executor-resident, so e never reshuffles per round (real
+        # row counts: the materialized sketch is a LogicalRDD whose size
+        # estimate would otherwise disable auto-broadcast)
         msgs = e.join(
-            sk.withColumnRenamed("v", "dst").withColumnRenamed("h", "hn"), "dst"
+            broadcast_state(
+                sk.withColumnRenamed("v", "dst").withColumnRenamed("h", "hn"),
+                sk_rows,
+            ),
+            "dst",
         ).select(F.col("src").alias("v"), F.col("hn").alias("h"))
         sk = (
             sk.unionByName(msgs)
@@ -199,6 +208,7 @@ def _kmv_sketch_rounds(edges: DataFrame, rounds: int, k: int, hash_fn=None):
             .drop("rn")
             .transform(materialize)
         )
+        sk_rows = sk.count()
         yield t, sk
 
 
