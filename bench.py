@@ -401,12 +401,30 @@ def section_dynamic_sweep(spark, results: dict) -> None:
         "loop_metric": "median over batches of sum(superstep_seconds)",
         "by_fraction": {},
     }
+    # SPARK_GRAFT_SWEEP_RAW names a JSONL sidecar that gets one line per
+    # completed batch; on restart, batches already present are replayed
+    # from the file instead of re-run, so a killed campaign loses at most
+    # the batch in flight (batch draws are seed-deterministic either way)
+    raw_path = os.environ.get("SPARK_GRAFT_SWEEP_RAW")
+    raw_done: dict = {}
+    if raw_path and os.path.exists(raw_path):
+        with open(raw_path) as fh:
+            for line in fh:
+                row = json.loads(line)
+                raw_done[(row["frac"], row["b"])] = row
     for frac in fractions:
         k = max(int(frac * m), 5)
         per: dict = {t: [] for t in ("static", "nd", "df", "dfp")}
         iters: dict = {t: [] for t in ("static", "nd", "df", "dfp")}
         errs: list = []
         for b in range(n_batches):
+            prev = raw_done.get((f"{frac:.0e}", b))
+            if prev is not None:
+                for t in per:
+                    per[t].append(prev["per"][t])
+                    iters[t].append(prev["iters"][t])
+                errs.extend(prev["errs"])
+                continue
             # seed by canonical fraction position so a resumed partial
             # campaign draws the same batches as an uninterrupted one
             frac_slot = (
@@ -432,6 +450,7 @@ def section_dynamic_sweep(spark, results: dict) -> None:
                 "dfp": lambda: pagerank_dynamic_frontier_prune_bsp(g, g2, dels, ins, base.ranks),
             }
             ranks_static = None
+            b_errs: list = []
             for tech, fn in runs.items():
                 res = fn()
                 per[tech].append(float(np.sum(res.superstep_seconds)))
@@ -439,8 +458,18 @@ def section_dynamic_sweep(spark, results: dict) -> None:
                 if tech == "static":
                     ranks_static = res.ranks
                 else:
-                    errs.append(float(np.abs(res.ranks - ranks_static).max()))
+                    b_errs.append(float(np.abs(res.ranks - ranks_static).max()))
+            errs.extend(b_errs)
             g2.unpersist()
+            if raw_path:
+                with open(raw_path, "a") as fh:
+                    fh.write(json.dumps({
+                        "frac": f"{frac:.0e}",
+                        "b": b,
+                        "per": {t: per[t][-1] for t in per},
+                        "iters": {t: iters[t][-1] for t in iters},
+                        "errs": b_errs,
+                    }) + "\n")
         med = {t: float(np.median(per[t])) for t in per}
         sweep["by_fraction"][f"{frac:.0e}"] = {
             "batch_size": k,
