@@ -277,3 +277,34 @@ def test_late_round4_ops_jvm_side_and_window_scope(spark, docs):
     pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
     q = docs.select("doc_id", F.lit(0.5).alias("quality"))
     assert "BatchEvalPython" not in plan_of(dedup_representatives(q, pairs))
+
+
+def test_broadcast_state_hints_materialized_frames(spark):
+    """Iterative loops barrier their per-vertex state with materialize()
+    (localCheckpoint -> LogicalRDD), which carries no usable size estimate,
+    so Catalyst never auto-broadcasts it: without the explicit hint every
+    round reshuffles the full edge table.  broadcast_state(df, n_rows) must
+    force the broadcast while the state is executor-resident and fall back
+    to the shuffle join past the cap."""
+    from pagerank_cuda_dynamic_spark.plans.barrier import (
+        STATE_BROADCAST_MAX_ROWS,
+        broadcast_state,
+        materialize,
+    )
+
+    # edge side sized past the auto-broadcast threshold (explain-only:
+    # nothing here executes, the range is never materialized)
+    edges = spark.range(0, 50_000_000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 5000).alias("dst")
+    )
+    state = materialize(spark.range(0, 100).select(F.col("id").alias("dst"),
+                                                   F.lit(1.0).alias("x")))
+    # the regression this guards: a materialized state frame does NOT
+    # auto-broadcast even at 100 rows
+    assert "BroadcastHashJoin" not in plan_of(edges.join(state, "dst"))
+    # the hint lands while executor-resident ...
+    p = plan_of(edges.join(broadcast_state(state, 100), "dst"))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # ... and is withheld past the residency cap
+    p = plan_of(edges.join(broadcast_state(state, STATE_BROADCAST_MAX_ROWS + 1), "dst"))
+    assert "BroadcastHashJoin" not in p
