@@ -48,7 +48,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
 
 if TYPE_CHECKING:  # avoid plans ↔ operators circular import at runtime
     from pagerank_cuda_dynamic_spark.plans.graph_snapshot import GraphSnapshot
@@ -295,8 +295,11 @@ def _loop_joinagg(
     step_secs: list = []
     while iters < opts.max_iterations:
         t0 = time.time()
+        # ranks is a materialized LogicalRDD (no usable size estimate):
+        # the explicit executor-resident broadcast keeps ew's partitioning
+        # across supersteps instead of reshuffling |E| rows every round
         contrib = (
-            ew.join(ranks.withColumnRenamed("v", "src"), "src")
+            ew.join(broadcast_state(ranks.withColumnRenamed("v", "src"), N), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
@@ -310,7 +313,7 @@ def _loop_joinagg(
         )
         el = (
             new_ranks.withColumnRenamed("rank", "new_rank")
-            .join(ranks, "v")
+            .join(broadcast_state(ranks, N), "v")
             .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))).alias("el"))
             .collect()[0]["el"]
         )
@@ -359,7 +362,7 @@ def pagerank_weighted_joinagg(
             or 0.0
         )
         contrib = (
-            ew.join(ranks.withColumnRenamed("v", "src"), "src")
+            ew.join(broadcast_state(ranks.withColumnRenamed("v", "src"), n), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("wn")).alias("contrib"))
         )
@@ -376,7 +379,7 @@ def pagerank_weighted_joinagg(
         )
         el = (
             new_ranks.withColumnRenamed("rank", "nr")
-            .join(ranks, "v")
+            .join(broadcast_state(ranks, n), "v")
             .agg(F.max(F.abs(F.col("nr") - F.col("rank"))))
             .collect()[0][0]
         )
@@ -428,26 +431,45 @@ def _loop_joinagg_frontier(
         pd.DataFrame({"v": np.arange(N, dtype=np.int64), "rank": r0})
     ).transform(materialize)
     vaff = vaff_df.select("v").distinct().transform(materialize)
+    vaff_rows = vaff.count()
     movers = spark.createDataFrame(pd.DataFrame({"v": []}).astype("int64"), "v long")
+    movers_rows = 0
     iters = 0
     step_secs: list = []
     while iters < opts.max_iterations:
         t0 = time.time()
+        # every per-round state frame here is a materialized LogicalRDD
+        # (no usable size estimate), so each join hints the state side
+        # with its real row count: ew keeps its partitioning across
+        # supersteps instead of reshuffling |E| rows per round, and the
+        # affected-side frames (<< |V| by the dynamic thesis) build the
+        # broadcast.  Past executor residency every hint falls back to
+        # the shuffle join.
         if expand:
             # extension (two-phase naff→vaff, pagerankCuda.hxx:686–687)
-            ext = movers.join(ew, movers.v == ew.src, "inner")
+            ext = ew.join(
+                broadcast_state(movers.withColumnRenamed("v", "src"), movers_rows),
+                "src",
+                "left_semi",
+            )
             if prune:
                 ext = ext.where(F.col("src") != F.col("dst"))
             ext = ext.select(F.col("dst").alias("v")).distinct()
             vaff = vaff.unionByName(ext).distinct().transform(materialize)
-        aff_edges = ew.join(vaff.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            vaff_rows = vaff.count()
+        aff_edges = ew.join(
+            broadcast_state(vaff.withColumnRenamed("v", "dst"), vaff_rows),
+            "dst",
+            "left_semi",
+        )
         contrib = (
-            aff_edges.join(ranks.withColumnRenamed("v", "src"), "src")
+            aff_edges.join(broadcast_state(ranks.withColumnRenamed("v", "src"), N), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        upd = vaff.join(
-            contrib.withColumnRenamed("dst", "v"), "v", "left"
+        upd = broadcast_state(
+            vaff.join(contrib.withColumnRenamed("dst", "v"), "v", "left"),
+            vaff_rows,
         ).join(ranks, "v")
         if corrected:
             upd = upd.join(
@@ -473,16 +495,20 @@ def _loop_joinagg_frontier(
         el_row = upd.agg(F.max("eu").alias("el")).collect()[0]
         el = el_row["el"] if el_row["el"] is not None else 0.0
         ranks = (
-            ranks.join(upd.select("v", "new_rank"), "v", "left")
+            ranks.join(broadcast_state(upd.select("v", "new_rank"), vaff_rows), "v", "left")
             .select("v", F.coalesce("new_rank", "rank").alias("rank"))
             .transform(materialize)
         )
         if expand:
             movers = upd.where(F.col("rel") > D).select("v").transform(materialize)
+            movers_rows = movers.count()
         if prune:
             vaff = vaff.join(
-                upd.where(F.col("rel") <= C).select("v"), "v", "left_anti"
+                broadcast_state(upd.where(F.col("rel") <= C).select("v"), vaff_rows),
+                "v",
+                "left_anti",
             ).transform(materialize)
+            vaff_rows = vaff.count()
         iters += 1
         step_secs.append(time.time() - t0)
         if el < opts.tolerance:
@@ -502,12 +528,12 @@ def _frontier_marks_df(
     parts = []
     if deletions is not None:
         parts.append(
-            old.edges.join(deletions.select("src").distinct(), "src", "left_semi")
+            old.edges.join(F.broadcast(deletions.select("src").distinct()), "src", "left_semi")
             .select(F.col("dst").alias("v"))
         )
     if insertions is not None:
         parts.append(
-            new.edges.join(insertions.select("src").distinct(), "src", "left_semi")
+            new.edges.join(F.broadcast(insertions.select("src").distinct()), "src", "left_semi")
             .select(F.col("dst").alias("v"))
         )
     spark = new.edges.sparkSession
@@ -579,7 +605,7 @@ def pagerank_dynamic_traversal_joinagg(
 def _out_neighbors(edges: DataFrame, srcs: DataFrame) -> np.ndarray:
     """dst ids of edges whose src ∈ srcs (one-hop, distinct)."""
     pdf = (
-        edges.join(srcs.select("src").distinct(), "src", "left_semi")
+        edges.join(F.broadcast(srcs.select("src").distinct()), "src", "left_semi")
         .select("dst")
         .distinct()
         .toPandas()
