@@ -29,7 +29,7 @@ from typing import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..plans.barrier import materialize
+from ..plans.barrier import broadcast_state, materialize
 
 
 def _default_hash(walk_id, step: int, dst, seed: int):
@@ -103,10 +103,14 @@ def deterministic_walks(
         .select(F.col("v").alias("walk_id"), F.col("v"))
         .transform(materialize)
     )
+    cur_rows = cur.count()
     out = cur.select("walk_id", F.lit(0).alias("step"), "v")
     for t in range(1, steps + 1):
+        # the <=|starts|-row frontier broadcasts into the edge join while
+        # executor-resident (materialized frames have no size estimate),
+        # so e keeps its partitioning across steps
         cand = e.join(
-            cur.withColumnRenamed("v", "src"), "src"
+            broadcast_state(cur.withColumnRenamed("v", "src"), cur_rows), "src"
         ).select(
             "walk_id",
             F.col("dst").alias("v"),
@@ -119,7 +123,8 @@ def deterministic_walks(
             .select("walk_id", "v")
             .transform(materialize)
         )
-        if cur.isEmpty():
+        cur_rows = cur.count()
+        if cur_rows == 0:
             break
         out = out.union(cur.select("walk_id", F.lit(t).alias("step"), "v"))
     out = out.transform(materialize)
