@@ -196,11 +196,15 @@ def salsa(edges: DataFrame, iterations: int = 20) -> DataFrame:
     # (same loop-scale saving as `hits`; zero driver traffic remains).
     hub = verts.select("v", F.lit(0.0).alias("s"))
     for _ in range(iterations):
+        # the hub half-step stays LAZY inside the round: the auth
+        # materialize executes it exactly once (its broadcast build runs
+        # the pending join+agg), so each round costs ONE eager job, not
+        # two; lineage depth stays bounded at two joins because auth is
+        # the per-round barrier
         hub = (
             ew.join(_state_side(auth.withColumnRenamed("v", "dst"), n_verts), "dst")
             .groupBy(F.col("src").alias("v"))
             .agg(F.sum(F.col("s") * F.col("w_in")).alias("s"))
-            .transform(materialize)
         )
         auth = (
             ew.join(_state_side(hub.withColumnRenamed("v", "src"), n_verts), "src")
@@ -208,6 +212,10 @@ def salsa(edges: DataFrame, iterations: int = 20) -> DataFrame:
             .agg(F.sum(F.col("s") * F.col("w_out")).alias("s"))
             .transform(materialize)
         )
+    # one extra lazy execution of the final hub half-step at output time
+    # (it was never materialized) — 1 half-step traded for `iterations`
+    # saved barrier jobs
+    hub = hub.transform(materialize)
     out = (
         verts.join(auth.withColumnRenamed("s", "auth"), "v", "left")
         .join(hub.withColumnRenamed("s", "hub"), "v", "left")
