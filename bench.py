@@ -378,7 +378,12 @@ def section_dynamic_sweep(spark, results: dict) -> None:
         pagerank_static_bsp,
     )
 
-    n_conv = max(BENCH_CONVS // 4, 2000)
+    # SPARK_GRAFT_SWEEP_CONVS overrides the quarter-size default so the
+    # 100-batch campaign can run at the full bench graph (main.sh:21 regime
+    # at the 26.9M-edge size) without touching the default suite budget
+    n_conv = int(
+        os.environ.get("SPARK_GRAFT_SWEEP_CONVS", str(max(BENCH_CONVS // 4, 2000)))
+    )
     n_batches = int(os.environ.get("SPARK_GRAFT_DYN_BATCHES", "7"))
     # SPARK_GRAFT_SWEEP_FRACS lets a long campaign resume fraction-by-
     # fraction after an interruption (records are merged by fraction key)
