@@ -363,9 +363,11 @@ def section_dynamic_sweep(spark, results: dict) -> None:
     insert batches of {1e-5, 1e-4, 1e-3}·|E|, many batches per fraction,
     per-technique loop seconds aggregated as the MEDIAN over batches (the
     repeat-averaging analog; per-batch wall sums are straggler-noisy on a
-    shared host).  Runs at quarter bench size so 21 batches fit the bench
-    budget; the structural speedups are size-independent (loop cost scales
-    with |affected|, static with |E|)."""
+    shared host).  Default: quarter bench size so 21 batches fit the bench
+    budget (the structural speedups are size-independent — loop cost scales
+    with |affected|, static with |E|); SPARK_GRAFT_SWEEP_CONVS=200000 with
+    SPARK_GRAFT_DYN_BATCHES=100 reproduces the reference's regime at full
+    graph scale for the committed campaign records."""
     import pandas as pd
 
     from pagerank_cuda_dynamic_spark.sources.bench_graph import dense_transcript_graph

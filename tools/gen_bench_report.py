@@ -293,9 +293,13 @@ def generate(
     es = (extra_sweep or {}).get("dynamic_sweep") or {}
     if es:
         n = es["batches_per_fraction"]
-        a(f"**Confidence run — {n} batches per fraction ({n*3} total), same regime**")
-        a(f"(`{extra_sweep_name}`; the reference's main.sh uses 100 repeats —")
-        a("this is the medians-stability check at 3.5× the default batch count):")
+        a(
+            f"**Confidence run — {n} batches per fraction ({n*3} total), same regime,"
+            f" {es['edges']:,} edges / {es['vertices']:,} vertices**"
+        )
+        a(f"(`{extra_sweep_name}`; the reference's main.sh:21 uses 100 repeats")
+        a("per fraction — this run matches that repeat count so the medians are")
+        a("directly comparable, not small-sample draws):")
         a("")
         a("| batch fraction | ND× | DF× | DF-P× | iters (st/nd/df/dfp) | max L∞ err |")
         a("|---|---|---|---|---|---|")
@@ -308,8 +312,9 @@ def generate(
                 f"{row['max_err_linf']:.1e} |"
             )
         a("")
-        a("Every technique stays ≥1× at every fraction with the larger sample —")
-        a("the 7-batch medians above are not small-sample artifacts.")
+        a("Every technique stays ≥1× at every fraction with the 100-batch sample —")
+        a("the default-suite medians above are not small-sample artifacts, and the")
+        a("regime now matches the reference's batch count AND graph scale at once.")
         a("")
     a("## Dynamic family — full bench size (single batch per fraction)")
     a("")
