@@ -293,28 +293,41 @@ def generate(
     es = (extra_sweep or {}).get("dynamic_sweep") or {}
     if es:
         n = es["batches_per_fraction"]
+        if isinstance(n, dict):  # per-fraction counts (campaign cut short)
+            total = sum(n.values())
+            n_label = "/".join(str(v) for v in n.values()) + " batches per fraction"
+        else:
+            total = n * len(es["by_fraction"])
+            n_label = f"{n} batches per fraction"
         a(
-            f"**Confidence run — {n} batches per fraction ({n*3} total), same regime,"
+            f"**Confidence run — {n_label} ({total} total), same regime,"
             f" {es['edges']:,} edges / {es['vertices']:,} vertices**"
         )
         a(f"(`{extra_sweep_name}`; the reference's main.sh:21 uses 100 repeats")
-        a("per fraction — this run matches that repeat count so the medians are")
-        a("directly comparable, not small-sample draws):")
+        a("per fraction — this campaign runs the same batch distribution at the")
+        a("FULL bench graph scale; per-fraction batch counts are recorded per row):")
         a("")
-        a("| batch fraction | ND× | DF× | DF-P× | iters (st/nd/df/dfp) | max L∞ err |")
-        a("|---|---|---|---|---|---|")
+        a("| batch fraction | batches | ND× | DF× | DF-P× | iters (st/nd/df/dfp) | max L∞ err |")
+        a("|---|---|---|---|---|---|---|")
+        min_speedup = None
         for frac, row in es["by_fraction"].items():
             im = row["iterations_med"]
+            for kk in ("nd_speedup_vs_static", "df_speedup_vs_static", "dfp_speedup_vs_static"):
+                min_speedup = row[kk] if min_speedup is None else min(min_speedup, row[kk])
             a(
-                f"| {frac} | {row['nd_speedup_vs_static']:.2f}× | "
+                f"| {frac} | {row.get('batches', n)} | {row['nd_speedup_vs_static']:.2f}× | "
                 f"{row['df_speedup_vs_static']:.2f}× | **{row['dfp_speedup_vs_static']:.2f}×** | "
                 f"{im['static']:.0f}/{im['nd']:.0f}/{im['df']:.0f}/{im['dfp']:.0f} | "
                 f"{row['max_err_linf']:.1e} |"
             )
         a("")
-        a("Every technique stays ≥1× at every fraction with the 100-batch sample —")
-        a("the default-suite medians above are not small-sample artifacts, and the")
-        a("regime now matches the reference's batch count AND graph scale at once.")
+        if min_speedup is not None and min_speedup >= 1.0:
+            a("Every technique stays ≥1× at every fraction in this sample — the")
+            a("default-suite medians above are not small-sample artifacts.")
+        else:
+            a(f"Minimum technique speedup in this sample: {min_speedup:.2f}× —")
+            a("see the per-fraction rows; DF/DF-P (the reference's headline")
+            a("techniques) are the rows to compare against its published ratios.")
         a("")
     a("## Dynamic family — full bench size (single batch per fraction)")
     a("")
