@@ -151,6 +151,39 @@ def generate(
                     a(f"- local[{cores}]: engine {fmt_mps(st['edges_per_sec_per_superstep'])} = "
                       f"**{frac:.0%} of the {fmt_mps(by_p[cores]['edges_per_sec'])} roofline**")
         a("")
+    llc = d.get("_llc")
+    if llc:
+        lsc = llc["scaling"]
+        llo, lhi = str(lsc["n_cores"]), str(lsc["n4_cores"])
+        lm = (llc.get("_micro") or {}).get("roofline_efficiency") or {}
+        lrows = {r["P"]: r for r in (llc.get("_micro") or {}).get("rows", [])}
+        a("### Scaling at LLC-resident working-set size (the decisive control)")
+        a("")
+        a(f"`{llc.get('_name', 'BENCH/…')}` — the same paired-repeat protocol on a")
+        a(f"{lsc['stats'][llo]['edges']:,}-edge / {lsc['stats'][llo]['vertices']:,}-vertex graph whose ENTIRE per-superstep")
+        a("working set (rank + rdiv + streamed CSR) fits this host's 260 MiB L3,")
+        a("so per-core memory bandwidth is no longer the shared-resource ceiling.")
+        a("If the sub-0.8 full-size ratio were engine overhead (sync, scheduling,")
+        a("stragglers), it would persist here; if it is the host's DRAM system,")
+        a("it should vanish here:")
+        a("")
+        a(f"| | local[{llo}] | local[{lhi}] | N→4N efficiency |")
+        a("|---|---|---|---|")
+        a(
+            f"| engine superstep median | {lsc['stats'][llo]['median_superstep_sec']*1000:.1f} ms | "
+            f"{lsc['stats'][lhi]['median_superstep_sec']*1000:.1f} ms | "
+            f"**{lsc['efficiency_median_superstep']:.3f}** (IQR {lsc['efficiency_iqr']}) |"
+        )
+        if lrows:
+            lo_p, hi_p = int(llo), int(lhi)
+            if lo_p in lrows and hi_p in lrows:
+                key = f"{lo_p}->{hi_p}"
+                a(
+                    f"| pinned-numpy roofline | {lrows[lo_p]['median_superstep_sec']*1000:.1f} ms | "
+                    f"{lrows[hi_p]['median_superstep_sec']*1000:.1f} ms | "
+                    f"{lm.get(key, float('nan')):.3f} |"
+                )
+        a("")
     a("Round-over-round context: rounds 1–2 measured ~750–1000 M/s on the old")
     a("NEAR-REGULAR family whose in-edge sources were contiguous (perfectly")
     a("cache-local gathers).  Round 3's family adds Zipf topic mentions +")
@@ -502,10 +535,21 @@ def main() -> None:
         extra_name = f"BENCH/{sweeps[-1].name}"
     micro = None
     micro_name = None
-    micros = sorted(src.parent.glob("MICRO_roofline*.json"))
+    micros = sorted(
+        p for p in src.parent.glob("MICRO_roofline*.json") if "llc" not in p.name
+    )
     if micros:
         micro = json.loads(micros[-1].read_text())
         micro_name = f"BENCH/{micros[-1].name}"
+    # LLC-resident control: engine scaling record + matching micro roofline
+    llcs = sorted(src.parent.glob("*scaling_llc*.local.json"))
+    if llcs:
+        llc = json.loads(llcs[-1].read_text())
+        llc["_name"] = f"BENCH/{llcs[-1].name}"
+        mllc = sorted(src.parent.glob("MICRO_roofline*llc*.json"))
+        if mllc:
+            llc["_micro"] = json.loads(mllc[-1].read_text())
+        d["_llc"] = llc
     tcp_full = None
     tcp_full_name = None
     tcp_fulls = sorted(src.parent.glob("*tcp2full*.local.json"))
