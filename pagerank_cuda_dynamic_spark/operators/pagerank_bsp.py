@@ -675,6 +675,13 @@ def _bsp_loop(
             mm("flagsA0.npy", (MAXIT + 2, n_stripes), np.uint8, 0)
     if dynamic:
         mm("vaff.npy", (N,), np.uint8, vaff0.astype(np.uint8))
+        # per-stripe saturation flags (DF expand-without-prune only): once a
+        # stripe's whole slice is affected its bitmap can never change again
+        # (marking is monotone without pruning), so owners advertise
+        # saturation here and the mover machinery shuts itself off when
+        # every stripe has saturated — a dense-batch (1e-3·|E|) DF run then
+        # pays ND's per-superstep cost instead of a second edge walk
+        mm("sat.npy", (n_stripes,), np.uint8, 0)
         # movers exchanged as id lists: stripe s owns segment
         # [bounds[s], bounds[s]+mcnt[row, s]) of movers_ids_{row%2}
         mids0 = mm("movers_ids_0.npy", (N,), np.int64, 0)
@@ -901,6 +908,7 @@ def _bsp_loop(
             ]
             mcnt_mm = _np.load(os.path.join(wd, "mcnt.npy"), mmap_mode="r+")
             vaff_mm = _np.load(os.path.join(wd, "vaff.npy"), mmap_mode="r+")
+            sat_mm = _np.load(os.path.join(wd, "sat.npy"), mmap_mode="r+")
             vaffs = {st["s"]: _np.array(vaff_mm[st["lo"]: st["hi"]], dtype=bool) for st in stripes}
             prev_As = {st["s"]: _np.empty(0, _np.int64) for st in stripes}
         deadline = time.time() + 3600
@@ -942,6 +950,15 @@ def _bsp_loop(
             rdiv = rdivs[cur]
             movers_alive = bool(dyn and do_expand and int(mcnt_mm[l, :].sum()) > 0)
             M = mover_list(l, mids[cur]) if movers_alive else None
+            # DF fast path: with expansion but no pruning the affected map is
+            # monotone, so once EVERY stripe has saturated no mover can mark
+            # anything new — stop emitting them (which also kills the A0 hub
+            # walk and mover-list builds via movers_alive above).  Stale
+            # reads of a peer's sat byte only delay the shut-off, never
+            # suppress a needed mark (flags are monotone 0→1)
+            sat_all = bool(
+                dyn and do_expand and not do_prune and sat_mm.all()
+            )
             # ---- phase A0: mark hubs reached from movers (hub src-CSR) ----
             # skipped entirely (including its sync) when the frontier is
             # dead — movers_alive is derived from the same mcnt row on
@@ -1035,21 +1052,66 @@ def _bsp_loop(
                 # (only the owner touches its slice), write-set rdiv
                 # updates, src-CSR mover extension
                 vaff_s = vaffs[s]
-                if M is not None and st["usrc"].size:
-                    eidx = csr_lookup(M, st["usrc"], st["uoff"])
-                    if do_prune and eidx.size and st["self_srcord"] is not None:
-                        eidx = eidx[~st["self_srcord"][eidx]]
-                    if eidx.size:
-                        vaff_s[st["dstloc"][eidx]] = True
-                if NH and own_cols.size:
-                    vaff_s[own_offs] |= hubaff_mm[own_cols].astype(bool)
-                A = _np.flatnonzero(vaff_s)
+                s_sat = bool(
+                    do_expand and not do_prune and sat_mm[s]
+                )  # owner's own byte — exact, set below
+                if not s_sat:
+                    if M is not None and st["usrc"].size:
+                        eidx = csr_lookup(M, st["usrc"], st["uoff"])
+                        if do_prune and eidx.size and st["self_srcord"] is not None:
+                            eidx = eidx[~st["self_srcord"][eidx]]
+                        if eidx.size:
+                            vaff_s[st["dstloc"][eidx]] = True
+                    if NH and own_cols.size:
+                        vaff_s[own_offs] |= hubaff_mm[own_cols].astype(bool)
+                    A = _np.flatnonzero(vaff_s)
+                    full_stripe = A.size == width
+                    if full_stripe and do_expand and not do_prune:
+                        sat_mm[s] = 1
+                else:
+                    A = None  # saturated: affected ≡ the whole slice
+                    full_stripe = True
                 rank_view = ranks[0][lo:hi]
                 rdiv_cur_v = rdivs[cur][lo:hi]
                 rdiv_nxt_v = rdivs[nxt][lo:hi]
                 el = 0.0
                 mover_pos = _np.empty(0, _np.int64)
-                if A.size:
+                if full_stripe and width:
+                    # contiguous twin of the sparse branch below — identical
+                    # float expressions evaluated on whole slices (A would be
+                    # arange(width)), so results are bit-equal while skipping
+                    # the fancy-index gathers, the A0/usrc mover walks and
+                    # (once sat_all) mover emission itself
+                    r_A = _np.array(rank_view)
+                    if src.size:
+                        w = rdiv[src]
+                        if WEIGHTED:
+                            w = w * st["w_reg"]
+                        sums = _np.add.reduceat(w, ridx)
+                        sums[empty] = 0.0
+                    else:
+                        sums = _np.zeros(width)
+                    if NH and own_cols.size:
+                        sums[own_offs] += hubparts[cur][:, own_cols].sum(axis=0)
+                    dv_A = _np.asarray(deg[lo:hi])
+                    if do_corr:
+                        a_vals = (C0 + P_DAMP * (sums - r_A / dv_A)) / (
+                            1.0 - P_DAMP / dv_A
+                        )
+                    else:
+                        a_vals = C0 + P_DAMP * sums
+                    rank_view[:] = a_vals
+                    eu = _np.abs(r_A - a_vals)
+                    el = float(eu.max())
+                    if (do_expand and not sat_all) or do_prune:
+                        denom = _np.maximum(_np.maximum(r_A, a_vals), 1e-300)
+                        rel = eu / denom
+                        if do_expand and not sat_all:
+                            mover_pos = _np.flatnonzero(rel > D_TOL)
+                        if do_prune:
+                            vaff_s[rel <= C_TOL] = False
+                    rdiv_nxt_v[:] = a_vals / dv_A
+                elif A is not None and A.size:
                     r_A = _np.array(rank_view[A])
                     lens = counts[A]
                     nz = lens > 0
@@ -1115,7 +1177,8 @@ def _bsp_loop(
                 if NH and own_cols.size:
                     # authoritative hub-affected state after prune/extension
                     hubaff_mm[own_cols] = vaff_s[own_offs].astype(_np.uint8)
-                prev_As[s] = A
+                if A is not None:  # saturated stripes keep their last A
+                    prev_As[s] = A
                 el_mm[l + 1, s] = el
                 flag_mm[l + 1, s] = 1
             step_times.append(time.time() - t0)
