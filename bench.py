@@ -305,7 +305,9 @@ def section_dynamic(spark, results: dict) -> None:
         dels, ins = tidy_batch(g.edges, empty, spark.createDataFrame(ins_pdf))
         # materialize the tidied batch ONCE — the tidy plan probes the
         # |E| table, so every lazy re-reference would repay that scan
-        ins = spark.createDataFrame(ins.toPandas())
+        # (explicit schema: an all-duplicate draw tidies to ZERO rows and
+        # schema inference would raise on the empty frame)
+        ins = spark.createDataFrame(ins.toPandas(), schema="src long, dst long")
         g2 = g.with_batch(dels, ins, repartition=False)
         t0 = time.time()
         g2.bsp_packed()  # delta pack: O(batch + touched stripes)
@@ -447,7 +449,8 @@ def section_dynamic_sweep(spark, results: dict) -> None:
                 }
             )
             dels, ins = tidy_batch(g.edges, empty, spark.createDataFrame(ins_pdf))
-            ins = spark.createDataFrame(ins.toPandas())  # one tidy probe
+            # one tidy probe; explicit schema survives an empty tidied batch
+            ins = spark.createDataFrame(ins.toPandas(), schema="src long, dst long")
             g2 = g.with_batch(dels, ins, repartition=False)
             g2.bsp_packed()  # delta pack once, outside the timed loops
             runs = {

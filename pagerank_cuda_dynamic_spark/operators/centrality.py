@@ -77,10 +77,12 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
     )
     n = verts.count()
     if n == 0:
-        e.unpersist()
-        return verts.select(
+        out = verts.select(
             "v", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub")
-        )
+        ).transform(materialize)
+        e.unpersist()
+        verts.unpersist()
+        return out
 
     hub = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(
         materialize
@@ -126,6 +128,9 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
             F.coalesce("auth", F.lit(0.0)).alias("auth"),
             F.coalesce("hub", F.lit(0.0)).alias("hub"),
         )
+        # checkpoint BEFORE unpersisting: the returned frame must not
+        # re-run the |E| distinct / vertex-union its caches backed
+        .transform(materialize)
     )
     e.unpersist()
     verts.unpersist()
@@ -224,6 +229,7 @@ def salsa(edges: DataFrame, iterations: int = 20) -> DataFrame:
             F.coalesce("auth", F.lit(0.0)).alias("auth"),
             F.coalesce("hub", F.lit(0.0)).alias("hub"),
         )
+        .transform(materialize)  # independent of ew/verts before unpersist
     )
     ew.unpersist()
     verts.unpersist()
@@ -389,8 +395,10 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
     )
     n = verts.count()
     if n == 0:
+        out = verts.select("v", F.lit(0.0).alias("score")).transform(materialize)
         e.unpersist()
-        return verts.select("v", F.lit(0.0).alias("score"))
+        verts.unpersist()
+        return out
     # Same loop-scale savings as the HITS half-step: absent vertices are
     # exact zeros (contribute nothing to the gather or the norm), so the
     # zero-restoring verts join runs once at the end; the L2 norm folds
@@ -414,6 +422,7 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
     out = (
         verts.join(x.withColumnRenamed("s", "score"), "v", "left")
         .select("v", F.coalesce("score", F.lit(0.0)).alias("score"))
+        .transform(materialize)  # independent of e/verts before unpersist
     )
     e.unpersist()
     verts.unpersist()

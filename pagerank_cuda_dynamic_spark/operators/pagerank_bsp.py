@@ -120,10 +120,12 @@ def _auto_block_width(p: int, n: int, env: str | None) -> int:
     """Gather-layout decision (measured on both sides, see bsp_pack):
     explicit env/param always wins (0 = force row order); otherwise
     block when the rank vector dwarfs LLC (|V|·8 B > 128 MB) AND the
-    PHYSICAL core count is high enough to thrash the shared cache
-    (≥ 16).  Physical cores, not defaultParallelism: a session with
-    inflated parallelism on a small box still has one LLC, and the
-    blocking win/loss is a property of the cache, not the scheduler."""
+    host core count is high enough to thrash the shared cache (≥ 16
+    logical CPUs — os.cpu_count() counts SMT threads, so on SMT-2 hosts
+    the gate means ≥ 8 physical cores; the nearest portable proxy).
+    Host cores, not defaultParallelism: a session with inflated
+    parallelism on a small box still has one LLC, and the blocking
+    win/loss is a property of the cache, not the scheduler."""
     if env is not None:
         return int(env)
     cores = os.cpu_count() or p
@@ -333,6 +335,17 @@ def bsp_pack(
             dst_all = pdf["dst"].to_numpy(dtype=np.int64)
             w_all = pdf["w"].to_numpy(dtype=np.float64) if weighted else None
             stripe = _stripe_of(src_all, dst_all)
+            if not np.isin(stripe, own).all():
+                # the searchsorted slices below silently DROP edges whose
+                # stripe this partition does not own, so a divergence
+                # between the murmur3 probe and HashPartitioning must
+                # fail loudly, not corrupt ranks (raise, not assert:
+                # survives python -O)
+                raise RuntimeError(
+                    "bsp_pack misroute: partition received edges for "
+                    "stripes it does not own — murmur3 probe and "
+                    "repartition hash disagree"
+                )
             order = np.argsort(stripe, kind="stable")
             src_all, dst_all = src_all[order], dst_all[order]
             if weighted:
@@ -440,6 +453,11 @@ def delta_pack(child, parent, deletions, insertions, spill_dir: str):
     interior = bounds[1:-1]
 
     def _route(src, dst):
+        # intentional twin of bsp_pack's _stripe_of (closure-local there for
+        # worker serialization; a shared module-level helper would pickle
+        # by reference and break the spark-submit --py-files launch mode).
+        # Any edit must land in BOTH; divergence is pinned by
+        # tests/test_pagerank_bsp_dynamic.py::test_delta_pack_matches_full_pack
         stripe = np.searchsorted(interior, dst, side="right")
         if hubs.size:
             pos = np.searchsorted(hubs, dst)
