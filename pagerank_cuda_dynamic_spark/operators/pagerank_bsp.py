@@ -603,8 +603,9 @@ def _bsp_loop(
        regular src-CSR, gathers affected CSR row slices, applies the rank
        update, writes its rank/rdiv slice + its mover-id segment] → flag.
     vaff is task-local (a stripe's flags are only touched by its owner);
-    movers (id segments + counts), hub partials and `hubaff` are the only
-    cross-stripe state."""
+    movers (id segments + counts + a ping-pong bitmap twin — consumers
+    pick the cheaper encoding per stripe), hub partials and `hubaff` are
+    the only cross-stripe state."""
     t_all = time.time()
     N = graph.n
     P_DAMP = opts.damping
@@ -700,10 +701,19 @@ def _bsp_loop(
         # every stripe has saturated — a dense-batch (1e-3·|E|) DF run then
         # pays ND's per-superstep cost instead of a second edge walk
         mm("sat.npy", (n_stripes,), np.uint8, 0)
-        # movers exchanged as id lists: stripe s owns segment
-        # [bounds[s], bounds[s]+mcnt[row, s]) of movers_ids_{row%2}
+        # movers exchanged two ways, consumers pick per stripe by size:
+        # id lists (stripe s owns segment [bounds[s], bounds[s]+mcnt[row,s])
+        # of movers_ids_{row%2}) are cheap to WALK when the frontier is
+        # sparse (O(|M|·log|usrc|) searchsorted); the ping-pong BITMAP is
+        # cheap when it is dense (one O(|usrc|) byte gather, independent of
+        # |M|) — without it a dense-but-unsaturated 1e-3 frontier pays a
+        # near-|E| searchsorted walk per stripe per superstep plus a ×P
+        # duplicated O(|M|) id concat, which is what made full-size DF
+        # slower than a static recompute
         mids0 = mm("movers_ids_0.npy", (N,), np.int64, 0)
         mm("movers_ids_1.npy", (N,), np.int64, 0)
+        mbm0 = mm("movers_bm_0.npy", (N,), np.uint8, 0)
+        mm("movers_bm_1.npy", (N,), np.uint8, 0)
         mcnt = mm("mcnt.npy", (MAXIT + 2, n_stripes), np.int64, 0)
         if movers0 is not None and movers0.any():
             for s in range(n_stripes):
@@ -711,7 +721,9 @@ def _bsp_loop(
                 ids = np.flatnonzero(movers0[lo:hi]).astype(np.int64) + lo
                 mids0[lo: lo + ids.size] = ids
                 mcnt[0, s] = ids.size
+            mbm0[:] = movers0.astype(np.uint8)
             mids0.flush()
+            mbm0.flush()
             mcnt.flush()
     flags = mm("flags.npy", (MAXIT + 2, n_stripes), np.uint8, 0)
     flags[0, :] = 1
@@ -924,6 +936,10 @@ def _bsp_loop(
                 _np.load(os.path.join(wd, "movers_ids_0.npy"), mmap_mode="r+"),
                 _np.load(os.path.join(wd, "movers_ids_1.npy"), mmap_mode="r+"),
             ]
+            mbms = [
+                _np.load(os.path.join(wd, "movers_bm_0.npy"), mmap_mode="r+"),
+                _np.load(os.path.join(wd, "movers_bm_1.npy"), mmap_mode="r+"),
+            ]
             mcnt_mm = _np.load(os.path.join(wd, "mcnt.npy"), mmap_mode="r+")
             vaff_mm = _np.load(os.path.join(wd, "vaff.npy"), mmap_mode="r+")
             sat_mm = _np.load(os.path.join(wd, "sat.npy"), mmap_mode="r+")
@@ -966,8 +982,30 @@ def _bsp_loop(
                 break
             cur, nxt = l % 2, (l + 1) % 2
             rdiv = rdivs[cur]
-            movers_alive = bool(dyn and do_expand and int(mcnt_mm[l, :].sum()) > 0)
-            M = mover_list(l, mids[cur]) if movers_alive else None
+            mtotal = int(mcnt_mm[l, :].sum()) if (dyn and do_expand) else 0
+            movers_alive = mtotal > 0
+            # mover walks pick a strategy PER CONSUMER stripe: a sparse
+            # frontier walks the id list (O(|M|·log|usrc|)); a dense one
+            # gathers the mover bitmap over usrc (O(|usrc|), independent
+            # of |M|).  The O(|M|) id concat is lazy so bitmap-only
+            # iterations never pay it (it used to run on EVERY worker)
+            _M_cell = []
+
+            def get_M():
+                if not _M_cell:
+                    _M_cell.append(mover_list(l, mids[cur]))
+                return _M_cell[0]
+
+            def mover_edges(usrc, uoff):
+                """edge indices (into the stripe's src-sorted edge array)
+                whose src moved in iteration l — bitmap or id-list path,
+                identical results."""
+                if mtotal * 8 > usrc.size:
+                    hit = _np.flatnonzero(mbms[cur][usrc])
+                    if not hit.size:
+                        return _np.empty(0, _np.int64)
+                    return ragged_take(uoff[hit], uoff[hit + 1] - uoff[hit])
+                return csr_lookup(get_M(), usrc, uoff)
             # DF fast path: with expansion but no pruning the affected map is
             # monotone, so once EVERY stripe has saturated no mover can mark
             # anything new — stop emitting them (which also kills the A0 hub
@@ -983,8 +1021,13 @@ def _bsp_loop(
             # every stripe, so the skip decision is globally consistent
             if NH and dyn and do_expand and movers_alive:
                 for st in stripes:
-                    if M is not None and st["husrc"].size:
-                        eidx = csr_lookup(M, st["husrc"], st["huoff"])
+                    # a saturated stripe already wrote hubaff=1 for every
+                    # hub it owns (vaff all-true, phase-B publication), so
+                    # its hub walk cannot add a mark — skip it (saturation
+                    # flags only exist in expand-without-prune mode)
+                    sat_skip = not do_prune and sat_mm[st["s"]]
+                    if st["husrc"].size and not sat_skip:
+                        eidx = mover_edges(st["husrc"], st["huoff"])
                         if do_prune and eidx.size and st["hself_srcord"] is not None:
                             eidx = eidx[~st["hself_srcord"][eidx]]
                         if eidx.size:
@@ -1074,8 +1117,8 @@ def _bsp_loop(
                     do_expand and not do_prune and sat_mm[s]
                 )  # owner's own byte — exact, set below
                 if not s_sat:
-                    if M is not None and st["usrc"].size:
-                        eidx = csr_lookup(M, st["usrc"], st["uoff"])
+                    if movers_alive and st["usrc"].size:
+                        eidx = mover_edges(st["usrc"], st["uoff"])
                         if do_prune and eidx.size and st["self_srcord"] is not None:
                             eidx = eidx[~st["self_srcord"][eidx]]
                         if eidx.size:
@@ -1192,6 +1235,14 @@ def _bsp_loop(
                     if ids_abs.size:
                         mids[nxt][lo: lo + ids_abs.size] = ids_abs
                     mcnt_mm[l + 1, s] = ids_abs.size
+                    if not sat_all:
+                        # bitmap twin of the id segment (consumers pick by
+                        # size); under sat_all nothing reads movers, so
+                        # skip the O(width) slice write too
+                        bm_v = mbms[nxt][lo:hi]
+                        bm_v[:] = 0
+                        if mover_pos.size:
+                            bm_v[mover_pos] = 1
                 if NH and own_cols.size:
                     # authoritative hub-affected state after prune/extension
                     hubaff_mm[own_cols] = vaff_s[own_offs].astype(_np.uint8)
