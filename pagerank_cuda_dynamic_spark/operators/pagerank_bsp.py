@@ -743,6 +743,11 @@ def _bsp_loop(
     bounds_list = [int(b) for b in bounds]
 
     PIN = bool(os.environ.get("SPARK_GRAFT_PIN_CORES"))
+    # mover-walk strategy override: "" = auto (per-stripe by size),
+    # "1" = force the bitmap gather, "0" = force the id-list walk.
+    # Exists so the parity test can pin bitmap ≡ id-list bit-equality;
+    # captured here (driver-side) so the serialized closure carries it.
+    MBM_FORCE = os.environ.get("SPARK_GRAFT_MOVER_BM", "")
 
     def loop(it):
         import numpy as _np
@@ -1000,7 +1005,11 @@ def _bsp_loop(
                 """edge indices (into the stripe's src-sorted edge array)
                 whose src moved in iteration l — bitmap or id-list path,
                 identical results."""
-                if mtotal * 8 > usrc.size:
+                use_bm = (
+                    MBM_FORCE == "1"
+                    or (MBM_FORCE == "" and mtotal * 8 > usrc.size)
+                )
+                if use_bm:
                     hit = _np.flatnonzero(mbms[cur][usrc])
                     if not hit.size:
                         return _np.empty(0, _np.int64)

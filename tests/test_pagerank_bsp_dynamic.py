@@ -135,3 +135,26 @@ def test_delta_pack_matches_full_pack(spark):
     assert np.allclose(dfp.ranks, r1.ranks, atol=1e-6)
     for x in (g0, g1, g1c, g2, g2c):
         x.unpersist()
+
+
+def test_mover_bitmap_path_bit_equals_idlist_path(bsp_batch_setup, monkeypatch):
+    """The two mover-exchange encodings (id-list walk vs bitmap gather —
+    chosen per consumer stripe by size in auto mode) must be exact
+    equivalents: same eidx sets in the same src-sorted order, so the
+    frontier marks, iteration counts and every float op are identical.
+    Pinned by forcing each path via SPARK_GRAFT_MOVER_BM and asserting
+    bit-equal ranks on DF and DF-P (the expand modes that exchange
+    movers)."""
+    g0, g1, dels, ins, q, _ = bsp_batch_setup
+    runs = {}
+    for force in ("0", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_MOVER_BM", force)
+        runs[force] = (
+            pagerank_dynamic_frontier_bsp(g0, g1, dels, ins, q),
+            pagerank_dynamic_frontier_prune_bsp(g0, g1, dels, ins, q),
+        )
+    monkeypatch.delenv("SPARK_GRAFT_MOVER_BM", raising=False)
+    for i in range(2):
+        a, b = runs["0"][i], runs["1"][i]
+        assert a.iterations == b.iterations
+        assert np.array_equal(a.ranks, b.ranks)  # bit-equal, not allclose
