@@ -196,6 +196,7 @@ def section_scaling_2proc(results: dict) -> None:
     worker_mb = int(os.environ.get("SPARK_GRAFT_2PROC_MB", "10240"))
     meds: dict = {p: {1: [], 2: []} for p in ("bsp", "tcp")}
     info: dict = {}
+    failures: list = []
     for rep in range(repeats):
         for nproc in (1, 2):
             master = f"local-cluster[{nproc},16,{worker_mb}]"
@@ -221,11 +222,28 @@ def section_scaling_2proc(results: dict) -> None:
                 )
                 m = g.edges.count()
                 for path in ("bsp", "tcp"):
-                    res = (
-                        pagerank_static_bsp(g, PagerankOptions())
-                        if path == "bsp"
-                        else pagerank_static_tcp(g)
-                    )
+                    # one timed-out ring run (lost peer -> 300 s recv timeout
+                    # -> unrecoverable barrier stage) must not sink the whole
+                    # suite record: score the run as None and keep going; pair
+                    # ratios below skip incomplete pairs.
+                    try:
+                        res = (
+                            pagerank_static_bsp(g, PagerankOptions())
+                            if path == "bsp"
+                            else pagerank_static_tcp(g)
+                        )
+                    except Exception as exc:  # noqa: BLE001 — record + continue
+                        meds[path][nproc].append(None)
+                        failures.append(
+                            {"rep": rep, "nproc": nproc, "path": path,
+                             "error": repr(exc)[:300]}
+                        )
+                        print(
+                            f"# 2proc {path} rep={rep} nproc={nproc} FAILED: "
+                            f"{exc!r}"[:200],
+                            file=sys.stderr,
+                        )
+                        continue
                     med = _median_steady(res.superstep_seconds)
                     meds[path][nproc].append(med)
                     if rep == 0:
@@ -240,18 +258,26 @@ def section_scaling_2proc(results: dict) -> None:
             finally:
                 spark.stop()
     out: dict = {"repeats": repeats, "paths": {}}
+    if failures:
+        out["failed_runs"] = failures
     for path in ("bsp", "tcp"):
         ratios = [
-            (meds[path][1][i] / meds[path][2][i]) / 2.0 for i in range(repeats)
+            (meds[path][1][i] / meds[path][2][i]) / 2.0
+            for i in range(repeats)
+            if i < len(meds[path][1]) and i < len(meds[path][2])
+            and meds[path][1][i] is not None and meds[path][2][i] is not None
         ]
         out["paths"][path] = {
             **info.get(path, {}),
             "pair_ratios": [round(r, 3) for r in ratios],
-            "per_process_efficiency_median": round(float(np.median(ratios)), 3),
+            "per_process_efficiency_median": (
+                round(float(np.median(ratios)), 3) if ratios else None
+            ),
+            "complete_pairs": len(ratios),
         }
         print(
             f"# 2proc {path}: pairs={[round(r, 3) for r in ratios]} "
-            f"median={np.median(ratios):.3f}",
+            + (f"median={np.median(ratios):.3f}" if ratios else "median=NA"),
             file=sys.stderr,
         )
     results["scaling_2proc"] = out
@@ -963,23 +989,48 @@ def main() -> None:
         ).split(",")
     )
     results: dict = {"queries": {}}
+
+    def guarded(name: str, fn, stop_leaked: bool = True) -> None:
+        """A crashed section (e.g. a lost ring peer -> unrecoverable barrier
+        stage) must not abort the suite: the driver parses the LAST stdout
+        line, so the record has to emit no matter what.  Record the error,
+        stop any session the section leaked (unless it shares the caller's),
+        and move on."""
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 — any section error is recorded
+            results.setdefault("section_errors", {})[name] = repr(exc)[:500]
+            print(f"# SECTION {name} FAILED: {exc!r}"[:300], file=sys.stderr)
+            if stop_leaked:
+                try:
+                    from pyspark.sql import SparkSession
+
+                    active = SparkSession.getActiveSession()
+                    if active is not None:
+                        active.stop()
+                except Exception:
+                    pass
+
     if "scaling" in sections:
-        section_scaling(results)
+        guarded("scaling", lambda: section_scaling(results))
     if "scaling2p" in sections:
-        section_scaling_2proc(results)
+        guarded("scaling2p", lambda: section_scaling_2proc(results))
     if sections & {"dynamic", "sweep", "ops"}:
         spark = _mk_spark(CPUS, "bench-main")
         try:
             if "dynamic" in sections:
-                section_dynamic(spark, results)
+                guarded("dynamic", lambda: section_dynamic(spark, results),
+                        stop_leaked=False)
             if "sweep" in sections:
-                section_dynamic_sweep(spark, results)
+                guarded("sweep", lambda: section_dynamic_sweep(spark, results),
+                        stop_leaked=False)
             if "ops" in sections:
-                section_ops(spark, results)
+                guarded("ops", lambda: section_ops(spark, results),
+                        stop_leaked=False)
         finally:
             spark.stop()
     if "tcp" in sections:
-        section_tcp(results)
+        guarded("tcp", lambda: section_tcp(results))
     full = {
         "metric": "headline_suite_seconds",
         "value": round(time.time() - t_all, 1),
@@ -993,6 +1044,7 @@ def main() -> None:
         "dynamic": results.get("dynamic"),
         "dynamic_sweep": results.get("dynamic_sweep"),
         "tcp": results.get("tcp"),
+        "section_errors": results.get("section_errors"),
     }
     # Full document to a file (the driver's stdout tail buffer is finite —
     # round 2's one-line dump outgrew it and BENCH_r02.json landed with
@@ -1043,6 +1095,7 @@ def main() -> None:
             for f, row in sweep.items()
         },
         "tcp_edges_per_sec": tcp.get("edges_per_sec_per_superstep"),
+        "section_errors": results.get("section_errors"),
         "full_document": "BENCH/latest_full.json",
     }
     print(json.dumps(compact))
