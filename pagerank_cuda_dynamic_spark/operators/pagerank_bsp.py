@@ -45,6 +45,7 @@ injection — semantics of pagerank_weighted_joinagg.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -99,7 +100,16 @@ _PACK_COLS = [
 
 def _scratch_dir() -> str:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    return os.path.join(base, f"pr_bsp_{uuid.uuid4().hex[:12]}")
+    path = os.path.join(base, f"pr_bsp_{uuid.uuid4().hex[:12]}")
+    # Scratch (memmap exchange) and derived "_spill" (stripe-record) dirs
+    # must not outlive the driver: snapshots built by oracle gates or the
+    # driver's queries() calls are often never unpersist()ed, and a crashed
+    # run skips cleanup entirely — on tmpfs the leaked stripes are RAM.
+    # Reap at interpreter exit; GraphSnapshot.unpersist still removes
+    # eagerly (rmtree on a missing path is a no-op).
+    for p in (path, path + "_spill"):
+        atexit.register(shutil.rmtree, p, ignore_errors=True)
+    return path
 
 
 def _indegrees(graph) -> np.ndarray:

@@ -19,6 +19,20 @@ from pyspark.sql import DataFrame
 from pagerank_cuda_dynamic_spark.functions import cosine_expr  # noqa: E402  shared JVM vocabulary
 
 
+def _partials_scratch() -> str:
+    """Fresh scratch dir for blocked top-k partials, reaped at interpreter
+    exit: the DataFrame returned by brute_force_topk reads the partial
+    parquet LAZILY, so the dir must outlive the call — but not the driver
+    process (same lifecycle contract as pagerank_bsp._scratch_dir)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="bftopk_partials_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame | None = None,
@@ -175,9 +189,9 @@ def brute_force_topk(
 
     # block-streaming path; per-block partial writes keep the plan flat
     import itertools
-    import tempfile
 
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="bftopk_partials_")
+    # Callers that pass scratch_dir own its lifecycle; ours reaps at exit.
+    scratch = scratch_dir or _partials_scratch()
     rows_it = queries.select(id_col, vec_col).toLocalIterator(
         prefetchPartitions=True
     )

@@ -261,3 +261,32 @@ def test_auto_block_width_rule():
     assert _auto_block_width(32, small, None) == 0    # cache-resident head
     assert _auto_block_width(32, big, "0") == 0       # env forces row order
     assert _auto_block_width(8, small, "64") == 64    # env forces blocking
+
+
+def test_scratch_dirs_reaped_at_interpreter_exit(tmp_path):
+    """Scratch + spill dirs from snapshots that are never unpersist()ed
+    (oracle gates, driver queries(), crashed runs) must not outlive the
+    driver process: _scratch_dir registers an atexit reaper for both the
+    exchange dir and the derived "_spill" dir.  Sparkless subprocess drive."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    probe = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import os\n"
+        "from pagerank_cuda_dynamic_spark.operators.pagerank_bsp import _scratch_dir\n"
+        "d = _scratch_dir()\n"
+        "os.makedirs(d); os.makedirs(d + '_spill')\n"
+        "open(os.path.join(d + '_spill', 's0.pkl'), 'wb').write(b'x')\n"
+        "print(d)\n" % str(repo)
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", probe], capture_output=True, text=True, check=True
+    )
+    d = out.stdout.strip().splitlines()[-1]
+    import os
+
+    assert not os.path.exists(d), "exchange dir survived interpreter exit"
+    assert not os.path.exists(d + "_spill"), "spill dir survived interpreter exit"

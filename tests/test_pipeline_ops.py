@@ -927,3 +927,29 @@ def test_source_overlap_cap_excludes_ubiquitous_shingle(spark):
     capped = source_overlap(docs, max_source_df=2).collect()
     assert full == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1}
     assert capped == []  # the only shingle has source-df 3 > 2
+
+
+def test_bftopk_partials_scratch_reaped_at_interpreter_exit():
+    """The blocked brute_force_topk path writes partial parquet to a temp
+    dir the returned DataFrame reads LAZILY — so cleanup can only happen at
+    interpreter exit.  _partials_scratch must register that reaper.
+    Sparkless subprocess drive (mirrors the pagerank_bsp scratch test)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    probe = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import os\n"
+        "from pagerank_cuda_dynamic_spark.operators.similarity import _partials_scratch\n"
+        "d = _partials_scratch()\n"
+        "open(os.path.join(d, 'part-0.parquet'), 'wb').write(b'x')\n"
+        "print(d)\n" % str(repo)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe], capture_output=True, text=True, check=True
+    )
+    d = out.stdout.strip().splitlines()[-1]
+    assert not os.path.exists(d), "bftopk partials dir survived interpreter exit"
