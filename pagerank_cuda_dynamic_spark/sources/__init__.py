@@ -9,3 +9,10 @@ from pagerank_cuda_dynamic_spark.sources.edges import (  # noqa: F401
     derive_entity_edges,
     edges_from_events,
 )
+from pagerank_cuda_dynamic_spark.sources.textgraph import (  # noqa: F401
+    MtxHeader,
+    read_mtx,
+    read_mtx_header,
+    read_snap_temporal,
+    snapshot_from_mtx,
+)
