@@ -11,6 +11,12 @@ Or synthesize input: --synthesize 10000 (conversations, seed 42).
 Reads the transcript table, derives the entity link graph, runs the chosen
 PageRank technique over temporal batches with checkpointing, writes the
 final (entity, rank) table as parquet.
+
+The reference's own input files run directly (no transcript stage):
+  --input-mtx graph.mtx                # static run over a MatrixMarket file
+  --input-temporal sx-stackoverflow.txt --technique dfp --batches 100
+                                       # main.cu:79–147's prefix-batch regime
+Output for text-graph inputs is (vertex, rank) in the file's own id space.
 """
 
 from __future__ import annotations
@@ -25,6 +31,12 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--transcripts", help="parquet path of the transcript table")
     ap.add_argument("--synthesize", type=int, default=0, help="synthesize N conversations instead")
+    ap.add_argument("--input-mtx", default=None,
+                    help="MatrixMarket graph file (the reference's static input; "
+                         "ids reported 1-indexed as in the file)")
+    ap.add_argument("--input-temporal", default=None,
+                    help="SNAP temporal edge file (the reference's dynamic input: "
+                         "line order is the batch cursor, main.cu:83)")
     ap.add_argument("--technique", default="static",
                     choices=["static", "nd", "dt", "df", "dfp"])
     ap.add_argument("--algo", default="pagerank",
@@ -67,17 +79,43 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.getOrCreate()  # configured by spark-submit
     t0 = time.time()
-    if args.synthesize:
-        t = synthesize_transcripts(spark, n_conversations=args.synthesize, seed=args.seed)
-    elif args.transcripts:
-        t = read_transcripts(spark, args.transcripts)
-    else:
-        ap.error("one of --transcripts / --synthesize required")
+    # Text-graph inputs keep the file's own id space as the dense span
+    # (readMtxIfW / readTemporalOmpW size vertex arrays by the raw id range,
+    # never compacting ids) — no entity dictionary involved.
+    d = None  # entity dictionary; None for numeric text-graph inputs
+    id_shift = 0  # added back onto vertex ids in the output
+    if args.input_mtx:
+        from pagerank_cuda_dynamic_spark.sources.textgraph import (
+            read_mtx,
+            read_mtx_header,
+        )
 
-    ent = derive_edges_from_transcripts(t)
-    d = build_vertex_dictionary(ent).persist()
-    n = d.count()
-    enc = encode_edges(ent, d, keep=("ts",))
+        if args.batches > 0:
+            ap.error("--batches needs a temporal input (--input-temporal / --transcripts)")
+        hdr = read_mtx_header(args.input_mtx)
+        enc = read_mtx(spark, args.input_mtx, zero_index=True, header=hdr).select("src", "dst")
+        n = max(hdr.rows, hdr.cols)
+        id_shift = 1  # back to the file's 1-indexed ids on output
+    elif args.input_temporal:
+        import pyspark.sql.functions as _F
+
+        from pagerank_cuda_dynamic_spark.sources.textgraph import read_snap_temporal
+
+        enc = read_snap_temporal(spark, args.input_temporal)
+        row = enc.agg(_F.greatest(_F.max("src"), _F.max("dst")).alias("m")).collect()[0]
+        n = int(row["m"]) + 1 if row["m"] is not None else 0
+    else:
+        if args.synthesize:
+            t = synthesize_transcripts(spark, n_conversations=args.synthesize, seed=args.seed)
+        elif args.transcripts:
+            t = read_transcripts(spark, args.transcripts)
+        else:
+            ap.error("one of --transcripts / --synthesize / --input-mtx / --input-temporal required")
+
+        ent = derive_edges_from_transcripts(t)
+        d = build_vertex_dictionary(ent).persist()
+        n = d.count()
+        enc = encode_edges(ent, d, keep=("ts",))
     opts = PagerankOptions(
         damping=args.damping, tolerance=args.tolerance, max_iterations=args.max_iterations
     )
@@ -94,24 +132,35 @@ def main(argv: list[str] | None = None) -> int:
         else:
             out_df = label_propagation_joinagg(enc.select("src", "dst"), n)
             val = "label"
-        out = (
-            out_df.join(d, "v")
-            .join(
-                d.withColumnRenamed("v", val).withColumnRenamed("entity", f"{val}_entity"),
-                val,
+        if d is None:
+            # numeric text-graph input: labels are vertex ids — report both
+            # in the file's own id space
+            out = out_df.select(
+                (F.col("v") + id_shift).alias("vertex"),
+                (F.col(val) + id_shift).alias(val),
             )
-            .select("entity", F.col(f"{val}_entity").alias(val))
-        )
+        else:
+            out = (
+                out_df.join(d, "v")
+                .join(
+                    d.withColumnRenamed("v", val).withColumnRenamed("entity", f"{val}_entity"),
+                    val,
+                )
+                .select("entity", F.col(f"{val}_entity").alias(val))
+            )
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"algo": args.algo, "total_seconds": round(time.time() - t0, 1), "out": args.out}))
         return 0
 
     if args.batches > 0:
-        from pagerank_cuda_dynamic_spark.plans.dictionary import attach_global_seq
+        if args.input_temporal:
+            edges_seq = enc.select("src", "dst", "seq")  # file order IS the cursor
+        else:
+            from pagerank_cuda_dynamic_spark.plans.dictionary import attach_global_seq
 
-        edges_seq = attach_global_seq(
-            enc.select("src", "dst", "ts"), ["ts", "src", "dst"]
-        ).select("src", "dst", "seq")
+            edges_seq = attach_global_seq(
+                enc.select("src", "dst", "ts"), ["ts", "src", "dst"]
+            ).select("src", "dst", "seq")
         ranks, metrics = run_temporal_batches(
             spark,
             edges_seq,
@@ -146,7 +195,11 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     pdf = pd.DataFrame({"v": np.arange(len(ranks), dtype=np.int64), "rank": ranks})
-    out = spark.createDataFrame(pdf).join(d, "v").select("entity", "rank")
+    rdf = spark.createDataFrame(pdf)
+    if d is None:
+        out = rdf.select((F.col("v") + id_shift).alias("vertex"), "rank")
+    else:
+        out = rdf.join(d, "v").select("entity", "rank")
     out.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"total_seconds": round(time.time() - t0, 1), "out": args.out}))
     return 0

@@ -127,6 +127,45 @@ def test_snap_temporal_seq_is_edge_record_order(spark, tmp_path):
     assert rows == [(0, 10, 11), (1, 11, 12), (2, 12, 10)]
 
 
+def test_cli_input_mtx_static(spark, tmp_path):
+    """A reference user's workflow: point the CLI at their .mtx file."""
+    from pagerank_cuda_dynamic_spark.cli import main
+
+    path = _write(
+        tmp_path,
+        "g.mtx",
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "4 4 4\n"
+        "1 2\n"
+        "2 3\n"
+        "3 4\n"
+        "4 1\n",
+    )
+    out = str(tmp_path / "ranks")
+    assert main(["--input-mtx", path, "--out", out]) == 0
+    got = {r.vertex: r.rank for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3, 4}  # file's own 1-indexed ids
+    s, d = add_self_loops_np(4, np.array([0, 1, 2, 3]), np.array([1, 2, 3, 0]))
+    expect, _ = pagerank_numpy(4, s, d)
+    assert np.allclose([got[v + 1] for v in range(4)], expect, atol=1e-9)
+
+
+def test_cli_input_temporal_dynamic_batches(spark, tmp_path):
+    from pagerank_cuda_dynamic_spark.cli import main
+
+    lines = [f"{i % 7} {(i * 3 + 1) % 7}" for i in range(40)]
+    path = _write(tmp_path, "t.txt", "\n".join(lines) + "\n")
+    out = str(tmp_path / "ranks_t")
+    rc = main(
+        ["--input-temporal", path, "--technique", "dfp", "--batches", "2", "--out", out]
+    )
+    assert rc == 0
+    df = spark.read.parquet(out)
+    assert df.count() == 7 and set(df.columns) == {"vertex", "rank"}
+    total = sum(r.rank for r in df.collect())
+    assert abs(total - 1.0) < 1e-8
+
+
 def test_snap_temporal_weighted_prefix_slice(spark, tmp_path):
     path = _write(
         tmp_path,
