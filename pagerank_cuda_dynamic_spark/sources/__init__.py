@@ -15,4 +15,5 @@ from pagerank_cuda_dynamic_spark.sources.textgraph import (  # noqa: F401
     read_mtx_header,
     read_snap_temporal,
     snapshot_from_mtx,
+    write_mtx,
 )

@@ -35,6 +35,7 @@ __all__ = [
     "read_mtx",
     "read_snap_temporal",
     "snapshot_from_mtx",
+    "write_mtx",
 ]
 
 _COMMENT_PREFIXES = ("%", "#")
@@ -175,6 +176,44 @@ def read_snap_temporal(
         cols.append(parts.getItem(2).cast("double").alias("w"))
     cols.append(F.col("idx").alias("seq"))
     return rec.select(*cols)
+
+
+def write_mtx(
+    edges: DataFrame,
+    path: str,
+    rows: int | None = None,
+    cols: int | None = None,
+    one_index: bool = False,
+) -> None:
+    """Edge DataFrame → MatrixMarket coordinate file (single file, driver-
+    streamed) — the S10 debug-dump analog (writeGraph, Graph.hxx:653–718):
+    interop/inspection at debug scale, NOT the production sink (that's the
+    parquet/checkpoint writers).  Detects a ``w`` column → real field.
+    ``one_index`` shifts the engine's dense [0, n) ids onto MTX's 1-indexed
+    convention; ids are otherwise written as-is.  Body is in canonical
+    (src, dst) order (sortEdgesByIdU, batch.hxx:168–175); rows stream
+    through ``toLocalIterator`` so only one partition is resident."""
+    weighted = "w" in edges.columns
+    sel = ["src", "dst"] + (["w"] if weighted else [])
+    e = edges.select(*sel)
+    shift = 1 if one_index else 0
+    nnz = e.count()
+    if rows is None or cols is None:
+        mrow = e.agg(
+            F.max("src").alias("ms"), F.max("dst").alias("md")
+        ).collect()[0]
+        hi = max(mrow["ms"] or 0, mrow["md"] or 0) + shift
+        rows = rows if rows is not None else hi
+        cols = cols if cols is not None else hi
+    field = "real" if weighted else "pattern"
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(f"%%MatrixMarket matrix coordinate {field} general\n")
+        fh.write(f"{rows} {cols} {nnz}\n")
+        for r in e.orderBy("src", "dst").toLocalIterator():
+            if weighted:
+                fh.write(f"{r.src + shift} {r.dst + shift} {r.w:.17g}\n")
+            else:
+                fh.write(f"{r.src + shift} {r.dst + shift}\n")
 
 
 def snapshot_from_mtx(

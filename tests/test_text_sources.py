@@ -12,6 +12,7 @@ from pagerank_cuda_dynamic_spark.sources.textgraph import (
     read_mtx_header,
     read_snap_temporal,
     snapshot_from_mtx,
+    write_mtx,
 )
 from tests.oracle import add_self_loops_np, pagerank_numpy
 
@@ -125,6 +126,33 @@ def test_snap_temporal_seq_is_edge_record_order(spark, tmp_path):
         ((r.seq, r.src, r.dst) for r in read_snap_temporal(spark, path).collect())
     )
     assert rows == [(0, 10, 11), (1, 11, 12), (2, 12, 10)]
+
+
+def test_write_mtx_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"src": [0, 1, 2, 0], "dst": [1, 2, 0, 2], "w": [0.5, 1.5, 2.0, 3.25]})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "rt.mtx")
+    write_mtx(df, path, one_index=True)
+    hdr = read_mtx_header(path)
+    assert hdr.weighted and not hdr.symmetric and hdr.nnz == 4
+    assert hdr.rows == hdr.cols == 3
+    back = read_mtx(spark, path, zero_index=True)
+    got = sorted((r.src, r.dst, r.w) for r in back.collect())
+    assert got == [(0, 1, 0.5), (0, 2, 3.25), (1, 2, 1.5), (2, 0, 2.0)]
+
+
+def test_write_mtx_pattern_unweighted(spark, tmp_path):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"src": [1, 2], "dst": [2, 1]}))
+    path = str(tmp_path / "p.mtx")
+    write_mtx(df, path, rows=4, cols=4)
+    hdr = read_mtx_header(path)
+    assert not hdr.weighted and (hdr.rows, hdr.cols, hdr.nnz) == (4, 4, 2)
+    back = {(r.src, r.dst) for r in read_mtx(spark, path).collect()}
+    assert back == {(1, 2), (2, 1)}
 
 
 def test_cli_input_mtx_static(spark, tmp_path):
