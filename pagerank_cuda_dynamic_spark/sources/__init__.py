@@ -9,6 +9,11 @@ from pagerank_cuda_dynamic_spark.sources.edges import (  # noqa: F401
     derive_entity_edges,
     edges_from_events,
 )
+from pagerank_cuda_dynamic_spark.sources.corpus import (  # noqa: F401
+    DOCUMENTS_SCHEMA,
+    read_jsonl_documents,
+    write_jsonl_documents,
+)
 from pagerank_cuda_dynamic_spark.sources.textgraph import (  # noqa: F401
     MtxHeader,
     read_mtx,
