@@ -29,14 +29,16 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--transcripts", help="parquet path of the transcript table")
-    ap.add_argument("--synthesize", type=int, default=0, help="synthesize N conversations instead")
-    ap.add_argument("--input-mtx", default=None,
-                    help="MatrixMarket graph file (the reference's static input; "
-                         "ids reported 1-indexed as in the file)")
-    ap.add_argument("--input-temporal", default=None,
-                    help="SNAP temporal edge file (the reference's dynamic input: "
-                         "line order is the batch cursor, main.cu:83)")
+    src_group = ap.add_mutually_exclusive_group()
+    src_group.add_argument("--transcripts", help="parquet path of the transcript table")
+    src_group.add_argument("--synthesize", type=int, default=0,
+                           help="synthesize N conversations instead")
+    src_group.add_argument("--input-mtx", default=None,
+                           help="MatrixMarket graph file (the reference's static input; "
+                                "ids reported 1-indexed as in the file)")
+    src_group.add_argument("--input-temporal", default=None,
+                           help="SNAP temporal edge file (the reference's dynamic input: "
+                                "line order is the batch cursor, main.cu:83)")
     ap.add_argument("--technique", default="static",
                     choices=["static", "nd", "dt", "df", "dfp"])
     ap.add_argument("--algo", default="pagerank",
@@ -97,13 +99,13 @@ def main(argv: list[str] | None = None) -> int:
         n = max(hdr.rows, hdr.cols)
         id_shift = 1  # back to the file's 1-indexed ids on output
     elif args.input_temporal:
-        import pyspark.sql.functions as _F
-
         from pagerank_cuda_dynamic_spark.sources.textgraph import read_snap_temporal
 
         enc = read_snap_temporal(spark, args.input_temporal)
-        row = enc.agg(_F.greatest(_F.max("src"), _F.max("dst")).alias("m")).collect()[0]
-        n = int(row["m"]) + 1 if row["m"] is not None else 0
+        # span (n) is derived lazily only where needed — the --batches
+        # regime derives it inside run_temporal_batches, so the primary
+        # 63M-line workflow never pays an extra max-id scan here
+        n = None
     else:
         if args.synthesize:
             t = synthesize_transcripts(spark, n_conversations=args.synthesize, seed=args.seed)
@@ -126,6 +128,11 @@ def main(argv: list[str] | None = None) -> int:
             label_propagation_joinagg,
         )
 
+        if n is None:
+            row = enc.agg(F.greatest(F.max("src"), F.max("dst")).alias("m")).collect()[0]
+            if row["m"] is None:
+                ap.error(f"no edge records in --input-temporal file {args.input_temporal!r}")
+            n = int(row["m"]) + 1
         if args.algo == "cc":
             out_df = connected_components_joinagg(enc.select("src", "dst"), n)
             val = "component"
@@ -173,6 +180,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(m.__dict__), file=sys.stderr)
     else:
         g = GraphSnapshot.build(enc.select("src", "dst"), n=n)
+        if g.n == 0:
+            ap.error("input graph has no edge records")
         if args.exchange == "tcp":
             from pagerank_cuda_dynamic_spark.operators.pagerank_tcp import (
                 pagerank_static_tcp,

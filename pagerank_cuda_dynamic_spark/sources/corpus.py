@@ -42,10 +42,11 @@ def read_jsonl_documents(
 
     * Explicit schema (no inference pass); extra JSON fields are ignored by
       construction — column pruning reaches the text scan.
-    * Malformed lines land in ``_corrupt_record`` (PERMISSIVE) and are
-      dropped unless ``keep_corrupt`` (then returned with text=NULL and
-      source='_corrupt' for quarantine routing — a 100 TB crawl ALWAYS has
-      some).
+    * Malformed lines — unparseable JSON OR valid JSON missing the text
+      field — are dropped unless ``keep_corrupt`` (then returned with
+      text=NULL and source='_corrupt' for quarantine routing — a 100 TB
+      crawl ALWAYS has some; no record ever vanishes silently in
+      quarantine mode).
     * Missing ``doc_id`` is minted as a deterministic 63-bit content hash
       (xxhash64 of text) — layout/partitioning-independent, unlike
       ``monotonically_increasing_id`` (collisions are exact-duplicate texts,
@@ -92,10 +93,17 @@ def read_jsonl_documents(
         F.length(text_field).cast("long").alias("n_chars"),
     )
     if keep_corrupt:
-        bad = raw.where(F.col("_corrupt_record").isNotNull()).select(
-            F.abs(F.xxhash64(F.col("_corrupt_record"))).alias("doc_id"),
+        # quarantine BOTH failure modes: unparseable JSON and well-formed
+        # records lacking the text field (which the clean path filters out)
+        bad = raw.where(
+            F.col("_corrupt_record").isNotNull() | F.col(text_field).isNull()
+        ).select(
+            F.coalesce(
+                F.col("doc_id"),
+                F.abs(F.xxhash64(F.coalesce(F.col("_corrupt_record"), F.lit("")))),
+            ).alias("doc_id"),
             F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("lang"),
+            F.col("lang"),
             F.lit("_corrupt").alias("source"),
             F.lit(None).cast("long").alias("n_chars"),
         )

@@ -53,9 +53,9 @@ class MtxHeader:
 
 
 def _require_single_file(path: str) -> None:
-    if os.path.isdir(path):
+    if os.path.isdir(path) or any(c in path for c in "*?[{"):
         raise ValueError(
-            f"text graph loaders take a single file, got directory: {path!r} "
+            f"text graph loaders take a single file, got directory/glob: {path!r} "
             "(line order across multiple files is listing-order-dependent)"
         )
 
@@ -103,6 +103,7 @@ def _indexed_records(spark: SparkSession, path: str) -> DataFrame:
     """(line, idx) over the comment- and blank-filtered lines of one file,
     idx following file order — the distributed analog of the reference's
     ordered chunk walk (mtx.hxx:159–187 / snap.hxx:75–103)."""
+    _require_single_file(path)
     rdd = (
         spark.sparkContext.textFile(path)
         .map(lambda ln: ln.strip())
@@ -110,6 +111,26 @@ def _indexed_records(spark: SparkSession, path: str) -> DataFrame:
         .zipWithIndex()
     )
     return spark.createDataFrame(rdd, schema="line string, idx long")
+
+
+def _checked_cast(parts, i: int, dtype: str, name: str):
+    """Cast token i of a split line, raising (with the offending line) on
+    unparseable/missing tokens instead of letting Spark's non-ANSI cast emit
+    NULL edges that crash far downstream (e.g. as NULL keys in the degree
+    table).  `get` + `try_cast` route every failure mode (short line,
+    non-numeric token, ANSI on or off) into the same clear error; the check
+    is a per-row expression — no extra pass."""
+    val = F.get(parts, i).try_cast(dtype)
+    return (
+        F.when(
+            val.isNull(),
+            F.raise_error(
+                F.concat(F.lit(f"unparseable graph line (bad {name}): "), F.col("line"))
+            ).cast(dtype),
+        )
+        .otherwise(val)
+        .alias(name)
+    )
 
 
 def read_mtx(
@@ -133,11 +154,11 @@ def read_mtx(
     body = rec.where(F.col("idx") > 0)  # drop the size line by position
     shift = 1 if zero_index else 0
     cols = [
-        (parts.getItem(0).cast("long") - shift).alias("src"),
-        (parts.getItem(1).cast("long") - shift).alias("dst"),
+        (_checked_cast(parts, 0, "long", "src") - shift).alias("src"),
+        (_checked_cast(parts, 1, "long", "dst") - shift).alias("dst"),
     ]
     if hdr.weighted:
-        cols.append(parts.getItem(2).cast("double").alias("w"))
+        cols.append(_checked_cast(parts, 2, "double", "w"))
     edges = body.select(*cols)
     if hdr.symmetric:
         mirror_cols = [
@@ -164,16 +185,15 @@ def read_snap_temporal(
     ``WHERE seq < base_n`` / ``WHERE seq BETWEEN a AND b`` over this frame.
     Comment lines (``#``/``%``) and blanks are not counted.
     """
-    _require_single_file(path)
     rec = _indexed_records(spark, path)
     parts = F.split(F.col("line"), r"\s+")
     shift = 1 if zero_index else 0
     cols = [
-        (parts.getItem(0).cast("long") - shift).alias("src"),
-        (parts.getItem(1).cast("long") - shift).alias("dst"),
+        (_checked_cast(parts, 0, "long", "src") - shift).alias("src"),
+        (_checked_cast(parts, 1, "long", "dst") - shift).alias("dst"),
     ]
     if weighted:
-        cols.append(parts.getItem(2).cast("double").alias("w"))
+        cols.append(_checked_cast(parts, 2, "double", "w"))
     cols.append(F.col("idx").alias("seq"))
     return rec.select(*cols)
 

@@ -134,11 +134,14 @@ def run_temporal_batches(
     )
 
     opts = opts or PagerankOptions()
-    total = edges_seq.agg(F.max("seq")).collect()[0][0] + 1
-    n_row = edges_seq.agg(
-        F.greatest(F.max("src"), F.max("dst")).alias("m")
-    ).collect()[0]["m"]
-    n = int(n_row) + 1
+    bounds = edges_seq.agg(
+        F.max("seq").alias("mseq"),
+        F.greatest(F.max("src"), F.max("dst")).alias("m"),
+    ).collect()[0]
+    if bounds["mseq"] is None:
+        raise ValueError("run_temporal_batches: edges_seq has no edge records")
+    total = int(bounds["mseq"]) + 1
+    n = int(bounds["m"]) + 1
     cut = int(base_fraction * total)
     base_edges = edges_seq.where(F.col("seq") < cut).select("src", "dst")
     g = GraphSnapshot.build(base_edges, n=n)

@@ -60,9 +60,12 @@ def test_read_jsonl_corrupt_quarantine(spark, tmp_path):
     clean = read_jsonl_documents(spark, path)
     assert [r.text for r in clean.collect()] == ["good"]
     with_bad = read_jsonl_documents(spark, path, keep_corrupt=True)
-    by_src = {r.source: r for r in with_bad.collect() if r.source == "_corrupt"}
-    assert "_corrupt" in by_src and by_src["_corrupt"].text is None
-    assert with_bad.count() == 2  # good + quarantined broken line
+    rows = with_bad.collect()
+    quarantined = [r for r in rows if r.source == "_corrupt"]
+    # BOTH failure modes quarantined: the broken JSON line AND the valid
+    # record with no text field — nothing vanishes silently
+    assert len(quarantined) == 2 and all(r.text is None for r in quarantined)
+    assert len(rows) == 3
 
 
 def test_read_jsonl_alternate_text_field(spark, tmp_path):

@@ -74,6 +74,27 @@ def test_mtx_size_line_dropped_by_position_not_content(spark, tmp_path):
     assert rows == [(1, 2, 7.0), (2, 3, 1.0), (3, 1, 2.0), (3, 3, 4.0)]
 
 
+def test_loaders_reject_globs_and_raise_on_malformed_lines(spark, tmp_path):
+    with pytest.raises(ValueError, match="glob"):
+        read_snap_temporal(spark, str(tmp_path / "part-*.txt"))
+    # a non-numeric token fails LOUDLY: ANSI cast error (Spark 4 default) or
+    # the loader's raise_error guard (ANSI off / missing token) — never a
+    # silent NULL edge
+    bad = _write(tmp_path, "bad_line.txt", "1 2\n3 four\n")
+    with pytest.raises(Exception, match="unparseable graph line|CAST_INVALID_INPUT|NumberFormatException"):
+        read_snap_temporal(spark, bad).collect()
+    short = _write(tmp_path, "short_line.txt", "1 2 0.5\n3 4\n")
+    with pytest.raises(Exception, match="unparseable graph line|CAST_INVALID_INPUT"):
+        read_snap_temporal(spark, short, weighted=True).collect()
+
+
+def test_cli_rejects_conflicting_inputs(tmp_path):
+    from pagerank_cuda_dynamic_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--input-mtx", "a.mtx", "--synthesize", "10", "--out", str(tmp_path / "o")])
+
+
 def test_mtx_rejects_bad_inputs(spark, tmp_path):
     bad = _write(tmp_path, "bad.mtx", "not a banner\n1 1 0\n")
     with pytest.raises(ValueError, match="banner"):
