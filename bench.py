@@ -946,36 +946,31 @@ def section_ops(spark, results: dict) -> None:
     ent.unpersist()
     g.unpersist()
 
-    # Round-4 operator families timed through the registry itself (r4
-    # verdict task #4: these had no wall-time row, so perf regressions in
-    # them were invisible).  Each call is the exact queries() entry the
-    # correctness gate verifies, run at the bench SF.
+    # Full registry sweep (r4 verdict task #4 generalized): EVERY queries()
+    # entry gets a wall row under its registry name, so a perf regression in
+    # any driver-facing query is visible per round.  Each call is the exact
+    # entry the correctness gate verifies, run at the bench SF.  Heavy
+    # parameterized twins already timed above under variant names are
+    # aliased, not re-run; a query error records an ERR row instead of
+    # killing the section.
     import __spark_entry__ as entrymod
 
-    reg = entrymod.queries()
-    for qname in (
-        "salsa",
-        "hits",
-        "katz_10",
-        "scc",
-        "seeded_lpa",
-        "bowtie",
-        "cocitation",
-        "bib_coupling",
-        "neighborhood_function",
-        "pseudo_diameter",
-        "mis",
-        "jp_coloring",
-        "kmv_vocab",
-        "cc_decremental",
-        "degree_powerlaw",
-        "source_overlap",
-        "weighted_sample",
-        "corpus_profile",
-        "duplicate_spans",
-        "token_vocabulary",
-    ):
-        timed(qname, lambda n=qname: reg[n](spark, SF_DIR).count())
+    aliased = {
+        "louvain": "louvain_4",
+        "coreness": "coreness_6",
+        "betweenness": "betweenness_c20",
+        "closeness": "closeness_c100",
+        "pagerank_converged": "pagerank_converged_bsp",
+    }
+    for qname, qfn in entrymod.queries().items():
+        if qname in results["queries"] or aliased.get(qname) in results["queries"]:
+            continue
+        t0 = time.time()
+        try:
+            qfn(spark, SF_DIR).count()
+            results["queries"][qname] = round(time.time() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 — one bad query ≠ lost section
+            results["queries"][qname] = f"ERR:{exc!r}"[:120]
 
 
 def main() -> None:
