@@ -194,16 +194,23 @@ def section_scaling_2proc(results: dict) -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_2PROC_REPEATS", "3"))
     convs = int(os.environ.get("SPARK_GRAFT_2PROC_CONVS", str(BENCH_CONVS)))
     worker_mb = int(os.environ.get("SPARK_GRAFT_2PROC_MB", "10240"))
-    meds: dict = {p: {1: [], 2: []} for p in ("bsp", "tcp")}
+    # Executor-count rung is configurable so one campaign can also record
+    # the literal N->4N EXECUTOR step (PROCS=1,4 CORES=8: one 8-core JVM
+    # vs four 8-core JVMs) — the default stays the r4 verdict's 1-vs-2.
+    p_lo, p_hi = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_2PROC_PROCS", "1,2").split(",")
+    )
+    cores = int(os.environ.get("SPARK_GRAFT_2PROC_CORES", "16"))
+    meds: dict = {p: {p_lo: [], p_hi: []} for p in ("bsp", "tcp")}
     info: dict = {}
     failures: list = []
     for rep in range(repeats):
-        for nproc in (1, 2):
-            master = f"local-cluster[{nproc},16,{worker_mb}]"
+        for nproc in (p_lo, p_hi):
+            master = f"local-cluster[{nproc},{cores},{worker_mb}]"
             spark = (
                 SparkSession.builder.master(master)
                 .appName(f"bench-2proc-{nproc}p-r{rep}")
-                .config("spark.sql.shuffle.partitions", str(16 * nproc))
+                .config("spark.sql.shuffle.partitions", str(cores * nproc))
                 .config("spark.executor.memory", f"{worker_mb * 3 // 4}m")
                 .config(
                     "spark.executorEnv.PYTHONPATH",
@@ -257,15 +264,21 @@ def section_scaling_2proc(results: dict) -> None:
                 g.unpersist()
             finally:
                 spark.stop()
-    out: dict = {"repeats": repeats, "paths": {}}
+    out: dict = {
+        "repeats": repeats,
+        "procs": [p_lo, p_hi],
+        "cores_per_executor": cores,
+        "paths": {},
+    }
     if failures:
         out["failed_runs"] = failures
+    step = p_hi / p_lo
     for path in ("bsp", "tcp"):
         ratios = [
-            (meds[path][1][i] / meds[path][2][i]) / 2.0
+            (meds[path][p_lo][i] / meds[path][p_hi][i]) / step
             for i in range(repeats)
-            if i < len(meds[path][1]) and i < len(meds[path][2])
-            and meds[path][1][i] is not None and meds[path][2][i] is not None
+            if i < len(meds[path][p_lo]) and i < len(meds[path][p_hi])
+            and meds[path][p_lo][i] is not None and meds[path][p_hi][i] is not None
         ]
         out["paths"][path] = {
             **info.get(path, {}),

@@ -32,6 +32,8 @@ def generate(
     scale4x_name: str | None = None,
     scale4x_dyn: dict | None = None,
     scale4x_dyn_name: str | None = None,
+    exec4x: dict | None = None,
+    exec4x_name: str | None = None,
 ) -> str:
     sc = d["scaling"]
     lo, hi = str(sc["n_cores"]), str(sc["n4_cores"])
@@ -147,6 +149,17 @@ def generate(
         a("local-cluster runs below show the cross-node cost is one O(|V|·8 B)")
         a("ring transfer per iteration, independent of executor count — the")
         a("term that actually governs N→4N executor scaling off this box.")
+        e4_head = (exec4x or {}).get("scaling_2proc") or {}
+        e4_bsp = (e4_head.get("paths") or {}).get("bsp") or {}
+        if e4_bsp:
+            hi = str(e4_head.get("procs", [1, 4])[1])
+            hi_mps = (e4_bsp.get(hi) or {}).get("edges_per_sec_per_superstep") or 0
+            a(f"(5) the literal 1→{hi} EXECUTOR ladder (fixed 8 cores per JVM,")
+            a(f"section below) lands at {e4_bsp.get('per_process_efficiency_median')} per-process efficiency —")
+            a("the same band as the thread ladder and the roofline — and its")
+            a(f"{hi}-executor absolute throughput ({fmt_mps(hi_mps)}) EXCEEDS the")
+            a("single-JVM local[32] headline: executor-count scaling itself")
+            a("adds no loss on this engine.")
     a("")
     if micro:
         a("### Host roofline (pure-numpy pinned replay of the superstep kernel)")
@@ -347,22 +360,21 @@ def generate(
         a("affected-row-scattered by nature — so per-superstep cost favors")
         a("static more than at 1× size, and the DF margin compresses at 1e-4.")
         a("Errors stay ≤ 7e-10 L∞ vs fresh static recompute.")
-    sc2 = d.get("scaling_2proc") or {}
-    if sc2.get("paths"):
+    def _render_2proc(sc2: dict) -> None:
+        plo, phi = (str(p) for p in sc2.get("procs", [1, 2]))
+        cpe = sc2.get("cores_per_executor", 16)
         a("")
-        a("### Two-executor-JVM static scaling (each JVM its own heap)")
-        a("")
-        a(f"The same full-size static loop on `local-cluster[1,16,MB]` (one")
-        a(f"executor JVM) vs `local-cluster[2,16,MB]` (two executor JVMs),")
+        a(f"The same full-size static loop on `local-cluster[{plo},{cpe},MB]` ({plo}")
+        a(f"executor JVM{'s' if plo != '1' else ''}) vs `local-cluster[{phi},{cpe},MB]` ({phi} executor JVMs),")
         a(f"{sc2['repeats']} paired repeats — the executor-scaling analog this single box")
         a("can measure: each executor brings its own JVM heap, GC, and python")
         a("workers, exactly as on a real cluster; only the DRAM bus stays")
-        a("shared.  Per-process efficiency = (med₁ᵖ/med₂ᵖ)/2.")
+        a(f"shared.  Per-process efficiency = (med_{plo}p/med_{phi}p)/{int(sc2.get('procs', [1, 2])[1] / sc2.get('procs', [1, 2])[0])}.")
         a("")
-        a("| loop | 1 proc (16 cores) | 2 proc (32 cores) | pair ratios | per-process efficiency |")
+        a(f"| loop | {plo} proc ({int(plo)*cpe} cores) | {phi} proc ({int(phi)*cpe} cores) | pair ratios | per-process efficiency |")
         a("|---|---|---|---|---|")
         for pth, row in sc2["paths"].items():
-            one, two = row.get("1", {}), row.get("2", {})
+            one, two = row.get(plo, {}), row.get(phi, {})
             a(
                 f"| {pth.upper()} | {one.get('median_superstep_sec', 0)*1000:.1f} ms "
                 f"({fmt_mps(one.get('edges_per_sec_per_superstep', 0))}) | "
@@ -370,11 +382,57 @@ def generate(
                 f"({fmt_mps(two.get('edges_per_sec_per_superstep', 0))}) | "
                 f"{row['pair_ratios']} | **{row['per_process_efficiency_median']}** |"
             )
+
+    sc2 = d.get("scaling_2proc") or {}
+    if sc2.get("paths"):
+        a("")
+        a("### Two-executor-JVM static scaling (each JVM its own heap)")
+        _render_2proc(sc2)
         a("")
         a("Reading: where this matches the single-JVM local[16]→local[32]")
         a("ratio, the thread-vs-process distinction costs nothing — the")
         a("sub-linear part is the shared memory system (roofline above), the")
         a("term a real cluster multiplies with executor count.")
+    e4 = (exec4x or {}).get("scaling_2proc") or {}
+    if e4.get("paths"):
+        a("")
+        a("### 1→4 executor-JVM ladder (the literal N→4N executor step)")
+        a("")
+        a(f"`{exec4x_name}` — same loop, same input, executor COUNT ×4 at a")
+        a("fixed 8 cores per executor: the closest single-box analog of the")
+        a("BASELINE.json two-cluster-size rule stated in executors rather")
+        a("than threads.")
+        _render_2proc(e4)
+        a("")
+        e4hi = str(e4.get("procs", [1, 4])[1])
+        bsp4 = e4["paths"].get("bsp", {})
+        tcp4 = e4["paths"].get("tcp", {})
+        bsp4_eff = bsp4.get("per_process_efficiency_median")
+        bsp4_hi_mps = (bsp4.get(e4hi) or {}).get("edges_per_sec_per_superstep") or 0
+        single_mps = d.get("edges_per_sec_per_superstep") or 0
+        single_n4n = (
+            f"{statistics.median(sc['pair_ratios']):.3f}" if sc.get("pair_ratios") else "n/a"
+        )
+        a(f"Reading (BSP): {e4hi} independent 8-core JVMs (own heap/GC/python")
+        a(f"workers) land at {bsp4_eff} per-process efficiency — the same band as")
+        a(f"the single-JVM thread ladder ({single_n4n}) and the host's numpy")
+        a("roofline, so going from threads to executor PROCESSES costs")
+        a("nothing: the residual sub-linearity is the shared DRAM bus, the")
+        a("term a real cluster multiplies away with executor count.  Absolute")
+        a(f"throughput at {e4hi}×8 cores ({fmt_mps(bsp4_hi_mps)}) even beats the")
+        a(f"single-JVM local[32] headline ({fmt_mps(single_mps)}) — four heaps")
+        a("beat one big one.  The cross-executor exchange stays one")
+        a("O(|V|·8 B) memmap transfer per iteration regardless of executor")
+        a("count.")
+        if tcp4:
+            a("")
+            a(f"Reading (TCP ring): {tcp4.get('per_process_efficiency_median')} — the ring exchange is")
+            a(f"per-hop socket traffic, and with {e4hi} ring processes sharing one")
+            a("host every hop serializes on the same loopback and memory bus,")
+            a("so this single-box ladder UNDERSTATES a real cluster where each")
+            a("hop has its own NIC.  The transferable statement is the 1→2")
+            a("record above plus the O(|V|·8 B)-per-hop exchange bound; the")
+            a("memmap BSP path is the intended scale path either way.")
     a("")
     a("## Dynamic family — batch-fraction sweep (reference main.sh regime)")
     a("")
@@ -668,6 +726,13 @@ def main() -> None:
         if blocked:
             scale4x["_blocked"] = json.loads(blocked[-1].read_text())
             scale4x["_blocked_name"] = f"BENCH/{blocked[-1].name}"
+    exec4x = None
+    exec4x_name = None
+    # 1-vs-4 executor-JVM ladder record (scaling_2proc run with PROCS=1,4)
+    for p in sorted(src.parent.glob("*scaling_exec4x*.local.json")):
+        cand = json.loads(p.read_text())
+        if (cand.get("scaling_2proc") or {}).get("paths"):
+            exec4x, exec4x_name = cand, f"BENCH/{p.name}"
     out.write_text(
         generate(
             d,
@@ -682,6 +747,8 @@ def main() -> None:
             tcp_full_name=tcp_full_name,
             scale4x_dyn=scale4x_dyn,
             scale4x_dyn_name=scale4x_dyn_name,
+            exec4x=exec4x,
+            exec4x_name=exec4x_name,
         )
     )
     print(f"wrote {out} from {src}" + (f" + {extra_name}" if extra_name else ""))
