@@ -1529,6 +1529,44 @@ def q_dedup_best(spark, sf_dir):
     return dedup_representatives(docs, pairs)
 
 
+def q_maximal_matching(spark, sf_dir):
+    """Greedy maximal matching with md5 hash priorities over the event
+    graph (graph.maximal_matching — edge-analog of Luby MIS: an edge is
+    matched iff its (hash, src, dst) key is the local minimum at BOTH
+    endpoints; matched endpoints leave) vs the round-for-round unrolled
+    oracle; extra unrolled rounds are no-ops past convergence."""
+    from pagerank_cuda_dynamic_spark.operators.graph import maximal_matching
+
+    et = edges_from_events(spark, sf_dir).select("src", "dst").distinct()
+    return maximal_matching(et, priority_hash=_md5_hash64)
+
+
+def q_spam_mass(spark, sf_dir):
+    """TrustRank + relative spam mass (centrality.trustrank_spam_mass,
+    Gyöngyi et al. 2004): trusted seeds = customer entities ('c…'), 20
+    synchronous PPR rounds for both the uniform-teleport rank and the
+    trust-seeded rank, spam_mass = (rank − trust)/rank — vs the dual
+    unrolled-CTE oracle."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        trustrank_spam_mass,
+    )
+
+    e = _entity_edge_df(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    trusted = verts.where(F.col("v").like("c%"))
+    res = trustrank_spam_mass(e, trusted, damping=DAMPING, iterations=20)
+    return res.select(
+        F.col("v").alias("entity"),
+        F.round("rank", 6).alias("rank"),
+        F.round("trust", 6).alias("trust"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -1640,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_pj": q_connected_components_pj,
         "minhash_verified": q_minhash_verified,
         "token_vocabulary": q_token_vocabulary,
+        "maximal_matching": q_maximal_matching,
+        "spam_mass": q_spam_mass,
     }
 
 
@@ -1924,6 +1964,40 @@ p{i} AS MATERIALIZED (
   LEFT JOIN p{i-1} ON p{i-1}.v = ew.src
   GROUP BY tp.v, tp.p)"""
     body += f"\nSELECT v AS entity, round(rank, 6) AS rank FROM p{k}"
+    return body
+
+
+def _spam_mass_sql(k: int) -> str:
+    """Dual unrolled k-iteration PPR (centrality.trustrank_spam_mass):
+    `rank` = PPR seeded by EVERY vertex (uniform teleport ≡ plain
+    PageRank), `trust` = PPR seeded by the customer entities ('c…');
+    spam_mass = (rank − trust)/rank computed on the UNROUNDED values —
+    both chains are the literal _ppr_sql recurrence over the same
+    self-looped `ew` graph."""
+    body = f"""WITH {_GRAPH_CTES.strip()},
+seeds AS MATERIALIZED (SELECT v FROM verts WHERE v LIKE 'c%'),
+tpu AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS p FROM verts),
+tpt AS MATERIALIZED (
+  SELECT verts.v,
+         CASE WHEN seeds.v IS NULL THEN 0.0
+              ELSE 1.0 / (SELECT count(*) FROM seeds) END AS p
+  FROM verts LEFT JOIN seeds ON seeds.v = verts.v),
+u0 AS MATERIALIZED (SELECT v, p AS rank FROM tpu),
+t0 AS MATERIALIZED (SELECT v, p AS rank FROM tpt)"""
+    for i in range(1, k + 1):
+        for nm, tp in (("u", "tpu"), ("t", "tpt")):
+            body += f""",
+{nm}{i} AS MATERIALIZED (
+  SELECT {tp}.v,
+         (1-{DAMPING})*{tp}.p
+           + {DAMPING} * coalesce(sum({nm}{i-1}.rank * ew.w), 0) AS rank
+  FROM {tp} LEFT JOIN ew ON ew.dst = {tp}.v
+  LEFT JOIN {nm}{i-1} ON {nm}{i-1}.v = ew.src
+  GROUP BY {tp}.v, {tp}.p)"""
+    body += f"""
+SELECT u.v AS entity, round(u.rank, 6) AS rank, round(t.rank, 6) AS trust,
+       round((u.rank - t.rank) / u.rank, 6) AS spam_mass
+FROM u{k} u JOIN t{k} t ON t.v = u.v"""
     return body
 
 
@@ -2412,6 +2486,55 @@ live{r + 1} AS MATERIALIZED (
         + f""",
 mis AS ({union})
 SELECT l.v, l.v IN (SELECT v FROM mis) AS mis FROM live0 l"""
+    )
+
+
+def _matching_rounds_sql(rounds: int) -> str:
+    """Unrolled greedy maximal-matching rounds (graph.maximal_matching
+    contract): per round, over the LIVE canonical edge set, an edge is
+    matched iff its (md5-hash, src, dst) key is the minimum among live
+    edges at BOTH endpoints (row_number replay of the struct-min the
+    Spark loop aggregates); both matched endpoints then leave.  Extra
+    unrolled rounds past convergence are no-ops, so any unroll ≥ the
+    actual round count is exact."""
+    parts = [
+        f"""WITH ev AS ({_EVENT_EDGES}),
+simple AS (SELECT DISTINCT src, dst FROM ev WHERE src <> dst),
+canon AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(concat('0x', substr(md5(src || '|' || dst), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM simple)),
+live0 AS MATERIALIZED (SELECT src, dst, h FROM canon)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""inc{r} AS (
+  SELECT src AS v, h, src, dst FROM live{r}
+  UNION ALL SELECT dst AS v, h, src, dst FROM live{r}),
+vm{r} AS (
+  SELECT v, h, src, dst FROM (
+    SELECT v, h, src, dst,
+           row_number() OVER (PARTITION BY v ORDER BY h, src, dst) AS rn
+    FROM inc{r}) s WHERE rn = 1),
+win{r} AS MATERIALIZED (
+  SELECT l.src, l.dst FROM live{r} l
+  JOIN vm{r} a ON a.v = l.src AND a.h = l.h AND a.src = l.src AND a.dst = l.dst
+  JOIN vm{r} b ON b.v = l.dst AND b.h = l.h AND b.src = l.src AND b.dst = l.dst),
+live{r + 1} AS MATERIALIZED (
+  SELECT l.src, l.dst, l.h FROM live{r} l
+  WHERE l.src NOT IN (SELECT src FROM win{r} UNION SELECT dst FROM win{r})
+    AND l.dst NOT IN (SELECT src FROM win{r} UNION SELECT dst FROM win{r}))"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT src, dst FROM win{r}" for r in range(rounds)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+m AS ({union})
+SELECT c.src, c.dst, (m.src IS NOT NULL) AS matched
+FROM canon c LEFT JOIN m ON m.src = c.src AND m.dst = c.dst"""
     )
 
 
@@ -3291,6 +3414,8 @@ GROUP BY w.doc_id
 """,
         "mis": _luby_rounds_sql(8, color=False),
         "jp_coloring": _luby_rounds_sql(10, color=True),
+        "maximal_matching": _matching_rounds_sql(12),
+        "spam_mass": _spam_mass_sql(20),
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

@@ -637,3 +637,55 @@ def coreness(edges: DataFrame, rounds: int = 12) -> DataFrame:
         )
     und.unpersist()
     return c.select("v", F.col("c").alias("coreness"))
+
+
+def trustrank_spam_mass(
+    edges: DataFrame,
+    trusted: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> DataFrame:
+    """TrustRank + relative spam mass (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004; spam-mass companion 2006) — the classic link-spam
+    diagnostic every web-graph pipeline runs next to PageRank.
+
+    trust(v)      = personalized PageRank with the teleport vector
+                    uniform over the `trusted` seed set (the TrustRank
+                    recurrence is exactly PPR with trust seeds);
+    rank(v)       = PageRank with the uniform teleport — expressed as
+                    PPR seeded by EVERY vertex, so both columns run the
+                    identical synchronous pull loop
+                    (personalized_pagerank above) for `iterations`
+                    rounds with universal self-loops (G4): Σ rank ≡
+                    Σ trust ≡ 1, no dangling leak, and the two columns
+                    are directly comparable with no rescaling;
+    spam_mass(v)  = (rank(v) − trust(v)) / rank(v)  — the relative
+                    spam-mass estimate; rank(v) ≥ (1−P)/N > 0 always,
+                    so the division is total.  Near 1 ⇒ v's rank is
+                    mostly unreachable from the trusted set (spam
+                    signal); ≤ 0 ⇒ trust-dominated.
+
+    Returns (v, rank, trust, spam_mass).  Scale shape: two runs of the
+    broadcast-state joinagg loop — nothing beyond the PPR cost model.
+    """
+    e0 = _distinct_edges(edges)
+    verts = (
+        e0.select(F.col("src").alias("v"))
+        .union(e0.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    pr = personalized_pagerank(
+        edges, verts, damping=damping, iterations=iterations
+    ).withColumnRenamed("rank", "pr")
+    tr = personalized_pagerank(
+        edges, trusted, damping=damping, iterations=iterations
+    ).withColumnRenamed("rank", "trust")
+    return (
+        pr.join(tr, "v")
+        .select(
+            "v",
+            F.col("pr").alias("rank"),
+            "trust",
+            ((F.col("pr") - F.col("trust")) / F.col("pr")).alias("spam_mass"),
+        )
+    )

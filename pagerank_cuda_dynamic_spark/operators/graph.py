@@ -589,3 +589,99 @@ def degree_powerlaw(edges: DataFrame, d_min: int = 2) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+def maximal_matching(
+    edges: DataFrame,
+    priority_hash=None,
+    max_rounds: int = 48,
+) -> DataFrame:
+    """Greedy maximal matching with hash priorities — the EDGE analog of
+    Luby MIS (Israeli–Itai shape): per round, over the LIVE canonical
+    edge set, edge e=(a,b) joins the matching iff its key
+    (hash('a|b'), a, b) is the minimum among live edges incident to a
+    AND among those incident to b; both endpoints of a matched edge
+    then leave.  Deterministic (no RNG), and the globally minimal live
+    edge is a local minimum at both of its endpoints, so every round
+    matches ≥1 edge; with hash priorities the live set shrinks
+    geometrically (O(log n) rounds w.h.p.).
+
+    Per round: one incident-explode + min aggregate (≤2·|live| rows)
+    and two broadcast-hinted joins back — the persisted frames are all
+    O(|live|); nothing touches the driver but the isEmpty scalar.
+
+    Returns (src, dst, matched:boolean) over the canonical (src<dst)
+    undirected simple edge set.  Raises if max_rounds is exhausted with
+    live edges remaining (mirrors maximal_independent_set — a silently
+    non-maximal matching would break callers).  No reference
+    counterpart (the reference has no matching operator); this extends
+    the Luby-family local-minimum selection of
+    maximal_independent_set to edges for pipeline tasks like
+    one-to-one near-duplicate pairing.
+    """
+    from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
+
+    if priority_hash is None:
+        priority_hash = F.xxhash64
+    simple = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+    )
+    canon = (
+        simple.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .select(
+            "src",
+            "dst",
+            priority_hash(F.concat_ws("|", F.col("src"), F.col("dst"))).alias("h"),
+        )
+        .transform(materialize)
+    )
+    n_edges = canon.count()
+    live = canon
+    matched = None
+    for _ in range(max_rounds):
+        if live.isEmpty():
+            break
+        incident = live.select(F.col("src").alias("v"), "h", "src", "dst").unionByName(
+            live.select(F.col("dst").alias("v"), "h", "src", "dst")
+        )
+        vmin = incident.groupBy("v").agg(F.min(F.struct("h", "src", "dst")).alias("m"))
+        bmin = broadcast_state(vmin, 2 * n_edges)
+        key = F.struct("h", "src", "dst")
+        winners = (
+            live.join(bmin.select(F.col("v").alias("src"), F.col("m").alias("ms")), "src")
+            .join(bmin.select(F.col("v").alias("dst"), F.col("m").alias("md")), "dst")
+            .where((key == F.col("ms")) & (key == F.col("md")))
+            .select("src", "dst")
+            .transform(materialize)
+        )
+        matched = winners if matched is None else matched.unionByName(winners)
+        gone = (
+            winners.select(F.col("src").alias("v"))
+            .unionByName(winners.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        bgone = broadcast_state(gone, n_edges)
+        live = (
+            live.join(bgone.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(bgone.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .transform(materialize)
+        )
+    if not live.isEmpty():
+        raise RuntimeError(
+            "maximal_matching: live edges remain after "
+            f"max_rounds={max_rounds}; raise the cap (pathological "
+            "decreasing-priority hash chain)"
+        )
+    out = canon.select("src", "dst")
+    if matched is None:
+        return out.select("src", "dst", F.lit(False).alias("matched"))
+    return out.join(
+        matched.select("src", "dst", F.lit(True).alias("matched")),
+        ["src", "dst"],
+        "left",
+    ).select("src", "dst", F.coalesce("matched", F.lit(False)).alias("matched"))

@@ -164,6 +164,55 @@ def test_ppr_localizes_on_seed_neighborhood(spark):
     assert res.loc[["x", "y", "z"], "rank"].max() == 0.0
 
 
+def test_trustrank_spam_mass_matches_numpy(spark):
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        trustrank_spam_mass,
+    )
+
+    trusted = ["a", "d"]
+    res = (
+        trustrank_spam_mass(
+            _edges(spark, DIGRAPH),
+            spark.createDataFrame(pd.DataFrame({"v": trusted})),
+            damping=0.85,
+            iterations=20,
+        )
+        .toPandas()
+        .set_index("v")
+    )
+    verts, t = _np_ppr(DIGRAPH, trusted, 0.85, 20)
+    _, r = _np_ppr(DIGRAPH, verts, 0.85, 20)
+    res = res.loc[verts]
+    assert np.allclose(res["rank"].to_numpy(), r, atol=1e-12)
+    assert np.allclose(res["trust"].to_numpy(), t, atol=1e-12)
+    assert np.allclose(res["spam_mass"].to_numpy(), (r - t) / r, atol=1e-12)
+
+
+def test_trustrank_untrusted_component_is_all_spam(spark):
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        trustrank_spam_mass,
+    )
+
+    # two disjoint triangles; trust seeded in one ⇒ the other gets
+    # trust 0 and spam_mass exactly 1, and both columns each sum to 1
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x")]
+    res = (
+        trustrank_spam_mass(
+            _edges(spark, pairs),
+            spark.createDataFrame(pd.DataFrame({"v": ["a"]})),
+            iterations=20,
+        )
+        .toPandas()
+        .set_index("v")
+    )
+    assert abs(res["rank"].sum() - 1.0) < 1e-12
+    assert abs(res["trust"].sum() - 1.0) < 1e-12
+    assert (res.loc[["x", "y", "z"], "trust"] == 0.0).all()
+    assert (res.loc[["x", "y", "z"], "spam_mass"] == 1.0).all()
+    assert (res.loc[["a", "b", "c"], "spam_mass"] < 1.0).all()
+
+
 def test_ppr_rejects_bad_seeds(spark):
     e = _edges(spark, DIGRAPH)
     with pytest.raises(ValueError):

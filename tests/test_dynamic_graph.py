@@ -266,6 +266,46 @@ def test_mis_is_independent_and_maximal(spark):
             assert any(rows[u] for u in adj[v]), v
 
 
+def test_maximal_matching_properties(spark):
+    from pagerank_cuda_dynamic_spark.operators.graph import maximal_matching
+
+    n = 30
+    src, dst = _rand_graph(71, n, 90)
+    e = edges_df(spark, src, dst)
+    rows = maximal_matching(e).collect()
+    canon = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    # output covers the canonical simple edge set exactly
+    assert {(r.src, r.dst) for r in rows} == canon
+    matched = [(r.src, r.dst) for r in rows if r.matched]
+    # a matching: no vertex appears in two matched edges
+    eps = [v for p in matched for v in p]
+    assert len(eps) == len(set(eps))
+    # maximal: every unmatched edge has a matched endpoint
+    mv = set(eps)
+    for r in rows:
+        if not r.matched:
+            assert r.src in mv or r.dst in mv, (r.src, r.dst)
+    # deterministic under relayout
+    rows2 = maximal_matching(e.repartition(7)).collect()
+    key = lambda r: (r.src, r.dst, r.matched)  # noqa: E731
+    assert sorted(map(key, rows2)) == sorted(map(key, rows))
+
+
+def test_maximal_matching_edge_cases(spark):
+    from pagerank_cuda_dynamic_spark.operators.graph import maximal_matching
+
+    # self loop dropped; the single real edge is matched (both directions
+    # collapse onto one canonical row)
+    e = edges_df(spark, [1, 2, 3], [1, 3, 2])
+    rows = maximal_matching(e).collect()
+    assert [(r.src, r.dst, r.matched) for r in rows] == [(2, 3, True)]
+    # triangle: exactly one edge matched, the other two blocked
+    tri = edges_df(spark, [1, 2, 3], [2, 3, 1])
+    rows = maximal_matching(tri).collect()
+    assert sum(r.matched for r in rows) == 1
+    assert len(rows) == 3
+
+
 def test_jp_coloring_proper_and_deterministic(spark):
     from pagerank_cuda_dynamic_spark.operators.graph import jp_coloring
 

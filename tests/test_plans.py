@@ -279,6 +279,25 @@ def test_late_round4_ops_jvm_side_and_window_scope(spark, docs):
     assert "BatchEvalPython" not in plan_of(dedup_representatives(q, pairs))
 
 
+def test_round5_ops_stay_jvm_side(spark):
+    """maximal_matching / trustrank_spam_mass: pure built-ins — no
+    BatchEvalPython in the result plans (the matching loop's per-round
+    frames are the same join/agg shapes and cannot host Python UDFs)."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        trustrank_spam_mass,
+    )
+    from pagerank_cuda_dynamic_spark.operators.graph import maximal_matching
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert "BatchEvalPython" not in plan_of(maximal_matching(e))
+    trusted = spark.createDataFrame([(0,), (3,)], "v long")
+    assert "BatchEvalPython" not in plan_of(
+        trustrank_spam_mass(e, trusted, iterations=2)
+    )
+
+
 def test_broadcast_state_hints_materialized_frames(spark):
     """Iterative loops barrier their per-vertex state with materialize()
     (localCheckpoint -> LogicalRDD), which carries no usable size estimate,
