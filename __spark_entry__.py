@@ -1567,6 +1567,63 @@ def q_spam_mass(spark, sf_dir):
     )
 
 
+def q_absorption_regions(spark, sf_dir):
+    """Truncated absorbing-random-walk hit probability
+    (centrality.absorption_probability): chance a uniform random walk
+    reaches a region entity ('r…') within 6 steps on the entity graph
+    (c→p→s→n→r topology, so every vertex has a nontrivial probability)
+    — vs the unrolled mean-recurrence CTE oracle."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        absorption_probability,
+    )
+
+    e = _entity_edge_df(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    targets = verts.where(F.col("v").like("r%"))
+    res = absorption_probability(e, targets, rounds=6)
+    return res.select(
+        F.col("v").alias("entity"), F.round("p_absorb", 6).alias("p_absorb")
+    )
+
+
+def q_dedup_matching(spark, sf_dir):
+    """One-to-one near-duplicate pairing: weighted maximal matching
+    (graph.maximal_matching, Preis local-max — heaviest-overlap edges
+    matched first, exact-integer weight = shared shingle count) over the
+    Jaccard-1 triangle graph of a doubly-injected corpus (each doc<200
+    plus TWO punctuation-degraded copies ⇒ identical shingle sets), so
+    every triangle forces the weighted-then-hash tie-break.  Oracle
+    replays the pair build and every matching round in SQL."""
+    from pagerank_cuda_dynamic_spark.operators.graph import maximal_matching
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select("doc_id", "text")
+    docs = (
+        d.unionByName(
+            d.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" !!!!!!!!!!")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" ??????????")).alias("text"),
+            )
+        )
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, include_counts=True)
+    pe = pairs.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.col("n_common").alias("w"),
+    )
+    return maximal_matching(pe, priority_hash=_md5_hash64, weight_col="w")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -1680,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocabulary": q_token_vocabulary,
         "maximal_matching": q_maximal_matching,
         "spam_mass": q_spam_mass,
+        "absorption_regions": q_absorption_regions,
+        "dedup_matching": q_dedup_matching,
     }
 
 
@@ -1999,6 +2058,100 @@ SELECT u.v AS entity, round(u.rank, 6) AS rank, round(t.rank, 6) AS trust,
        round((u.rank - t.rank) / u.rank, 6) AS spam_mass
 FROM u{k} u JOIN t{k} t ON t.v = u.v"""
     return body
+
+
+def _absorption_sql(rounds: int) -> str:
+    """Unrolled truncated absorbing-walk recurrence
+    (centrality.absorption_probability): h_0 = [v LIKE 'r%'];
+    h_{i+1}(v) = 1 for targets else mean over out-neighbors of h_i —
+    LEFT JOINs make dangling non-targets coalesce to 0, the literal
+    Spark loop."""
+    body = f"""WITH base_edges AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+e AS MATERIALIZED (SELECT src, dst FROM base_edges WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (
+  SELECT v, CASE WHEN v LIKE 'r%' THEN 1.0 ELSE 0.0 END AS h FROM verts)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+h{i} AS MATERIALIZED (
+  SELECT verts.v,
+         CASE WHEN verts.v LIKE 'r%' THEN 1.0
+              ELSE coalesce(avg(h{i-1}.h), 0.0) END AS h
+  FROM verts LEFT JOIN e ON e.src = verts.v
+  LEFT JOIN h{i-1} ON h{i-1}.v = e.dst
+  GROUP BY verts.v)"""
+    body += f"""
+SELECT v AS entity, round(h, 6) AS p_absorb FROM h{rounds}"""
+    return body
+
+
+def _dedup_matching_sql(rounds: int) -> str:
+    """Full replay of q_dedup_matching: injected triple corpus → distinct
+    3-shingles → exact Jaccard ≥ 0.5 pairs with exact-integer shared
+    counts → `rounds` weighted local-max matching rounds (key order
+    (−w, md5-hash, src, dst) — row_number replay of the Spark
+    struct-min).  Extra rounds past convergence are no-ops."""
+    parts = [
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+docs2 AS (
+  SELECT doc_id, text FROM d
+  UNION ALL SELECT doc_id + 1000000, text || ' !!!!!!!!!!' FROM d
+  UNION ALL SELECT doc_id + 2000000, text || ' ??????????' FROM d
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 1) + 1),
+      i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i+2), ' ')
+  ))) AS s
+  FROM docs2
+),
+sizes AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+canon AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst, -i AS nw,
+         CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+),
+live0 AS MATERIALIZED (SELECT src, dst, nw, h FROM canon)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""inc{r} AS (
+  SELECT src AS v, nw, h, src, dst FROM live{r}
+  UNION ALL SELECT dst AS v, nw, h, src, dst FROM live{r}),
+vm{r} AS (
+  SELECT v, nw, h, src, dst FROM (
+    SELECT v, nw, h, src, dst,
+           row_number() OVER (PARTITION BY v ORDER BY nw, h, src, dst) AS rn
+    FROM inc{r}) s WHERE rn = 1),
+win{r} AS MATERIALIZED (
+  SELECT l.src, l.dst FROM live{r} l
+  JOIN vm{r} a ON a.v = l.src AND a.nw = l.nw AND a.h = l.h
+              AND a.src = l.src AND a.dst = l.dst
+  JOIN vm{r} b ON b.v = l.dst AND b.nw = l.nw AND b.h = l.h
+              AND b.src = l.src AND b.dst = l.dst),
+live{r + 1} AS MATERIALIZED (
+  SELECT l.src, l.dst, l.nw, l.h FROM live{r} l
+  WHERE l.src NOT IN (SELECT src FROM win{r} UNION SELECT dst FROM win{r})
+    AND l.dst NOT IN (SELECT src FROM win{r} UNION SELECT dst FROM win{r}))"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT src, dst FROM win{r}" for r in range(rounds)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+m AS ({union})
+SELECT c.src, c.dst, (m.src IS NOT NULL) AS matched
+FROM canon c LEFT JOIN m ON m.src = c.src AND m.dst = c.dst"""
+    )
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -3416,6 +3569,8 @@ GROUP BY w.doc_id
         "jp_coloring": _luby_rounds_sql(10, color=True),
         "maximal_matching": _matching_rounds_sql(12),
         "spam_mass": _spam_mass_sql(20),
+        "absorption_regions": _absorption_sql(6),
+        "dedup_matching": _dedup_matching_sql(8),
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

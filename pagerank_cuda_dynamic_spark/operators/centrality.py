@@ -639,6 +639,82 @@ def coreness(edges: DataFrame, rounds: int = 12) -> DataFrame:
     return c.select("v", F.col("c").alias("coreness"))
 
 
+def absorption_probability(
+    edges: DataFrame,
+    targets: DataFrame,
+    rounds: int = 8,
+) -> DataFrame:
+    """Truncated absorbing-random-walk hit probability: the chance a
+    uniform random walk started at v reaches the `targets` set within
+    `rounds` steps (absorbing at targets) — the reachability-strength
+    signal behind "how navigable is this page toward the trusted core"
+    in web-graph QA, and the value-function recurrence of an absorbing
+    Markov chain truncated at k steps.
+
+        h_0(v)     = 1 if v ∈ T else 0
+        h_{i+1}(v) = 1 if v ∈ T else mean_{(v,u)∈E} h_i(u)
+
+    over the DISTINCT simple edge set (self-loops dropped — a universal
+    self-loop graph would stall every walk in place and distort the
+    truncated probabilities).  Vertices with no out-edges and ∉ T halt
+    the walk: h ≡ 0.  Fixed round count is the contract (unrolled SQL
+    oracle agrees unconditionally); h is monotone non-decreasing in
+    rounds and converges to the absorption probability.
+
+    Returns (v, p_absorb).  Targets must be non-empty and a subset of
+    the vertex set (rows outside it could never be hit — rejected, as
+    personalized_pagerank does for seeds).  Scale shape: one
+    edge⋈state broadcast-hinted join + one src-keyed mean per round —
+    the PPR superstep with avg in place of the damped sum.
+    """
+    e = _distinct_edges(edges).where(F.col("src") != F.col("dst")).persist()
+    e.count()
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n_verts = verts.count()
+    t = targets.toDF("v").distinct().persist()
+    n_targets = t.count()
+    if n_targets == 0:
+        raise ValueError("absorption_probability: targets must be non-empty")
+    n_outside = t.join(verts, "v", "left_anti").count()
+    if n_outside:
+        raise ValueError(
+            f"absorption_probability: {n_outside} target(s) not in the "
+            "vertex set"
+        )
+    base = verts.join(
+        F.broadcast(t.select("v", F.lit(True).alias("is_t"))), "v", "left"
+    ).select("v", F.coalesce(F.col("is_t"), F.lit(False)).alias("is_t"))
+    base = base.transform(materialize)
+    h = base.select(
+        "v", F.when(F.col("is_t"), 1.0).otherwise(0.0).alias("h")
+    ).transform(materialize)
+    for _ in range(rounds):
+        nb = (
+            e.join(_state_side(h.withColumnRenamed("v", "dst"), n_verts), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.avg("h").alias("nb"))
+        )
+        h = (
+            base.join(nb, "v", "left")
+            .select(
+                "v",
+                F.when(F.col("is_t"), 1.0)
+                .otherwise(F.coalesce(F.col("nb"), F.lit(0.0)))
+                .alias("h"),
+            )
+            .transform(materialize)
+        )
+    e.unpersist()
+    verts.unpersist()
+    t.unpersist()
+    return h.select("v", F.col("h").alias("p_absorb"))
+
+
 def trustrank_spam_mass(
     edges: DataFrame,
     trusted: DataFrame,

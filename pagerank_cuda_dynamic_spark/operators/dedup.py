@@ -85,6 +85,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int = 10_000,
+    include_counts: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -129,7 +130,24 @@ def ngram_jaccard_pairs(
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            # include_counts: exact-integer pair diagnostics (shared and
+            # total distinct shingles) — the cross-engine-exact weight for
+            # downstream ranking/matching where a rounded float would not be
+            *(
+                [
+                    F.col("inter").alias("n_common"),
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias(
+                        "n_union"
+                    ),
+                ]
+                if include_counts
+                else []
+            ),
+        )
     )
     return out
 

@@ -595,6 +595,7 @@ def maximal_matching(
     edges: DataFrame,
     priority_hash=None,
     max_rounds: int = 48,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Greedy maximal matching with hash priorities — the EDGE analog of
     Luby MIS (Israeli–Itai shape): per round, over the LIVE canonical
@@ -605,6 +606,13 @@ def maximal_matching(
     edge is a local minimum at both of its endpoints, so every round
     matches ≥1 edge; with hash priorities the live set shrinks
     geometrically (O(log n) rounds w.h.p.).
+
+    With `weight_col` (an INTEGER edge weight — callers pre-scale
+    floats, e.g. round(jaccard·10⁶), so priorities are exact on any
+    engine) the key becomes (−w, hash, a, b): each round matches
+    locally-HEAVIEST edges first — Preis's local-max algorithm, a
+    deterministic ½-approximation of maximum weight matching.  Rows
+    collapsing onto one canonical pair keep their max weight.
 
     Per round: one incident-explode + min aggregate (≤2·|live| rows)
     and two broadcast-hinted joins back — the persisted frames are all
@@ -623,35 +631,39 @@ def maximal_matching(
 
     if priority_hash is None:
         priority_hash = F.xxhash64
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     simple = (
-        edges.select("src", "dst")
+        edges.select(*cols)
         .where(F.col("src") != F.col("dst"))
     )
-    canon = (
-        simple.select(
-            F.least("src", "dst").alias("src"),
-            F.greatest("src", "dst").alias("dst"),
-        )
-        .dropDuplicates(["src", "dst"])
-        .select(
-            "src",
-            "dst",
-            priority_hash(F.concat_ws("|", F.col("src"), F.col("dst"))).alias("h"),
-        )
-        .transform(materialize)
+    canon = simple.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        *([F.col(weight_col).cast("long").alias("w")] if weight_col else []),
     )
+    if weight_col:
+        canon = canon.groupBy("src", "dst").agg(F.max("w").alias("w"))
+    else:
+        canon = canon.dropDuplicates(["src", "dst"])
+    key_cols = (["nw"] if weight_col else []) + ["h", "src", "dst"]
+    canon = canon.select(
+        "*",
+        priority_hash(F.concat_ws("|", F.col("src"), F.col("dst"))).alias("h"),
+        *([(-F.col("w")).alias("nw")] if weight_col else []),
+    ).transform(materialize)
     n_edges = canon.count()
     live = canon
     matched = None
     for _ in range(max_rounds):
         if live.isEmpty():
             break
-        incident = live.select(F.col("src").alias("v"), "h", "src", "dst").unionByName(
-            live.select(F.col("dst").alias("v"), "h", "src", "dst")
+        sel = [F.col("src").alias("v")] + key_cols
+        incident = live.select(*sel).unionByName(
+            live.select(F.col("dst").alias("v"), *key_cols)
         )
-        vmin = incident.groupBy("v").agg(F.min(F.struct("h", "src", "dst")).alias("m"))
+        vmin = incident.groupBy("v").agg(F.min(F.struct(*key_cols)).alias("m"))
         bmin = broadcast_state(vmin, 2 * n_edges)
-        key = F.struct("h", "src", "dst")
+        key = F.struct(*key_cols)
         winners = (
             live.join(bmin.select(F.col("v").alias("src"), F.col("m").alias("ms")), "src")
             .join(bmin.select(F.col("v").alias("dst"), F.col("m").alias("md")), "dst")

@@ -213,6 +213,83 @@ def test_trustrank_untrusted_component_is_all_spam(spark):
     assert (res.loc[["a", "b", "c"], "spam_mass"] < 1.0).all()
 
 
+def _np_absorb(pairs, targets, rounds):
+    verts = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    out: dict[str, set[str]] = {}
+    for u, v in pairs:
+        if u != v:
+            out.setdefault(u, set()).add(v)
+    h = {v: 1.0 if v in targets else 0.0 for v in verts}
+    for _ in range(rounds):
+        h = {
+            v: 1.0
+            if v in targets
+            else (sum(h[u] for u in out[v]) / len(out[v]) if v in out else 0.0)
+            for v in verts
+        }
+    return verts, np.array([h[v] for v in verts])
+
+
+def test_absorption_matches_numpy(spark):
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        absorption_probability,
+    )
+
+    targets = ["c", "f"]
+    res = (
+        absorption_probability(
+            _edges(spark, DIGRAPH),
+            spark.createDataFrame(pd.DataFrame({"v": targets})),
+            rounds=5,
+        )
+        .toPandas()
+        .set_index("v")
+    )
+    verts, want = _np_absorb(DIGRAPH, set(targets), 5)
+    assert np.allclose(res.loc[verts, "p_absorb"].to_numpy(), want, atol=1e-12)
+
+
+def test_absorption_chain_and_branch(spark):
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        absorption_probability,
+    )
+
+    # chain a→b→c→t: the wavefront reaches a only at round 3;
+    # branch v→{t, dead}: one of two walks absorbs ⇒ exactly 0.5
+    pairs = [("a", "b"), ("b", "c"), ("c", "t"), ("v", "t"), ("v", "dead")]
+    t = spark.createDataFrame(pd.DataFrame({"v": ["t"]}))
+    r2 = (
+        absorption_probability(_edges(spark, pairs), t, rounds=2)
+        .toPandas()
+        .set_index("v")
+    )
+    assert r2.loc["a", "p_absorb"] == 0.0
+    assert r2.loc["b", "p_absorb"] == 1.0
+    r3 = (
+        absorption_probability(_edges(spark, pairs), t, rounds=3)
+        .toPandas()
+        .set_index("v")
+    )
+    assert r3.loc["a", "p_absorb"] == 1.0
+    assert r3.loc["v", "p_absorb"] == 0.5
+    assert r3.loc["dead", "p_absorb"] == 0.0
+    assert r3.loc["t", "p_absorb"] == 1.0
+
+
+def test_absorption_rejects_bad_targets(spark):
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        absorption_probability,
+    )
+
+    e = _edges(spark, DIGRAPH)
+    with pytest.raises(ValueError):
+        absorption_probability(e, spark.createDataFrame([], "v string"))
+    with pytest.raises(ValueError):
+        absorption_probability(
+            e, spark.createDataFrame(pd.DataFrame({"v": ["nope"]}))
+        )
+
+
 def test_ppr_rejects_bad_seeds(spark):
     e = _edges(spark, DIGRAPH)
     with pytest.raises(ValueError):

@@ -306,6 +306,49 @@ def test_maximal_matching_edge_cases(spark):
     assert len(rows) == 3
 
 
+def test_weighted_matching_prefers_heavy_edges(spark):
+    from pagerank_cuda_dynamic_spark.operators.graph import maximal_matching
+
+    # path 1-2-3: (2,3) is heavier and must win regardless of hash order
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 9)], "src long, dst long, w long"
+    )
+    rows = {(r.src, r.dst): r.matched for r in
+            maximal_matching(e, weight_col="w").collect()}
+    assert rows == {(1, 2): False, (2, 3): True}
+    # duplicate canonical rows keep their MAX weight: (1,2) seen at w=7
+    # (reversed row) and w=3 — 7 beats (2,3)'s 5, so (1,2) must match
+    e2 = spark.createDataFrame(
+        [(2, 1, 7), (1, 2, 3), (2, 3, 5)], "src long, dst long, w long"
+    )
+    rows = {(r.src, r.dst): r.matched for r in
+            maximal_matching(e2, weight_col="w").collect()}
+    assert rows == {(1, 2): True, (2, 3): False}
+
+
+def test_weighted_matching_is_maximal_and_local_max(spark):
+    from pagerank_cuda_dynamic_spark.operators.graph import maximal_matching
+
+    n = 25
+    src, dst = _rand_graph(81, n, 70)
+    w = [(s * 7 + d * 13) % 20 + 1 for s, d in zip(src, dst)]
+    e = spark.createDataFrame(
+        list(zip(map(int, src), map(int, dst), w)), "src long, dst long, w long"
+    )
+    rows = maximal_matching(e, weight_col="w").collect()
+    matched = [(r.src, r.dst) for r in rows if r.matched]
+    eps = [v for p in matched for v in p]
+    assert len(eps) == len(set(eps))  # a matching
+    mv = set(eps)
+    for r in rows:  # maximal
+        if not r.matched:
+            assert r.src in mv or r.dst in mv
+    # deterministic under relayout
+    rows2 = maximal_matching(e.repartition(5), weight_col="w").collect()
+    key = lambda r: (r.src, r.dst, r.matched)  # noqa: E731
+    assert sorted(map(key, rows2)) == sorted(map(key, rows))
+
+
 def test_jp_coloring_proper_and_deterministic(spark):
     from pagerank_cuda_dynamic_spark.operators.graph import jp_coloring
 

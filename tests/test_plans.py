@@ -296,6 +296,20 @@ def test_round5_ops_stay_jvm_side(spark):
     assert "BatchEvalPython" not in plan_of(
         trustrank_spam_mass(e, trusted, iterations=2)
     )
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        absorption_probability,
+    )
+
+    ew = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 5), (2, 0, 1)], "src long, dst long, w long"
+    )
+    assert "BatchEvalPython" not in plan_of(
+        maximal_matching(ew, weight_col="w")
+    )
+    t = spark.createDataFrame([(2,)], "v long")
+    assert "BatchEvalPython" not in plan_of(
+        absorption_probability(e, t, rounds=2)
+    )
 
 
 def test_broadcast_state_hints_materialized_frames(spark):
