@@ -1624,6 +1624,38 @@ def q_dedup_matching(spark, sf_dir):
     return maximal_matching(pe, priority_hash=_md5_hash64, weight_col="w")
 
 
+def q_topo_levels(spark, sf_dir):
+    """Kahn-peel DAG layering (graph.topological_levels): level(v) =
+    longest path from a source — recovers the c→p→s→n→r stratification
+    of the entity graph; exact cycle detection (a no-peel round raises).
+    Oracle replays each peel round; extra unrolled rounds are no-ops."""
+    from pagerank_cuda_dynamic_spark.operators.graph import topological_levels
+
+    res = topological_levels(_entity_edge_df(spark, sf_dir), max_rounds=8)
+    return res.select(F.col("v").alias("entity"), "level")
+
+
+def q_interleave_mix(spark, sf_dir):
+    """Deterministic stride-scheduling source interleave
+    (sampling.interleave_sources): weight(srcN) = N%5 + 1, virtual time
+    vt = ((k+1)·10⁶) div w in pure integer arithmetic — identical
+    row_number/div replay in the oracle."""
+    from pagerank_cuda_dynamic_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    docs = _docs(spark, sf_dir)
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.substring("source", 4, 10).cast("int") % 5 + 1).alias("w"),
+        )
+    )
+    return interleave_sources(docs, weights)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -1739,6 +1771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "absorption_regions": q_absorption_regions,
         "dedup_matching": q_dedup_matching,
+        "topo_levels": q_topo_levels,
+        "interleave_mix": q_interleave_mix,
     }
 
 
@@ -2152,6 +2186,48 @@ m AS ({union})
 SELECT c.src, c.dst, (m.src IS NOT NULL) AS matched
 FROM canon c LEFT JOIN m ON m.src = c.src AND m.dst = c.dst"""
     )
+
+
+def _topo_levels_sql(rounds: int) -> str:
+    """Unrolled Kahn peel (graph.topological_levels): per round, live
+    vertices with no live predecessor peel at that level; extra rounds
+    past the longest path are no-ops (empty lvl CTEs)."""
+    parts = [
+        f"""WITH base_edges AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+e AS MATERIALIZED (SELECT src, dst FROM base_edges WHERE src <> dst),
+live0 AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""lvl{r} AS MATERIALIZED (
+  SELECT l.v FROM live{r} l
+  WHERE l.v NOT IN (SELECT e.dst FROM e JOIN live{r} s ON s.v = e.src)),
+live{r + 1} AS MATERIALIZED (
+  SELECT l.v FROM live{r} l WHERE l.v NOT IN (SELECT v FROM lvl{r}))"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT v, {r} AS level FROM lvl{r}" for r in range(rounds)
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS entity, CAST(level AS INTEGER) AS level FROM ({union}) u"
+    )
+
+
+_INTERLEAVE_SQL = """
+WITH w AS (
+  SELECT source, (CAST(substr(source, 4, 10) AS INT) % 5) + 1 AS w
+  FROM (SELECT DISTINCT source FROM documents)
+),
+k AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS k
+  FROM documents
+)
+SELECT k.doc_id, k.source, CAST(k.k AS BIGINT) AS k,
+       CAST(((k.k + 1) * 1000000) // w.w AS BIGINT) AS vt
+FROM k JOIN w USING (source)
+"""
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -3571,6 +3647,8 @@ GROUP BY w.doc_id
         "spam_mass": _spam_mass_sql(20),
         "absorption_regions": _absorption_sql(6),
         "dedup_matching": _dedup_matching_sql(8),
+        "topo_levels": _topo_levels_sql(6),
+        "interleave_mix": _INTERLEAVE_SQL,
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

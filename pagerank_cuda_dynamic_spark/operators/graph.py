@@ -697,3 +697,71 @@ def maximal_matching(
         ["src", "dst"],
         "left",
     ).select("src", "dst", F.coalesce("matched", F.lit(False)).alias("matched"))
+
+
+def topological_levels(
+    edges: DataFrame,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Kahn-peel DAG layering: level(v) = the peel round in which v's
+    live in-degree reaches 0 — equivalently the longest directed path
+    from any source to v.  The classic dependency-scheduling layering
+    (build stages, dataflow waves); on the entity graph it recovers the
+    c→p→s→n→r stratification.
+
+    Per round: one live⋈live semi-join marks vertices that still have a
+    live predecessor; everything else peels at this round's level.  All
+    frames are O(|live|) and shrink monotonically; only the isEmpty
+    scalar reaches the driver.  Self-loops are DROPPED up front (the
+    family convention — mis/matching/k-core do the same); a structural
+    1-cycle should be encoded as a real 2-cycle if it must fail.
+
+    Raises on cycles — detected EXACTLY, not by cap: a round that peels
+    nothing while vertices remain means every live vertex has a live
+    predecessor, i.e. the live subgraph contains a cycle.  Raises on
+    max_rounds exhaustion too (longest path deeper than the cap —
+    mirrors maximal_independent_set; silent truncation would break
+    callers).  Returns (v, level:int).
+    """
+    from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
+
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .transform(materialize)
+    )
+    n_edges = e.count()
+    live = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .transform(materialize)
+    )
+    levels = None
+    for r in range(max_rounds):
+        if live.isEmpty():
+            break
+        # vertices with a LIVE predecessor stay; the rest peel at level r
+        blocked = (
+            e.join(broadcast_state(live.withColumnRenamed("v", "src"), n_edges), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        peeled = live.join(blocked, "v", "left_anti").transform(materialize)
+        if peeled.isEmpty():
+            raise ValueError(
+                "topological_levels: no vertex has in-degree 0 among "
+                "the remaining live set — the graph contains a cycle"
+            )
+        lv = peeled.select("v", F.lit(r).alias("level"))
+        levels = lv if levels is None else levels.unionByName(lv)
+        live = live.join(peeled, "v", "left_anti").transform(materialize)
+    if not live.isEmpty():
+        raise RuntimeError(
+            f"topological_levels: max_rounds={max_rounds} exhausted with "
+            "live vertices remaining; the longest path exceeds the cap"
+        )
+    if levels is None:
+        return e.select(F.col("src").alias("v"), F.lit(0).alias("level")).limit(0)
+    return levels.select("v", F.col("level").cast("int").alias("level"))

@@ -197,10 +197,74 @@ def weighted_sample(
     )
 
 
+def interleave_sources(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic stride-scheduling interleave of training sources —
+    the data-mixing primitive: a source with weight w is emitted w times
+    as often as a weight-1 source, evenly spread (not front-loaded), as
+    in stride/lottery scheduling.  Item k of source s (0-based rank,
+    ordered by id) gets the virtual time
+
+        vt = ((k + 1) · scale) div w_s        (pure integer arithmetic)
+
+    so the interleaved order is ORDER BY (vt, source, k) — a distributed
+    range sort, identical on any engine/layout/rerun.  A global ordinal
+    is intentionally NOT materialized (it would be a single-partition
+    window); consumers write sorted output or zipWithIndex at sink time.
+
+    `weights` is a (source, w) DataFrame of positive INTEGER weights and
+    must cover every source present in `docs` — silently dropping or
+    zero-weighting a source would corrupt a training mix, so both are
+    rejected.  Per-source ranks come from the two-phase scaled numbering
+    (attach_global_seq ordered by (source, id), rebased by a broadcast
+    per-source minimum) — no per-source single-task window even when one
+    source dominates the corpus.
+
+    Returns (id, source, k, vt).  Overflow bound: per-source row count ·
+    scale must stay < 2^63 (safe to ~9.2e12 rows at the default scale).
+    """
+    d = docs.select(F.col(id_col), F.col(source_col))
+    w = weights.select(source_col, F.col("w").cast("long").alias("w"))
+    n_bad = w.where(F.col("w") <= 0).count()
+    if n_bad:
+        raise ValueError(
+            f"interleave_sources: {n_bad} weight(s) are not positive"
+        )
+    n_missing = (
+        d.select(source_col).distinct().join(w, source_col, "left_anti").count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"interleave_sources: {n_missing} source(s) in docs have no "
+            "weight row"
+        )
+    from pagerank_cuda_dynamic_spark.plans.dictionary import attach_global_seq
+
+    seq = attach_global_seq(d, [source_col, id_col], out_col="_g")
+    base = seq.groupBy(source_col).agg(F.min("_g").alias("_b"))
+    return (
+        seq.join(F.broadcast(base), source_col)
+        .withColumn("k", (F.col("_g") - F.col("_b")).cast("long"))
+        .join(F.broadcast(w), source_col)
+        .select(
+            id_col,
+            source_col,
+            "k",
+            F.expr(f"(k + 1) * {scale} div w").alias("vt"),
+        )
+    )
+
+
 __all__ = [
     "stratified_sample",
     "split_corpus",
     "dsir_importance",
     "dsir_resample",
     "weighted_sample",
+    "interleave_sources",
 ]

@@ -365,3 +365,37 @@ def test_jp_coloring_proper_and_deterministic(spark):
     # colors are consecutive from 0
     assert min(col.values()) == 0
     assert set(col.values()) == set(range(max(col.values()) + 1))
+
+
+def test_topological_levels_longest_path(spark):
+    from pagerank_cuda_dynamic_spark.operators.graph import topological_levels
+
+    # diamond + a longer arm: level = LONGEST path from a source
+    e = edges_df(
+        spark,
+        [0, 0, 1, 2, 0, 5, 6],
+        [1, 2, 3, 3, 5, 6, 3],
+    )
+    lv = {r.v: r.level for r in topological_levels(e).collect()}
+    assert lv == {0: 0, 1: 1, 2: 1, 5: 1, 6: 2, 3: 3}
+    # deterministic under relayout
+    lv2 = {r.v: r.level for r in topological_levels(e.repartition(7)).collect()}
+    assert lv2 == lv
+
+
+def test_topological_levels_detects_cycles(spark):
+    import pytest
+
+    from pagerank_cuda_dynamic_spark.operators.graph import topological_levels
+
+    cyc = edges_df(spark, [0, 1, 2, 3], [1, 2, 0, 0])
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(cyc)
+    # a too-low cap on a deep chain raises rather than truncating
+    chain = edges_df(spark, [0, 1, 2, 3], [1, 2, 3, 4])
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        topological_levels(chain, max_rounds=3)
+    # self-loops are dropped, not treated as 1-cycles
+    sl = edges_df(spark, [0, 1, 1], [1, 2, 1])
+    lv = {r.v: r.level for r in topological_levels(sl).collect()}
+    assert lv == {0: 0, 1: 1, 2: 2}

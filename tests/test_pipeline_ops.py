@@ -953,3 +953,48 @@ def test_bftopk_partials_scratch_reaped_at_interpreter_exit():
     )
     d = out.stdout.strip().splitlines()[-1]
     assert not os.path.exists(d), "bftopk partials dir survived interpreter exit"
+
+
+def test_interleave_sources_exact_stride_order(spark):
+    from pagerank_cuda_dynamic_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "A") for i in range(4)] + [(10 + i, "B") for i in range(2)],
+        "doc_id long, source string",
+    )
+    weights = spark.createDataFrame([("A", 2), ("B", 1)], "source string, w int")
+    out = interleave_sources(docs, weights)
+    rows = out.orderBy("vt", "source", "k").collect()
+    # A emits at vt 500000,1000000,1500000,2000000; B at 1000000,2000000;
+    # ties break by source name then k — evenly spread, not front-loaded
+    assert [(r.doc_id, r.source) for r in rows] == [
+        (0, "A"), (1, "A"), (10, "B"), (2, "A"), (3, "A"), (11, "B"),
+    ]
+    assert [r.vt for r in rows] == [
+        500000, 1000000, 1000000, 1500000, 2000000, 2000000,
+    ]
+    # layout invariance
+    rows2 = interleave_sources(docs.repartition(5), weights).orderBy(
+        "vt", "source", "k"
+    ).collect()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+
+
+def test_interleave_sources_rejects_bad_inputs(spark):
+    from pagerank_cuda_dynamic_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "doc_id long, source string"
+    )
+    only_a = spark.createDataFrame([("A", 1)], "source string, w int")
+    with pytest.raises(ValueError, match="no weight row"):
+        interleave_sources(docs, only_a)
+    zero_w = spark.createDataFrame(
+        [("A", 1), ("B", 0)], "source string, w int"
+    )
+    with pytest.raises(ValueError, match="not positive"):
+        interleave_sources(docs, zero_w)

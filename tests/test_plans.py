@@ -310,6 +310,19 @@ def test_round5_ops_stay_jvm_side(spark):
     assert "BatchEvalPython" not in plan_of(
         absorption_probability(e, t, rounds=2)
     )
+    from pagerank_cuda_dynamic_spark.operators.graph import topological_levels
+    from pagerank_cuda_dynamic_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    dag = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    assert "BatchEvalPython" not in plan_of(topological_levels(dag))
+    docs = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "doc_id long, source string"
+    )
+    wts = spark.createDataFrame([("A", 1), ("B", 2)], "source string, w int")
+    p = plan_of(interleave_sources(docs, wts))
+    assert "BatchEvalPython" not in p
 
 
 def test_broadcast_state_hints_materialized_frames(spark):
