@@ -1656,6 +1656,60 @@ def q_interleave_mix(spark, sf_dir):
     return interleave_sources(docs, weights)
 
 
+def q_densest_core(spark, sf_dir):
+    """Bahmani et al. densest-subgraph peel (webgraph.densest_subgraph)
+    finding a planted link farm: entity graph (density ≈ 31) ∪ a K80
+    clique on 'x…' vertices (density 39.5) — the peel must isolate
+    exactly the clique as the best iterate (in_densest ⊆ the plant).
+    Exact-integer peel predicate and cross-multiplied argmax; oracle
+    replays every round."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import densest_subgraph
+
+    e = _entity_edge_df(spark, sf_dir)
+    r = spark.range(80)
+    clique = (
+        r.alias("a")
+        .crossJoin(r.alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.concat(F.lit("x"), F.col("a.id")).alias("src"),
+            F.concat(F.lit("x"), F.col("b.id")).alias("dst"),
+        )
+    )
+    return densest_subgraph(e.unionByName(clique), eps_num=1, eps_den=10)
+
+
+def q_temporal_reach(spark, sf_dir):
+    """Earliest-arrival time-respecting reachability
+    (graph.temporal_reachability) over the cross-user contact graph
+    (consecutive events on the same props-k key link the two users;
+    stamp = the later event_id): arrival(u) = min last-edge stamp over
+    ≤4-hop non-decreasing paths from the user_id%37==0 seed users — vs
+    the bounded recursive-CTE closure oracle."""
+    from pagerank_cuda_dynamic_spark.operators.graph import temporal_reachability
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("u"), "user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("int").alias("k"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("k").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.lag("u").over(w).alias("src"),
+        F.col("u").alias("dst"),
+        F.col("event_id").alias("seq"),
+    ).where(F.col("src").isNotNull())
+    seeds = (
+        tr.select(F.col("src").alias("v"))
+        .union(tr.select("dst"))
+        .distinct()
+        .where(F.substring("v", 2, 10).cast("int") % 37 == 0)
+    )
+    return temporal_reachability(tr, seeds, max_hops=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -1773,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_matching": q_dedup_matching,
         "topo_levels": q_topo_levels,
         "interleave_mix": q_interleave_mix,
+        "densest_core": q_densest_core,
+        "temporal_reach": q_temporal_reach,
     }
 
 
@@ -2212,6 +2268,96 @@ live{r + 1} AS MATERIALIZED (
         ",\n".join(parts)
         + f"\nSELECT v AS entity, CAST(level AS INTEGER) AS level FROM ({union}) u"
     )
+
+
+def _densest_sql(rounds: int, eps_num: int = 1, eps_den: int = 10) -> str:
+    """Full replay of q_densest_core (webgraph.densest_subgraph): entity
+    graph ∪ generated K80, per-round exact-integer peel
+    (deg·V·den ≤ 2·E·(den+num)), best iterate by cross-multiplied
+    density argmax (ties → earliest round).  Extra unrolled rounds are
+    empty no-ops excluded by the nv > 0 filter, exactly as the Spark
+    loop's n_v == 0 break."""
+    parts = [
+        f"""WITH base_edges AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+xc AS (
+  SELECT 'x' || a.r AS src, 'x' || b.r AS dst
+  FROM (SELECT unnest(range(80)) AS r) a, (SELECT unnest(range(80)) AS r) b
+  WHERE a.r < b.r),
+alle AS (SELECT src, dst FROM base_edges UNION ALL SELECT src, dst FROM xc),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM alle WHERE src <> dst),
+live0 AS MATERIALIZED (SELECT a, b FROM und),
+vl0 AS MATERIALIZED (SELECT a AS v FROM und UNION SELECT b FROM und)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""deg{r} AS MATERIALIZED (
+  SELECT vl.v, coalesce(d.deg, 0) AS deg FROM vl{r} vl
+  LEFT JOIN (SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM live{r} UNION ALL SELECT b FROM live{r}) i GROUP BY v) d
+  ON d.v = vl.v),
+st{r} AS MATERIALIZED (
+  SELECT {r} AS r, (SELECT count(*) FROM vl{r}) AS nv,
+         (SELECT count(*) FROM live{r}) AS ne),
+out{r} AS MATERIALIZED (
+  SELECT d.v FROM deg{r} d, st{r} s
+  WHERE d.deg * s.nv * {eps_den} <= 2 * s.ne * {eps_den + eps_num}),
+vl{r + 1} AS MATERIALIZED (
+  SELECT vl.v FROM vl{r} vl WHERE vl.v NOT IN (SELECT v FROM out{r})),
+live{r + 1} AS MATERIALIZED (
+  SELECT l.a, l.b FROM live{r} l
+  WHERE l.a NOT IN (SELECT v FROM out{r})
+    AND l.b NOT IN (SELECT v FROM out{r}))"""
+        )
+    stats = " UNION ALL ".join(f"SELECT * FROM st{r}" for r in range(rounds))
+    peeled = "\nUNION ALL ".join(
+        f"SELECT v, {r} AS peel_round FROM out{r}" for r in range(rounds)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+stats AS (SELECT * FROM ({stats}) s WHERE nv > 0),
+best AS (SELECT r FROM stats s WHERE NOT EXISTS (
+  SELECT 1 FROM stats t
+  WHERE t.ne * s.nv > s.ne * t.nv
+     OR (t.ne * s.nv = s.ne * t.nv AND t.r < s.r))),
+peeled AS ({peeled})
+SELECT v, CAST(peel_round AS INTEGER) AS peel_round,
+       peel_round >= (SELECT r FROM best) AS in_densest
+FROM peeled"""
+    )
+
+
+def _temporal_reach_sql(hops: int) -> str:
+    """Bounded recursive twin of q_temporal_reach
+    (graph.temporal_reachability): enumerate every (v, arrival, ≤hops)
+    state of time-respecting paths (stamps non-decreasing) from the
+    %37 seed users, then min arrival per vertex — equal to the Spark
+    label-correcting loop because smaller arrivals dominate."""
+    return f"""
+WITH RECURSIVE ev2 AS (
+  SELECT 'u' || user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+') AS INT) AS k, ts, event_id
+  FROM events),
+tr AS (
+  SELECT LAG(u) OVER (PARTITION BY k ORDER BY ts, event_id) AS src,
+         u AS dst, event_id AS seq
+  FROM ev2),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst, CAST(seq AS BIGINT) AS seq
+  FROM tr WHERE src IS NOT NULL),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e) i
+  WHERE CAST(substr(v, 2) AS INT) % 37 = 0),
+reach(v, arr, hops) AS (
+  SELECT v, CAST(-1 AS BIGINT) AS arr, 0 AS hops FROM seeds
+  UNION
+  SELECT e.dst, e.seq, r.hops + 1
+  FROM reach r JOIN e ON e.src = r.v AND e.seq >= r.arr
+  WHERE r.hops < {hops})
+SELECT v, CAST(min(arr) AS BIGINT) AS arrival FROM reach GROUP BY v
+"""
 
 
 _INTERLEAVE_SQL = """
@@ -3649,6 +3795,8 @@ GROUP BY w.doc_id
         "dedup_matching": _dedup_matching_sql(8),
         "topo_levels": _topo_levels_sql(6),
         "interleave_mix": _INTERLEAVE_SQL,
+        "densest_core": _densest_sql(6),
+        "temporal_reach": _temporal_reach_sql(4),
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

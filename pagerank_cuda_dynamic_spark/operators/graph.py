@@ -765,3 +765,78 @@ def topological_levels(
     if levels is None:
         return e.select(F.col("src").alias("v"), F.lit(0).alias("level")).limit(0)
     return levels.select("v", F.col("level").cast("int").alias("level"))
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability over a
+    sequence-stamped edge stream — the information-diffusion closure of
+    temporal-graph analysis (Holme & Saramäki): arrival(v) = min, over
+    time-respecting paths of at most `max_hops` edges (edge stamps
+    NON-DECREASING along the path), of the last edge's stamp.  Seeds
+    start before everything (arrival = −1, so every outgoing edge is
+    usable); unreached vertices are absent from the output.
+
+    Label-correcting rounds expanding only improved labels: smaller
+    arrivals strictly dominate (every edge usable from a later arrival
+    is usable from an earlier one), so per-vertex min labels lose no
+    reachable arrival, and `max_hops` rounds cover exactly the ≤
+    max_hops-edge paths — the fixed hop cap is the contract (the
+    unrolled/bounded SQL oracle agrees unconditionally).
+
+    Per round: one edges⋈frontier broadcast-hinted join filtered by
+    seq ≥ arrival + one dst-keyed min + one anti-join merge — frames are
+    O(|improved|); only the improvement count reaches the driver.
+
+    Returns (v, arrival:long), seeds at −1.
+    """
+    from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
+
+    e = (
+        edges.select("src", "dst", F.col(seq_col).cast("long").alias("seq"))
+        .dropDuplicates(["src", "dst", "seq"])
+        .transform(materialize)
+    )
+    n_edges = e.count()
+    best = (
+        seeds.toDF("v")
+        .distinct()
+        .select("v", F.lit(-1).cast("long").alias("arrival"))
+        .transform(materialize)
+    )
+    n_frontier = best.count()
+    if n_frontier == 0:
+        raise ValueError("temporal_reachability: seeds must be non-empty")
+    frontier = best
+    for _ in range(max_hops):
+        cand = (
+            e.join(
+                broadcast_state(
+                    frontier.withColumnRenamed("v", "src"), n_frontier
+                ),
+                "src",
+            )
+            .where(F.col("seq") >= F.col("arrival"))
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("seq").alias("cand"))
+        )
+        improved = (
+            cand.join(best, "v", "left")
+            .where(F.col("arrival").isNull() | (F.col("cand") < F.col("arrival")))
+            .select("v", F.col("cand").alias("arrival"))
+            .transform(materialize)
+        )
+        n_frontier = improved.count()
+        if n_frontier == 0:
+            break
+        best = (
+            best.join(improved.select("v"), "v", "left_anti")
+            .unionByName(improved)
+            .transform(materialize)
+        )
+        frontier = improved
+    return best

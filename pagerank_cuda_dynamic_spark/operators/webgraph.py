@@ -404,3 +404,119 @@ def distance_distribution(
         round_agg(sk, t) for t, sk in _kmv_sketch_rounds(edges, rounds, k, hash_fn)
     ]
     return reduce(lambda a, b: a.unionByName(b), aggs)
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    eps_num: int = 1,
+    eps_den: int = 10,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Greedy densest-subgraph peel — Bahmani, Kumar & Vassilvitskii
+    (VLDB 2012), THE MapReduce densest-subgraph algorithm and the
+    standard link-spam-farm / community-core detector: per round, over
+    the live undirected simple graph, every vertex whose degree is at
+    most (1+ε)·(2·|E|/|V|) (i.e. ≤ (1+ε)·average) is removed at once;
+    the densest of the ~log_{1+ε}(n) iterates is a 2(1+ε)-approximation
+    of the maximum-density subgraph (density = |E|/|V|, undirected).
+
+    ε = eps_num/eps_den is kept RATIONAL so the peel predicate is pure
+    integer arithmetic — deg(v)·|V|·eps_den·? … concretely
+    deg·V·eps_den ≤ 2·E·(eps_den+eps_num) — and the best-round argmax
+    compares densities by exact cross-multiplication (E_a·V_b vs
+    E_b·V_a, ties → earliest round), so the result is identical on any
+    engine/layout and the SQL oracle replays it verbatim.
+
+    Per round: one degree aggregate + one broadcast-hinted anti-join
+    over the shrinking live edge set; the driver sees two integer
+    scalars per round (|V|, |E|).  A round that removes nothing removes
+    everything next (the predicate is ≥ average for at least one vertex
+    — when all degrees exceed (1+ε)·avg the set is final): the loop
+    breaks when the live set is empty or unchanged; max_rounds is a
+    backstop (raises — truncation would silently return a worse
+    approximation).
+
+    Returns (v, peel_round:int, in_densest:boolean): peel_round = round
+    the vertex was removed (every vertex peels — min degree ≤ average,
+    so each round removes ≥1 vertex and the loop runs to empty),
+    in_densest = membership in the best iterate (peel_round ≥ best
+    round index).
+    """
+    from pagerank_cuda_dynamic_spark.plans.barrier import broadcast_state, materialize
+
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        e0.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+        .transform(materialize)
+    )
+    # the live VERTEX set is tracked explicitly (Bahmani's V_t): a vertex
+    # isolated by its neighbors' removal stays in V_t at degree 0 (still
+    # lowering the density denominator) until it peels itself — deriving
+    # V_t from the live edges would silently drop it with no peel_round
+    vlive = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .distinct()
+        .transform(materialize)
+    )
+    live = und
+    n_e = live.count()
+    stats = []  # (round, |V|, |E|) of each iterate, exact ints
+    peeled = None
+    r = 0
+    while True:
+        n_v = vlive.count()
+        if n_v == 0:
+            break
+        stats.append((r, n_v, n_e))
+        if r >= max_rounds:
+            raise RuntimeError(
+                f"densest_subgraph: max_rounds={max_rounds} exhausted with "
+                f"{n_v} live vertices; raise the cap"
+            )
+        edeg = (
+            live.select(F.col("a").alias("v"))
+            .unionByName(live.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        degs = (
+            vlive.join(edeg, "v", "left")
+            .select("v", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+            .transform(materialize)
+        )
+        # peel: deg·V·den ≤ 2·E·(den+num)  — pure integers
+        thresh_lhs = n_v * eps_den
+        thresh_rhs = 2 * n_e * (eps_den + eps_num)
+        out_now = degs.where(
+            F.col("deg") * F.lit(thresh_lhs) <= F.lit(thresh_rhs)
+        ).select("v", F.lit(r).alias("peel_round"))
+        out_now = out_now.transform(materialize)
+        peeled = out_now if peeled is None else peeled.unionByName(out_now)
+        bgone = broadcast_state(out_now.select("v"), n_v)
+        vlive = vlive.join(bgone, "v", "left_anti").transform(materialize)
+        live = (
+            live.join(bgone.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(bgone.withColumnRenamed("v", "b"), "b", "left_anti")
+            .transform(materialize)
+        )
+        n_e = live.count()
+        r += 1
+    # exact argmax of E/V: no other round strictly denser; ties → earliest
+    best_r, best_v, best_e = stats[0] if stats else (0, 0, 0)
+    for rr, vv, ee in stats[1:]:
+        if ee * best_v > best_e * vv:
+            best_r, best_v, best_e = rr, vv, ee
+    if peeled is None:
+        return und.select(
+            F.col("a").alias("v"),
+            F.lit(-1).alias("peel_round"),
+            F.lit(False).alias("in_densest"),
+        ).limit(0)
+    allv = peeled.select("v", "peel_round")
+    return allv.select(
+        "v",
+        F.col("peel_round").cast("int").alias("peel_round"),
+        (F.col("peel_round") >= F.lit(best_r)).alias("in_densest"),
+    )

@@ -399,3 +399,41 @@ def test_topological_levels_detects_cycles(spark):
     sl = edges_df(spark, [0, 1, 1], [1, 2, 1])
     lv = {r.v: r.level for r in topological_levels(sl).collect()}
     assert lv == {0: 0, 1: 1, 2: 2}
+
+
+def test_temporal_reachability_respects_time(spark):
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.graph import temporal_reachability
+
+    # a→b at 5; b→c at 3 is NOT usable after arriving at 5; b→c at 7 is;
+    # equal stamps are allowed (non-decreasing); d is unreachable
+    e = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 3), ("b", "c", 7), ("c", "e", 7), ("x", "d", 1)],
+        "src string, dst string, seq long",
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"v": ["a"]}))
+    got = {r.v: r.arrival for r in temporal_reachability(e, seeds, max_hops=5).collect()}
+    assert got == {"a": -1, "b": 5, "c": 7, "e": 7}
+
+
+def test_temporal_reachability_hop_cap_and_min_arrival(spark):
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.graph import temporal_reachability
+
+    # chain a→b→c→d (increasing stamps) + a shortcut a→d with a LATER stamp:
+    # min arrival at d must take the 3-hop early path when hops allow,
+    # the 1-hop late path when capped
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("c", "d", 3), ("a", "d", 9)],
+        "src string, dst string, seq long",
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"v": ["a"]}))
+    full = {r.v: r.arrival for r in temporal_reachability(e, seeds, max_hops=3).collect()}
+    assert full["d"] == 3
+    capped = {r.v: r.arrival for r in temporal_reachability(e, seeds, max_hops=1).collect()}
+    assert capped["d"] == 9
+    # layout invariance
+    again = {r.v: r.arrival for r in temporal_reachability(e.repartition(5), seeds, max_hops=3).collect()}
+    assert again == full

@@ -323,6 +323,17 @@ def test_round5_ops_stay_jvm_side(spark):
     wts = spark.createDataFrame([("A", 1), ("B", 2)], "source string, w int")
     p = plan_of(interleave_sources(docs, wts))
     assert "BatchEvalPython" not in p
+    from pagerank_cuda_dynamic_spark.operators.graph import temporal_reachability
+    from pagerank_cuda_dynamic_spark.operators.webgraph import densest_subgraph
+
+    te = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 7)], "src long, dst long, seq long"
+    )
+    ts = spark.createDataFrame([(0,)], "v long")
+    assert "BatchEvalPython" not in plan_of(
+        temporal_reachability(te, ts, max_hops=2)
+    )
+    assert "BatchEvalPython" not in plan_of(densest_subgraph(dag))
 
 
 def test_broadcast_state_hints_materialized_frames(spark):

@@ -493,3 +493,49 @@ def test_pseudo_diameter_cap_contract(spark):
     capped value is the contract, exactly like the SQL oracle's unroll."""
     r = _pd_row(spark, [(str(i), str(i + 1)) for i in range(8)], max_depth=3)
     assert r.ecc_start == 3 and r.diameter_lb == 3
+
+
+# ---------------------------------------------------------------------------
+# densest_subgraph
+# ---------------------------------------------------------------------------
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import densest_subgraph
+
+    # sparse path background (density ~0.9) + K6 (density 2.5): the peel's
+    # best iterate must be exactly the clique
+    pairs = [(f"p{i}", f"p{i+1}") for i in range(9)]
+    clique = [(f"k{i}", f"k{j}") for i in range(6) for j in range(i + 1, 6)]
+    res = densest_subgraph(_edges(spark, pairs + clique)).toPandas()
+    dense = set(res[res.in_densest]["v"])
+    assert dense == {f"k{i}" for i in range(6)}
+    # every vertex got a peel round
+    assert len(res) == 10 + 6
+    assert (res["peel_round"] >= 0).all()
+
+
+def test_densest_subgraph_isolated_survivor_still_peels(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import densest_subgraph
+
+    # 10 disjoint pendant edges drag the average degree to ~1.04, so at
+    # ε=0.1 only degree-1 vertices peel in round 0; q (degree 2) survives,
+    # becomes ISOLATED (its only neighbors peeled), and must still receive
+    # a peel_round (= 1) rather than silently vanishing from the output
+    pairs = [(f"a{i}", f"b{i}") for i in range(10)] + [("q", "l1"), ("q", "l2")]
+    res = densest_subgraph(_edges(spark, pairs)).toPandas().set_index("v")
+    assert len(res) == 23
+    assert res.loc["q", "peel_round"] == 1
+    assert (res["peel_round"] >= 0).all()
+    # round 0 (density 12/23) beats round 1 (0/1): best iterate is round 0
+    assert res["in_densest"].all()
+
+
+def test_densest_subgraph_deterministic_under_relayout(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import densest_subgraph
+
+    pairs = [(f"v{i}", f"v{(i * 7 + 3) % 20}") for i in range(40)]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, densest_subgraph(e).collect()))
+    b = sorted(map(tuple, densest_subgraph(e.repartition(7)).collect()))
+    assert a == b
