@@ -1710,6 +1710,37 @@ def q_temporal_reach(spark, sf_dir):
     return temporal_reachability(tr, seeds, max_hops=4)
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding in relational (label, dim, centroid, n)
+    form (similarity.embedding_centroids — posexplode + one map-side-
+    combinable average, no arrays cross the shuffle) vs the DuckDB
+    list-index unnest average."""
+    from pagerank_cuda_dynamic_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = embedding_centroids(emb)
+    return res.select(
+        "label", "dim", F.round("centroid", 6).alias("centroid"), "n"
+    )
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """D×D population covariance of the embedding cloud
+    (similarity.gram_covariance — per-Arrow-batch float64 X.T@X partial
+    blocks in ONE mapInPandas pass, merged by a D²-row aggregate; the
+    PCA input) vs the exact relational self-join covariance in DuckDB."""
+    from pagerank_cuda_dynamic_spark.operators.similarity import (
+        gram_covariance,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return gram_covariance(emb).select(
+        "i", "j", F.round("cov", 6).alias("cov")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -1829,6 +1860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_mix": q_interleave_mix,
         "densest_core": q_densest_core,
         "temporal_reach": q_temporal_reach,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_covariance": q_embedding_covariance,
     }
 
 
@@ -2357,6 +2390,33 @@ reach(v, arr, hops) AS (
   FROM reach r JOIN e ON e.src = r.v AND e.seq >= r.arr
   WHERE r.hops < {hops})
 SELECT v, CAST(min(arr) AS BIGINT) AS arrival FROM reach GROUP BY v
+"""
+
+
+_CENTROIDS_SQL = """
+SELECT label, CAST(t.i AS INT) AS dim,
+       round(avg(CAST(embedding[t.i + 1] AS DOUBLE)), 6) AS centroid,
+       count(*) AS n
+FROM embeddings, unnest(range(len(embedding))) AS t(i)
+GROUP BY label, t.i
+"""
+
+_COVARIANCE_SQL = """
+WITH x AS MATERIALIZED (
+  SELECT vec_id, CAST(t.i AS INT) AS i,
+         CAST(embedding[t.i + 1] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+mu AS MATERIALIZED (SELECT i, avg(v) AS mu FROM x GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+)
+SELECT g.i, g.j,
+       round(s / (SELECT n FROM nn) - ma.mu * mb.mu, 6) AS cov
+FROM g JOIN mu ma ON ma.i = g.i JOIN mu mb ON mb.i = g.j
 """
 
 
@@ -3797,6 +3857,8 @@ GROUP BY w.doc_id
         "interleave_mix": _INTERLEAVE_SQL,
         "densest_core": _densest_sql(6),
         "temporal_reach": _temporal_reach_sql(4),
+        "embedding_centroids": _CENTROIDS_SQL,
+        "embedding_covariance": _COVARIANCE_SQL,
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

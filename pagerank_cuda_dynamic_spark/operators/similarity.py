@@ -461,3 +461,159 @@ def ivf_topk(
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+
+
+def embedding_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding, relational form — the centroid/drift
+    diagnostic every embedding pipeline runs (class prototypes, corpus
+    drift between snapshots, cluster quality):
+
+        (group, dim, centroid, n)   centroid = mean of component `dim`
+
+    posexplode → one (group, dim) average: map-side combinable, state =
+    |groups|·D rows, no arrays cross the shuffle — the exact shape that
+    scales to 100 TB.  Consumers needing array form collect_list over
+    the dim order (features.collect_features pattern).
+    """
+    ex = embeddings.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    return (
+        ex.groupBy("g", "dim")
+        .agg(
+            F.avg(F.col("x").cast("double")).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("g").alias(group_col), "dim", "centroid", "n"
+        )
+    )
+
+
+def gram_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> DataFrame:
+    """Covariance (default) or raw Gram matrix of the embedding cloud,
+    relational form (i, j, cov) — the D×D input of PCA / whitening /
+    Mahalanobis.  cov_ij = Σ(x_i−μ_i)(x_j−μ_j)/n (population form).
+
+    The N·D² explode a pure-relational formulation needs is the wrong
+    plan at scale, so partial D×D float64 Gram blocks are accumulated
+    per Arrow batch inside ONE mapInPandas pass (X.T @ X per batch —
+    vectorized, never per-row Python) and merged with one D²-row
+    aggregate; the mean for centering comes from the same pass (sum
+    vector rides with the Gram block).  Driver never sees vectors.
+
+    Returns D² rows (i, j, cov), j ≥ i (symmetric upper triangle).
+    """
+    import pandas as pd  # noqa: F811  (module already imports pandas)
+
+    vc = vec_col
+
+    def gram_blocks(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vc].tolist(), dtype=np.float64)
+            G = X.T @ X
+            s = X.sum(axis=0)
+            d = G.shape[0]
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "g": G[iu],
+                    "si": s[iu[0]],
+                    "sj": s[iu[1]],
+                    "n": np.full(len(iu[0]), len(pdf), dtype="int64"),
+                }
+            )
+
+    parts = embeddings.select(vc).mapInPandas(
+        gram_blocks, "i int, j int, g double, si double, sj double, n long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("g").alias("g"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("n").alias("n"),
+    )
+    if not center:
+        return agg.select("i", "j", (F.col("g") / F.col("n")).alias("cov"))
+    # cov = G/n − μ_i·μ_j
+    return agg.select(
+        "i",
+        "j",
+        (
+            F.col("g") / F.col("n")
+            - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+        ).alias("cov"),
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA projection to the top-k principal components: eigendecompose
+    the D×D covariance (gram_covariance above) on the DRIVER — D×D is
+    KBs regardless of corpus size, the one matrix a driver should ever
+    hold — then project every vector with one vectorized mapInPandas
+    matmul against the broadcast D×k basis.
+
+    Determinism: np.linalg.eigh on the same float64 matrix, components
+    ordered by descending eigenvalue, each eigenvector sign-fixed so its
+    largest-|coefficient| entry is positive (eigenvectors are only
+    defined up to sign).  Near-degenerate eigenvalues can still permute
+    between BLAS builds — cross-ENGINE value checks therefore stop at
+    the covariance (driver query `embedding_covariance`); projection
+    correctness is pinned by the NumPy-parity pytest.
+
+    Returns (id, comp:int, value:double)."""
+    cov_rows = gram_covariance(embeddings, vec_col=vec_col).collect()
+    d = max(r.j for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.i, r.j] = r.cov
+        C[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    for c in range(W.shape[1]):
+        m = np.argmax(np.abs(W[:, c]))
+        if W[m, c] < 0:
+            W[:, c] = -W[:, c]
+    spark = embeddings.sparkSession
+    bW = spark.sparkContext.broadcast(W)
+
+    ic, vc = id_col, vec_col
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vc].tolist(), dtype=np.float64)
+            P = X @ bW.value
+            n, kk = P.shape
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[ic].to_numpy(), kk),
+                    "comp": np.tile(np.arange(kk, dtype="int32"), n),
+                    "value": P.ravel(),
+                }
+            )
+
+    return embeddings.select(ic, vc).mapInPandas(
+        project, "id long, comp int, value double"
+    ).withColumnRenamed("id", ic)

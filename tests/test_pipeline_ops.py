@@ -998,3 +998,77 @@ def test_interleave_sources_rejects_bad_inputs(spark):
     )
     with pytest.raises(ValueError, match="not positive"):
         interleave_sources(docs, zero_w)
+
+
+def test_embedding_centroids_exact(spark):
+    from pagerank_cuda_dynamic_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0], "a"), (1, [3.0, 4.0], "a"), (2, [10.0, 0.0], "b")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    rows = {
+        (r.label, r.dim): (r.centroid, r.n)
+        for r in embedding_centroids(emb).collect()
+    }
+    assert rows == {
+        ("a", 0): (2.0, 2), ("a", 1): (3.0, 2),
+        ("b", 0): (10.0, 1), ("b", 1): (0.0, 1),
+    }
+
+
+def test_gram_covariance_matches_numpy(spark):
+    from pagerank_cuda_dynamic_spark.operators.similarity import (
+        gram_covariance,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.i, r.j): r.cov for r in gram_covariance(emb).collect()}
+    C = np.cov(X.astype(np.float64).T, bias=True)  # population covariance
+    for (i, j), v in got.items():
+        assert j >= i
+        assert abs(v - C[i, j]) < 1e-9, (i, j)
+    assert len(got) == 6 * 7 // 2
+    # raw Gram mode and layout invariance
+    raw = {(r.i, r.j): r.cov for r in
+           gram_covariance(emb.repartition(7), center=False).collect()}
+    G = (X.astype(np.float64).T @ X.astype(np.float64)) / 40
+    for (i, j), v in raw.items():
+        assert abs(v - G[i, j]) < 1e-9
+
+
+def test_pca_project_matches_numpy(spark):
+    from pagerank_cuda_dynamic_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated on a known direction
+    base = rng.normal(size=(60, 4))
+    base[:, 0] *= 10.0
+    X = base.astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = pca_project(emb, k=2).toPandas()
+    P = got.pivot(index="vec_id", columns="comp", values="value").to_numpy()
+
+    Xd = X.astype(np.float64)
+    C = np.cov(Xd.T, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:2]
+    W = vecs[:, order]
+    for c in range(2):
+        m = np.argmax(np.abs(W[:, c]))
+        if W[m, c] < 0:
+            W[:, c] = -W[:, c]
+    want = Xd @ W
+    assert np.allclose(P, want, atol=1e-6)
+    # component 0 carries the dominant (scaled) axis' variance
+    assert P[:, 0].var() > 5 * P[:, 1].var()

@@ -334,6 +334,20 @@ def test_round5_ops_stay_jvm_side(spark):
         temporal_reachability(te, ts, max_hops=2)
     )
     assert "BatchEvalPython" not in plan_of(densest_subgraph(dag))
+    # embedding stats: centroids pure JVM; covariance is Arrow-batched
+    # MapInPandas (vectorized GEMM), never row-at-a-time BatchEvalPython
+    from pagerank_cuda_dynamic_spark.operators.similarity import (
+        embedding_centroids,
+        gram_covariance,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0], "a")], "vec_id long, embedding array<float>, label string"
+    )
+    assert "BatchEvalPython" not in plan_of(embedding_centroids(emb))
+    p = plan_of(gram_covariance(emb))
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" in p
 
 
 def test_broadcast_state_hints_materialized_frames(spark):
