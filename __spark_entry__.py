@@ -1208,6 +1208,27 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_window_stats(injected, window=12, window_hash=_md5_hash64)
 
 
+def q_despan_corpus(spark, sf_dir):
+    """Span-level dedup REMOVAL (dedup.remove_duplicate_spans — Lee et
+    al. ExactSubstr semantics: drop every token covered by a cross-doc
+    duplicated 12-token window except in the (id,pos)-minimal owner
+    occurrence).  Same boilerplate injection as `duplicate_spans`; the
+    oracle recomputes window hashes, ownership and reassembly exactly."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_INJECT)),
+        ).otherwise(F.col("text")),
+    )
+    return remove_duplicate_spans(injected, window=12, window_hash=_md5_hash64)
+
+
 def q_mis(spark, sf_dir):
     """Luby maximal independent set with md5 hash priorities over the
     event graph (graph.maximal_independent_set) — winners/removals
@@ -1862,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach": q_temporal_reach,
         "embedding_centroids": q_embedding_centroids,
         "embedding_covariance": q_embedding_covariance,
+        "despan_corpus": q_despan_corpus,
     }
 
 
@@ -2390,6 +2412,45 @@ reach(v, arr, hops) AS (
   FROM reach r JOIN e ON e.src = r.v AND e.seq >= r.arr
   WHERE r.hops < {hops})
 SELECT v, CAST(min(arr) AS BIGINT) AS arrival FROM reach GROUP BY v
+"""
+
+
+_DESPAN_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' {_SPAN_INJECT}'
+              ELSE text END AS text
+  FROM documents),
+tk AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM injected),
+w AS MATERIALIZED (
+  SELECT doc_id, r.i - 1 AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(list_slice(t, r.i, r.i + 11), ' ')), 1, 15)) AS BIGINT) AS wh
+  FROM tk, unnest(range(1, greatest(len(t) - 11, 0) + 1)) AS r(i)),
+ag AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+dw AS (
+  SELECT w.doc_id, w.pos,
+         row_number() OVER (PARTITION BY w.wh ORDER BY w.doc_id, w.pos) AS rn
+  FROM w JOIN ag ON ag.wh = w.wh),
+cov AS (
+  SELECT DISTINCT doc_id, pos + r.j AS p
+  FROM dw, unnest(range(0, 12)) AS r(j) WHERE rn > 1),
+tp AS (
+  SELECT doc_id, r.i - 1 AS p, t[r.i] AS tok
+  FROM tk, unnest(range(1, len(t) + 1)) AS r(i)),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok FROM tp
+  LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+  WHERE cov.p IS NULL),
+res AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT tk.doc_id, coalesce(res.clean_text, '') AS clean_text,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(len(tk.t) - coalesce(res.n_kept, 0) AS BIGINT) AS n_removed
+FROM tk LEFT JOIN res ON res.doc_id = tk.doc_id
 """
 
 
@@ -3859,6 +3920,7 @@ GROUP BY w.doc_id
         "temporal_reach": _temporal_reach_sql(4),
         "embedding_centroids": _CENTROIDS_SQL,
         "embedding_covariance": _COVARIANCE_SQL,
+        "despan_corpus": _DESPAN_SQL,
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

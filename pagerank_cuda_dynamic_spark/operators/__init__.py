@@ -40,3 +40,26 @@ from pagerank_cuda_dynamic_spark.operators.pagerank import (  # noqa: F401
     pagerank_dynamic_frontier,
     pagerank_dynamic_frontier_prune,
 )
+from pagerank_cuda_dynamic_spark.operators.graph import (  # noqa: F401
+    maximal_matching,
+    temporal_reachability,
+    topological_levels,
+)
+from pagerank_cuda_dynamic_spark.operators.centrality import (  # noqa: F401
+    absorption_probability,
+    trustrank_spam_mass,
+)
+from pagerank_cuda_dynamic_spark.operators.webgraph import (  # noqa: F401
+    densest_subgraph,
+)
+from pagerank_cuda_dynamic_spark.operators.sampling import (  # noqa: F401
+    interleave_sources,
+)
+from pagerank_cuda_dynamic_spark.operators.similarity import (  # noqa: F401
+    embedding_centroids,
+    gram_covariance,
+    pca_project,
+)
+from pagerank_cuda_dynamic_spark.operators.dedup import (  # noqa: F401
+    remove_duplicate_spans,
+)

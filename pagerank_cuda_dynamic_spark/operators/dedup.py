@@ -734,3 +734,108 @@ def duplicate_window_stats(
     out = materialize(out)
     w.unpersist()
     return out
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_hash=None,
+) -> DataFrame:
+    """Span-level dedup REMOVAL — the application stage of
+    duplicate_window_stats (Lee et al. 2021 ExactSubstr semantics):
+    every token covered by a cross-doc duplicated `window`-token window
+    is dropped, EXCEPT inside the window's canonical owner occurrence —
+    the (id, pos)-minimal one — i.e. "remove all but the first
+    occurrence".  Output is the retained NORMALIZED token stream (the
+    [a-z0-9]+ tokenizer shared by the whole dedup family), not a
+    byte-faithful rewrite — the standard form a training corpus keeps
+    after span scrubbing.
+
+    Plan shape (100 TB posture): window hashes posexplode with their
+    positions (|tokens| rows); ONE wh-keyed aggregate finds cross-doc
+    dups and the canonical owner together (count_distinct +
+    min(struct)); non-owner occurrences explode to ≤ n_dup·window
+    (id, pos) coverage rows; retained tokens anti-join the coverage and
+    reassemble with one id-keyed sort-struct aggregate (doc-scoped,
+    never a global window).
+
+    Returns (id, clean_text, n_tokens, n_removed).  window_hash
+    defaults to xxhash64 (pass an md5-derived fn for cross-engine
+    oracles).
+    """
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    if window_hash is None:
+        window_hash = F.xxhash64
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    wins = F.when(n < window, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.array_join(F.slice(toks, i + 1, window), " "),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"), toks.alias("tk"), wins.alias("ws")
+    ).persist()
+    w = base.select(
+        "id",
+        F.posexplode(
+            F.transform(F.col("ws"), lambda s: window_hash(s))
+        ).alias("pos", "wh"),
+    ).persist()
+    dup = (
+        w.groupBy("wh")
+        .agg(
+            F.count_distinct("id").alias("nd"),
+            F.min(F.struct("id", "pos")).alias("own"),
+        )
+        .where(F.col("nd") > 1)
+        .select("wh", "own")
+    )
+    nonown = (
+        w.join(dup, "wh")
+        .where(
+            ~(
+                (F.col("id") == F.col("own.id"))
+                & (F.col("pos") == F.col("own.pos"))
+            )
+        )
+        .select("id", "pos")
+    )
+    covered = nonown.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+        ).alias("p"),
+    ).distinct()
+    tokpos = base.select("id", F.posexplode("tk").alias("p", "tok"))
+    kept = tokpos.join(covered, ["id", "p"], "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    out = (
+        base.select("id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+    out = materialize(out)
+    w.unpersist()
+    base.unpersist()
+    return out

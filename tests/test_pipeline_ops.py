@@ -1072,3 +1072,60 @@ def test_pca_project_matches_numpy(spark):
     assert np.allclose(P, want, atol=1e-6)
     # component 0 carries the dominant (scaled) axis' variance
     assert P[:, 0].var() > 5 * P[:, 1].var()
+
+
+def test_remove_duplicate_spans_all_but_first(spark):
+    from pagerank_cuda_dynamic_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    boiler = "alpha beta gamma delta"  # 4 tokens = one window at w=4
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique zero text {boiler}"),
+            (1, f"{boiler} plus own words here"),
+            (2, "totally unrelated content words"),
+            (3, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    res = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(docs, window=4).collect()
+    }
+    # doc 0 holds the (id,pos)-minimal occurrence — keeps the span
+    assert res[0] == ("unique zero text alpha beta gamma delta", 7, 0)
+    # later occurrences lose exactly the boilerplate tokens
+    assert res[1] == ("plus own words here", 8, 4)
+    assert res[2] == ("totally unrelated content words", 4, 0)
+    assert res[3] == ("", 4, 4)
+
+
+def test_remove_duplicate_spans_overlap_and_layout(spark):
+    from pagerank_cuda_dynamic_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    # two overlapping duplicated windows cover a 5-token span; coverage is
+    # the UNION of windows, not double-counted
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e tail0"),
+            (1, "head1 a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    res = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_duplicate_spans(docs, window=4).collect()
+    }
+    assert res[0] == ("a b c d e tail0", 0)
+    assert res[1] == ("head1", 5)
+    # deterministic under relayout
+    res2 = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_duplicate_spans(
+            docs.repartition(5), window=4
+        ).collect()
+    }
+    assert res2 == res

@@ -348,6 +348,14 @@ def test_round5_ops_stay_jvm_side(spark):
     p = plan_of(gram_covariance(emb))
     assert "BatchEvalPython" not in p
     assert "MapInPandas" in p
+    from pagerank_cuda_dynamic_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    d2 = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f")], "doc_id long, text string"
+    )
+    assert "BatchEvalPython" not in plan_of(remove_duplicate_spans(d2, window=4))
 
 
 def test_broadcast_state_hints_materialized_frames(spark):
