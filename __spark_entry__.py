@@ -1762,6 +1762,45 @@ def q_embedding_covariance(spark, sf_dir):
     )
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (temporal.funnel_steps): earliest
+    signup→view→click→purchase completion times per user, each step
+    strictly after the previous one — vs the chained filtered-min
+    oracle (identical greedy-earliest recurrence)."""
+    from pagerank_cuda_dynamic_spark.operators.temporal import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = funnel_steps(ev, _FUNNEL_STEPS)
+    # epoch-µs BIGINT: timestamps hash-compare exactly across engines
+    # (pandas would otherwise surface ns-vs-µs dtype noise)
+    return res.select(
+        "user_id",
+        "step_idx",
+        "step",
+        F.unix_micros(F.col("step_ts").cast("timestamp")).alias("step_ts_us"),
+    )
+
+
+def q_retention(spark, sf_dir):
+    """Day-cohort retention triangle (temporal.retention_cohorts):
+    users cohorted by first-seen calendar day, distinct active users per
+    (cohort_day, day_offset) — vs the identical two-aggregate oracle."""
+    from pagerank_cuda_dynamic_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = retention_cohorts(ev)
+    return res.select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -1884,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "embedding_covariance": q_embedding_covariance,
         "despan_corpus": q_despan_corpus,
+        "funnel": q_funnel,
+        "retention": q_retention,
     }
 
 
@@ -2451,6 +2492,41 @@ SELECT tk.doc_id, coalesce(res.clean_text, '') AS clean_text,
        CAST(len(tk.t) AS BIGINT) AS n_tokens,
        CAST(len(tk.t) - coalesce(res.n_kept, 0) AS BIGINT) AS n_removed
 FROM tk LEFT JOIN res ON res.doc_id = tk.doc_id
+"""
+
+
+def _funnel_sql(steps: list[str]) -> str:
+    """Chained filtered-min replay of temporal.funnel_steps: t_i = min ts
+    of step_i events strictly after t_{i-1}."""
+    ctes = [
+        f"""s0 AS MATERIALIZED (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = '{steps[0]}' GROUP BY user_id)"""
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s{i - 1} ON s{i - 1}.u = e.user_id AND e.ts > s{i - 1}.t
+  WHERE e.event_type = '{steps[i]}' GROUP BY e.user_id)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT u AS user_id, {i} AS step_idx, '{s}' AS step, "
+        f"epoch_us(t) AS step_ts_us FROM s{i}"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+_RETENTION_SQL = """
+WITH act AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+f AS MATERIALIZED (SELECT u, min(d) AS cohort_day FROM act GROUP BY u)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(act.d - f.cohort_day AS INT) AS day_offset,
+       count(DISTINCT act.u) AS n_users
+FROM act JOIN f ON f.u = act.u
+GROUP BY 1, 2
 """
 
 
@@ -3921,6 +3997,8 @@ GROUP BY w.doc_id
         "embedding_centroids": _CENTROIDS_SQL,
         "embedding_covariance": _COVARIANCE_SQL,
         "despan_corpus": _DESPAN_SQL,
+        "funnel": _funnel_sql(_FUNNEL_STEPS),
+        "retention": _RETENTION_SQL,
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

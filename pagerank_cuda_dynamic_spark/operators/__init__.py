@@ -63,3 +63,7 @@ from pagerank_cuda_dynamic_spark.operators.similarity import (  # noqa: F401
 from pagerank_cuda_dynamic_spark.operators.dedup import (  # noqa: F401
     remove_duplicate_spans,
 )
+from pagerank_cuda_dynamic_spark.operators.temporal import (  # noqa: F401
+    funnel_steps,
+    retention_cohorts,
+)

@@ -153,3 +153,90 @@ def asof_join(
         *lcols,
         *[F.col("_m").getField(c).alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel — the product-analytics staple: for each
+    user, the earliest completion time of each successive step, where
+    step i+1 must happen STRICTLY AFTER the user's earliest completion
+    of step i (events of other types in between are ignored — the
+    standard "unordered in between" semantics).
+
+        t_0(u) = min ts of step_0 events of u
+        t_i(u) = min ts of step_i events of u with ts > t_{i-1}(u)
+
+    Earliest-completion greediness is optimal here: any valid funnel
+    assignment can be left-shifted onto the earliest times, so a user
+    completes step i under these semantics iff t_i exists.
+
+    Per step: one filtered aggregate over the events table + one
+    user-keyed join — |steps| keyed shuffles total, state = one row per
+    surviving user, no windows, no Python.  Returns
+    (user, step_idx:int, step:string, step_ts) for completed steps only.
+    """
+    out = None
+    prev = None
+    for i, step in enumerate(steps):
+        ev = events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("t"),
+            F.col(ts_col).alias("ts"),
+        ).where(F.col("t") == step)
+        if prev is None:
+            cur = ev.groupBy("u").agg(F.min("ts").alias("step_ts"))
+        else:
+            cur = (
+                ev.join(prev.select("u", F.col("step_ts").alias("_pts")), "u")
+                .where(F.col("ts") > F.col("_pts"))
+                .groupBy("u")
+                .agg(F.min("ts").alias("step_ts"))
+            )
+        row = cur.select(
+            F.col("u").alias(user_col),
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step"),
+            "step_ts",
+        )
+        out = row if out is None else out.unionByName(row)
+        prev = cur
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-cohort retention triangle — the other product-analytics
+    staple: users are cohorted by their FIRST-seen calendar day; for
+    every (cohort_day, day_offset) cell, how many distinct cohort users
+    were active exactly offset days later.
+
+    Two aggregates: first-seen day per user (one user-keyed shuffle),
+    then distinct users per (cohort_day, offset) over the
+    user-day-deduped activity (map-side combinable after the dedup).
+    Offsets are exact integer day differences (datediff) — no float,
+    no timezone arithmetic beyond the date cast.  Returns
+    (cohort_day:date, day_offset:int, n_users:long); offset 0 row
+    equals the cohort size.
+    """
+    act = events.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    ).distinct()
+    first = act.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(first, "u")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+            "u",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

@@ -1129,3 +1129,60 @@ def test_remove_duplicate_spans_overlap_and_layout(spark):
         ).collect()
     }
     assert res2 == res
+
+
+def test_funnel_steps_strict_order(spark):
+    from datetime import datetime as DT
+
+    from pagerank_cuda_dynamic_spark.operators.temporal import funnel_steps
+
+    t = lambda m: DT(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: view BEFORE signup must not count; first view after does
+        (1, "view", t(1)), (1, "signup", t(5)), (1, "view", t(9)),
+        (1, "click", t(7)),  # click before the qualifying view: ignored
+        (1, "click", t(12)),
+        # user 2: signup only
+        (2, "signup", t(3)),
+        # user 3: full funnel in order, duplicates keep the earliest
+        (3, "signup", t(1)), (3, "view", t(2)), (3, "view", t(4)),
+        (3, "click", t(6)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r.user_id, r.step_idx): (r.step, r.step_ts)
+        for r in funnel_steps(ev, ["signup", "view", "click"]).collect()
+    }
+    assert got == {
+        (1, 0): ("signup", t(5)), (1, 1): ("view", t(9)), (1, 2): ("click", t(12)),
+        (2, 0): ("signup", t(3)),
+        (3, 0): ("signup", t(1)), (3, 1): ("view", t(2)), (3, 2): ("click", t(6)),
+    }
+
+
+def test_retention_cohorts_counts(spark):
+    from datetime import datetime as DT
+
+    from pagerank_cuda_dynamic_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    d = lambda day, h=12: DT(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (1, d(1)), (1, d(1, 23)), (1, d(2)), (1, d(4)),
+        (2, d(1)), (2, d(3)),
+        (3, d(2)), (3, d(3)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1, 2 (same-day repeats dedup)
+        ("2024-01-01", 1): 1,  # user 1
+        ("2024-01-01", 2): 1,  # user 2
+        ("2024-01-01", 3): 1,  # user 1
+        ("2024-01-02", 0): 1,  # user 3
+        ("2024-01-02", 1): 1,  # user 3
+    }

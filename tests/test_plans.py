@@ -356,6 +356,16 @@ def test_round5_ops_stay_jvm_side(spark):
         [(0, "a b c d e"), (1, "a b c d f")], "doc_id long, text string"
     )
     assert "BatchEvalPython" not in plan_of(remove_duplicate_spans(d2, window=4))
+    from pagerank_cuda_dynamic_spark.operators.temporal import (
+        funnel_steps,
+        retention_cohorts,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00")], "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert "BatchEvalPython" not in plan_of(funnel_steps(ev, ["a", "b"]))
+    assert "BatchEvalPython" not in plan_of(retention_cohorts(ev))
 
 
 def test_broadcast_state_hints_materialized_frames(spark):
