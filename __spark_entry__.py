@@ -1762,6 +1762,29 @@ def q_embedding_covariance(spark, sf_dir):
     )
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Composition: DOMAIN-level PageRank — the host ranking every crawl
+    pipeline derives right after contraction: entity graph → host graph
+    (the `host_graph` mapping: customers/suppliers→nation, parts→brand)
+    → 10 synchronous rounds of the self-looped uniform-teleport pull
+    recurrence (personalized_pagerank seeded by every host vertex ≡
+    plain PageRank).  Oracle replays contraction + the unrolled CTE."""
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        personalized_pagerank,
+    )
+
+    hg = q_host_graph(spark, sf_dir).select("src", "dst")
+    verts = (
+        hg.select(F.col("src").alias("v"))
+        .union(hg.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    res = personalized_pagerank(hg, verts, damping=DAMPING, iterations=10)
+    return res.select(
+        F.col("v").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
 
@@ -1925,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "despan_corpus": q_despan_corpus,
         "funnel": q_funnel,
         "retention": q_retention,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -2516,6 +2540,45 @@ def _funnel_sql(steps: list[str]) -> str:
         for i, s in enumerate(steps)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def _host_pr_sql(k: int) -> str:
+    """Contraction + unrolled k-round uniform-teleport PageRank over the
+    host graph (q_host_pagerank): the `host_graph` mapping CTEs followed
+    by the literal personalized_pagerank recurrence (universal
+    self-loops, p0 = teleport = 1/N)."""
+    body = f"""WITH e0 AS (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+m AS (
+  SELECT 'c' || c_custkey AS v, 'n' || c_nationkey AS g FROM customer
+  UNION ALL
+  SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'p' || p_partkey, 'b:' || p_brand FROM part
+),
+he AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT COALESCE(ms.g, e0.src) AS src, COALESCE(md.g, e0.dst) AS dst
+    FROM e0 LEFT JOIN m ms ON ms.v = e0.src LEFT JOIN m md ON md.v = e0.dst
+  ) c WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS v FROM he UNION SELECT dst FROM he),
+edges AS MATERIALIZED (SELECT src, dst FROM he UNION SELECT v, v FROM verts),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS outdeg FROM edges GROUP BY src),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+ew AS MATERIALIZED (
+  SELECT edges.src, edges.dst, 1.0 / deg.outdeg AS w
+  FROM edges JOIN deg ON deg.v = edges.src),
+p0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    for i in range(1, k + 1):
+        body += f""",
+p{i} AS MATERIALIZED (
+  SELECT verts.v,
+         (1-{DAMPING})/(SELECT n FROM nn)
+           + {DAMPING} * coalesce(sum(p{i-1}.rank * ew.w), 0) AS rank
+  FROM verts LEFT JOIN ew ON ew.dst = verts.v
+  LEFT JOIN p{i-1} ON p{i-1}.v = ew.src
+  GROUP BY verts.v)"""
+    body += f"\nSELECT v AS host, round(rank, 6) AS rank FROM p{k}"
+    return body
 
 
 _RETENTION_SQL = """
@@ -3999,6 +4062,7 @@ GROUP BY w.doc_id
         "despan_corpus": _DESPAN_SQL,
         "funnel": _funnel_sql(_FUNNEL_STEPS),
         "retention": _RETENTION_SQL,
+        "host_pagerank": _host_pr_sql(10),
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
