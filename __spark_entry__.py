@@ -1785,6 +1785,37 @@ def q_host_pagerank(spark, sf_dir):
     )
 
 
+def q_negative_samples(spark, sf_dir):
+    """Deterministic negative-edge sampling for link-prediction / GNN
+    training (walks.negative_samples): dense-id dictionary (J4) → fixed
+    Weyl-mix probe sequence cand(src, j) = (src·M1 + j·M2 + A) mod n →
+    reject self/true edges → first 3 surviving attempts per source —
+    decoded back to entity strings; the oracle replays dictionary,
+    probes, rejection and attempt ranking verbatim."""
+    from pagerank_cuda_dynamic_spark.operators.walks import negative_samples
+
+    e = _entity_edge_df(spark, sf_dir)
+    d = build_vertex_dictionary(e, src="src", dst="dst")
+    n = d.count()
+    enc = encode_edges(e, d, src="src", dst="dst")
+    neg = negative_samples(enc, n, k=3, attempts=8)
+    return (
+        neg.join(
+            d.withColumnRenamed("v", "src").withColumnRenamed(
+                "entity", "src_entity"
+            ),
+            "src",
+        )
+        .join(
+            d.withColumnRenamed("v", "dst").withColumnRenamed(
+                "entity", "dst_entity"
+            ),
+            "dst",
+        )
+        .select("src_entity", "dst_entity", "attempt")
+    )
+
+
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
 
@@ -1949,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "host_pagerank": q_host_pagerank,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -2579,6 +2611,35 @@ p{i} AS MATERIALIZED (
   GROUP BY verts.v)"""
     body += f"\nSELECT v AS host, round(rank, 6) AS rank FROM p{k}"
     return body
+
+
+_NEGATIVE_SAMPLES_SQL = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({ENTITY_EDGES_SQL})),
+verts AS (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+d AS MATERIALIZED (
+  SELECT v AS entity, row_number() OVER (ORDER BY v) - 1 AS id FROM verts),
+enc AS MATERIALIZED (
+  SELECT ds.id AS src, dd.id AS dst
+  FROM e JOIN d ds ON ds.entity = e.src JOIN d dd ON dd.entity = e.dst),
+srcs AS (SELECT DISTINCT src FROM enc),
+nn AS (SELECT count(*) AS n FROM d),
+cand AS (
+  SELECT src, r.j,
+         (src * 2654435761 + r.j * 40503 + 12345) % (SELECT n FROM nn) AS dst
+  FROM srcs, unnest(range(0, 8)) AS r(j)),
+surv AS (
+  SELECT c.src, c.j, c.dst FROM cand c
+  LEFT JOIN enc ON enc.src = c.src AND enc.dst = c.dst
+  WHERE c.dst <> c.src AND enc.src IS NULL),
+rk AS (
+  SELECT src, j, dst, row_number() OVER (PARTITION BY src ORDER BY j) AS rn
+  FROM surv)
+SELECT ds.entity AS src_entity, dd.entity AS dst_entity,
+       CAST(rk.j AS INT) AS attempt
+FROM rk JOIN d ds ON ds.id = rk.src JOIN d dd ON dd.id = rk.dst
+WHERE rn <= 3
+"""
 
 
 _RETENTION_SQL = """
@@ -4063,6 +4124,7 @@ GROUP BY w.doc_id
         "funnel": _funnel_sql(_FUNNEL_STEPS),
         "retention": _RETENTION_SQL,
         "host_pagerank": _host_pr_sql(10),
+        "negative_samples": _NEGATIVE_SAMPLES_SQL,
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

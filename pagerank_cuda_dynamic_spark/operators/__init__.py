@@ -24,6 +24,7 @@ from pagerank_cuda_dynamic_spark.operators.centrality import (  # noqa: F401
 from pagerank_cuda_dynamic_spark.operators.walks import (  # noqa: F401
     deterministic_walks,
     md5_walk_hash,
+    negative_samples,
     sample_neighbors,
 )
 from pagerank_cuda_dynamic_spark.operators.features import (  # noqa: F401

@@ -130,3 +130,57 @@ def deterministic_walks(
     out = out.transform(materialize)
     e.unpersist()
     return out
+
+
+def negative_samples(
+    edges: DataFrame,
+    n_vertices: int,
+    k: int = 3,
+    attempts: int = 8,
+) -> DataFrame:
+    """Deterministic negative-edge sampling — the link-prediction / GNN
+    training companion of sample_neighbors: for every distinct source,
+    up to `k` candidate destinations that are NOT out-neighbors, drawn
+    from the fixed integer probe sequence over dense vertex ids [0, n):
+
+        cand(src, j) = (src·2654435761 + j·40503 + 12345) mod n,  j < attempts
+
+    (the sampling family's Weyl/Knuth mix — a pure function of
+    (src, j), so the sample is layout / rerun / cluster-size invariant
+    and a SQL oracle recomputes it verbatim).  Self-candidates and true
+    edges are rejected; the first k surviving attempts (by attempt
+    index) are kept.  A source whose probes all collide with real
+    neighbors returns fewer than k rows — raise `attempts` for dense
+    sources; the expected shortfall is (d/n)^attempts per source.
+
+    Plan shape: |sources|·attempts candidate rows from one explode, one
+    broadcast-or-shuffle anti-join against the edge set, one
+    src-partitioned ≤attempts-row window — no RNG, no driver state.
+    Returns (src, dst, attempt:int).  Requires dense long ids (J4
+    dictionary); overflow-safe for n_vertices·2654435761 < 2^63.
+    """
+    if k < 1 or attempts < k:
+        raise ValueError("negative_samples: need attempts >= k >= 1")
+    e = edges.select("src", "dst").distinct()
+    srcs = e.select("src").distinct()
+    cand = srcs.select(
+        "src",
+        F.explode(F.sequence(F.lit(0), F.lit(attempts - 1))).alias("j"),
+    ).select(
+        "src",
+        "j",
+        F.pmod(
+            F.col("src") * F.lit(2654435761) + F.col("j") * F.lit(40503) + F.lit(12345),
+            F.lit(n_vertices),
+        ).alias("dst"),
+    )
+    surv = (
+        cand.where(F.col("dst") != F.col("src"))
+        .join(e, ["src", "dst"], "left_anti")
+    )
+    w = Window.partitionBy("src").orderBy("j")
+    return (
+        surv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("src", "dst", F.col("j").cast("int").alias("attempt"))
+    )

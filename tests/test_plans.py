@@ -366,6 +366,9 @@ def test_round5_ops_stay_jvm_side(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     assert "BatchEvalPython" not in plan_of(funnel_steps(ev, ["a", "b"]))
     assert "BatchEvalPython" not in plan_of(retention_cohorts(ev))
+    from pagerank_cuda_dynamic_spark.operators.walks import negative_samples
+
+    assert "BatchEvalPython" not in plan_of(negative_samples(te, 5, k=1))
 
 
 def test_broadcast_state_hints_materialized_frames(spark):

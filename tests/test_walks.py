@@ -185,3 +185,54 @@ def test_walks_steps_zero(spark):
         edges_df(spark, src, dst), _sources(spark, [1, 2]), steps=0
     ).collect()
     assert sorted((r.walk_id, r.step, r.v) for r in rows) == [(1, 0, 1), (2, 0, 2)]
+
+
+def test_negative_samples_matches_python_replica(spark):
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_spark.operators.walks import negative_samples
+
+    n = 12
+    pairs = [(0, 1), (0, 5), (1, 2), (2, 3), (5, 9), (9, 0), (3, 1)]
+    e = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["src", "dst"])
+    )
+    got = {
+        (r.src, r.dst, r.attempt)
+        for r in negative_samples(e, n, k=2, attempts=6).collect()
+    }
+    eset = set(pairs)
+    want = set()
+    for s in sorted({a for a, _ in pairs}):
+        kept = 0
+        for j in range(6):
+            d = (s * 2654435761 + j * 40503 + 12345) % n
+            if d == s or (s, d) in eset:
+                continue
+            want.add((s, d, j))
+            kept += 1
+            if kept == 2:
+                break
+    assert got == want
+    # no sampled pair is a real edge or a self loop
+    for s, d, _ in got:
+        assert (s, d) not in eset and s != d
+    # layout invariance
+    got2 = {
+        (r.src, r.dst, r.attempt)
+        for r in negative_samples(e.repartition(5), n, k=2, attempts=6).collect()
+    }
+    assert got2 == got
+
+
+def test_negative_samples_validates_args(spark):
+    import pandas as pd
+    import pytest
+
+    from pagerank_cuda_dynamic_spark.operators.walks import negative_samples
+
+    e = spark.createDataFrame(pd.DataFrame({"src": [0], "dst": [1]}))
+    with pytest.raises(ValueError):
+        negative_samples(e, 10, k=0)
+    with pytest.raises(ValueError):
+        negative_samples(e, 10, k=4, attempts=3)
