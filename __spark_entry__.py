@@ -1855,6 +1855,36 @@ def q_retention(spark, sf_dir):
     )
 
 
+def q_decontamination_bloom(spark, sf_dir):
+    """The SAME contamination corpus as q_decontamination, pushed through
+    the `prefilter="bloom"` scale path (operators/dedup._bloom_prefilter:
+    constant-size Bloom filter of eval shingle hashes broadcast to an
+    Arrow membership kernel, false positives weeded by the exact string
+    join) — output is row-identical to the broadcast prefilter, so the
+    oracle is the identical SQL."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import contamination_flags
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    heldout = docs.where(F.col("doc_id") < 20)
+    train = docs.where(F.col("doc_id") >= 20).unionByName(
+        heldout.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return contamination_flags(train, heldout, threshold=0.5, prefilter="bloom")
+
+
+def q_butterflies(spark, sf_dir):
+    """Bipartite 4-cycle census of the customer→part co-purchase slice
+    (operators/webgraph.butterfly_count): butterflies = Σ_pairs C(c,2)
+    over right-pairs sharing c left-neighbors — vs the identical
+    wedge-pair aggregation in SQL."""
+    from pagerank_cuda_dynamic_spark.operators.webgraph import butterfly_count
+
+    e = _entity_edge_df(spark, sf_dir).where(
+        F.col("src").like("c%") & F.col("dst").like("p%")
+    )
+    return butterfly_count(e)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -1981,6 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "host_pagerank": q_host_pagerank,
         "negative_samples": q_negative_samples,
+        "decontamination_bloom": q_decontamination_bloom,
+        "butterflies": q_butterflies,
     }
 
 
@@ -4125,6 +4157,23 @@ GROUP BY w.doc_id
         "retention": _RETENTION_SQL,
         "host_pagerank": _host_pr_sql(10),
         "negative_samples": _NEGATIVE_SAMPLES_SQL,
+        # bloom prefilter is output-identical to the broadcast one by
+        # contract (exact-join rescan), so the oracle is the same SQL
+        "decontamination_bloom": _decontamination_sql(0.5),
+        "butterflies": f"""
+WITH be AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+cp AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM be
+  WHERE src LIKE 'c%' AND dst LIKE 'p%'),
+pairs AS MATERIALIZED (
+  SELECT a.dst AS v1, b.dst AS v2, count(*) AS c
+  FROM cp a JOIN cp b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst)
+SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS butterflies,
+       count(*) AS wedge_pairs,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS shared_wedges
+FROM pairs
+""",
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
 h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h

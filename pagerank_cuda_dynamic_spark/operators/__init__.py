@@ -51,6 +51,7 @@ from pagerank_cuda_dynamic_spark.operators.centrality import (  # noqa: F401
     trustrank_spam_mass,
 )
 from pagerank_cuda_dynamic_spark.operators.webgraph import (  # noqa: F401
+    butterfly_count,
     densest_subgraph,
 )
 from pagerank_cuda_dynamic_spark.operators.sampling import (  # noqa: F401

@@ -15,6 +15,8 @@ the classic near-dup-at-petabyte shape (band buckets are the salted keys).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -409,6 +411,65 @@ def source_overlap(
     )
 
 
+def _bloom_prefilter(tr: DataFrame, ev: DataFrame, fpp: float) -> DataFrame:
+    """Stage-1 candidate prune for `contamination_flags(prefilter="bloom")`:
+    keep only (train_id, s) rows whose shingle MIGHT belong to the eval
+    vocabulary, tested against a Bloom filter of the eval shingles'
+    xxhash64 values instead of a broadcast of the shingle strings.
+
+    Scale shape: the filter is m = -n·ln(fpp)/ln2² bits regardless of
+    shingle byte length — ~1.2 MB per million eval shingles at fpp 1%
+    vs tens of MB for the raw string vocabulary — so the prune stays
+    broadcast-sized even when the eval suite's shingle vocabulary
+    outgrows a broadcast join table.  Hashes are computed JVM-side
+    (xxhash64); the membership test is one Arrow-vectorized kernel
+    (bit indexing isn't expressible in SQL — the same justification as
+    the simhash kernel below); false positives are weeded by the
+    caller's later EXACT string join, so the operator output is
+    row-identical to the broadcast prefilter.  Double hashing
+    (Kirsch–Mitzenmacher): position_i = (h + i·rot17(h)|1) mod m.
+    """
+    hashes = np.array(
+        [r[0] for r in ev.select(F.xxhash64("s").alias("h")).distinct().collect()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    n_items = max(len(hashes), 1)
+    m = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    g = max(1, round(m / n_items * math.log(2)))
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    h2 = ((hashes >> np.uint64(17)) | (hashes << np.uint64(47))) | np.uint64(1)
+    for i in range(g):
+        pos = (hashes + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+        )
+    # one executor-resident copy per worker, not one per task closure
+    bits_bc = tr.sparkSession.sparkContext.broadcast(bits.tobytes())
+    M, G = m, g
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in tr.schema.fields
+    )
+    out_cols = [f.name for f in tr.schema.fields]
+
+    def kernel(batches):
+        blm = np.frombuffer(bits_bc.value, dtype=np.uint8)
+        for pdf in batches:
+            h = np.ascontiguousarray(pdf["_h"].to_numpy()).view(np.uint64)
+            hh2 = ((h >> np.uint64(17)) | (h << np.uint64(47))) | np.uint64(1)
+            keep = np.ones(len(h), dtype=bool)
+            for i in range(G):
+                pos = (h + np.uint64(i) * hh2) % np.uint64(M)
+                mask = (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8)
+                keep &= (blm[(pos >> np.uint64(3)).astype(np.int64)] & mask) != 0
+            yield pdf.loc[keep, out_cols]
+
+    return tr.withColumn("_h", F.xxhash64("s")).mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     heldout: DataFrame,
@@ -419,6 +480,8 @@ def contamination_flags(
     heldout_id_col: str = "doc_id",
     heldout_text_col: str = "text",
     max_train_df: int = 100_000,
+    prefilter: str = "broadcast",
+    bloom_fpp: float = 0.01,
 ) -> DataFrame:
     """Benchmark decontamination flags: (train_id, eval_id, containment)
     for every training doc whose k-gram shingle CONTAINMENT of a held-out
@@ -433,7 +496,14 @@ def contamination_flags(
     `max_train_df` drops shingles carried by more than that many training
     docs (boilerplate trigrams are not contamination evidence and would
     pull |corpus|-sized candidate sets); containment is exact whenever no
-    shared shingle exceeds the cap."""
+    shared shingle exceeds the cap.
+
+    `prefilter` picks the stage-1 corpus prune: "broadcast" (default)
+    semi-joins against the broadcast eval shingle vocabulary;
+    "bloom" tests a constant-size Bloom filter of eval shingle hashes
+    (`_bloom_prefilter` — the 100 TB path when the eval vocabulary
+    itself outgrows a broadcast table).  Both produce identical output:
+    bloom false positives die in the exact join below."""
     tr = docs.select(
         F.col(id_col).alias("train_id"), F.explode(_shingles(text_col, k)).alias("s")
     )
@@ -442,7 +512,15 @@ def contamination_flags(
         F.explode(_shingles(heldout_text_col, k)).alias("s"),
     )
     ev_sizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("esz"))
-    tr = tr.join(F.broadcast(ev.select("s").distinct()), "s", "left_semi")
+    if prefilter == "broadcast":
+        tr = tr.join(F.broadcast(ev.select("s").distinct()), "s", "left_semi")
+    elif prefilter == "bloom":
+        tr = _bloom_prefilter(tr, ev, bloom_fpp)
+    else:
+        raise ValueError(
+            f"contamination_flags: unknown prefilter {prefilter!r} "
+            "(expected 'broadcast' or 'bloom')"
+        )
     rare = (
         tr.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -520,3 +520,60 @@ def densest_subgraph(
         F.col("peel_round").cast("int").alias("peel_round"),
         (F.col("peel_round") >= F.lit(best_r)).alias("in_densest"),
     )
+
+
+def butterfly_count(
+    edges: DataFrame,
+    max_middle_indeg: int | None = None,
+) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) census of a directed src→dst table
+    read as bipartite left=src-side, right=dst-side: a butterfly is
+    {u1, u2} × {v1, v2} with all four edges present — the smallest unit
+    of bipartite clustering (Sanei-Mehri, Sariyüce & Tirthapura, KDD
+    2018), the standard cohesion metric for user→item / page→resource /
+    doc→shingle graphs where triangles cannot exist.
+
+    Counting identity: for every unordered right-pair (v1, v2) with
+    c = |N⁻(v1) ∩ N⁻(v2)| shared left-neighbors, the pair closes
+    C(c, 2) butterflies; summing over pairs counts each butterfly once.
+    The per-pair c is exactly the link-prediction wedge aggregate
+    (operators/linkpred.py), wedge-keyed on the shared LEFT vertex, so
+    the whole census is: one self-join of the edge table on src +
+    a (v1, v2) hash aggregate + one scalar sum.
+
+    Returns one row: (butterflies, wedge_pairs, shared_wedges) —
+    wedge_pairs = number of right-pairs with c ≥ 1, shared_wedges =
+    Σ_pairs c (the total wedge count through shared left-neighbors,
+    the denominator shape used by bipartite clustering coefficients).
+
+    Scale shape: the d² blow-up lives at high-OUT-degree left vertices
+    (a src linking k right vertices yields C(k,2) pair rows);
+    `max_middle_indeg` caps the fan-out by dropping left vertices whose
+    out-degree exceeds it BEFORE the self-join — same skew cure and
+    same honesty contract as link_prediction's middle cap (the count
+    becomes a lower bound, exact when no vertex exceeds the cap).
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_middle_indeg is not None:
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") <= max_middle_indeg)
+            .select("src")
+        )
+        e = e.join(keep, "src", "left_semi")
+    a = e.select(F.col("src"), F.col("dst").alias("v1"))
+    b = e.select(F.col("src"), F.col("dst").alias("v2"))
+    pairs = (
+        a.join(b, "src")
+        .where(F.col("v1") < F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return pairs.agg(
+        F.coalesce(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
+        ).cast("long").alias("butterflies"),
+        F.count(F.lit(1)).alias("wedge_pairs"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("shared_wedges"),
+    )

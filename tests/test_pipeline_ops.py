@@ -1186,3 +1186,48 @@ def test_retention_cohorts_counts(spark):
         ("2024-01-02", 0): 1,  # user 3
         ("2024-01-02", 1): 1,  # user 3
     }
+
+
+def test_bloom_prefilter_output_identical_to_broadcast(spark):
+    """contamination_flags(prefilter='bloom') must return row-identical
+    flags to the broadcast prefilter — bloom false positives die in the
+    exact string join.  Run once at the default fpp and once at an
+    absurdly lossy fpp=0.5 (forcing many false positives through the
+    stage-1 prune) to prove the exact-rescan contract, not luck."""
+    from pagerank_cuda_dynamic_spark.operators.dedup import contamination_flags
+
+    eval_text = "the capital of france is paris and the seine flows there"
+    docs = {
+        100: "padding words " + eval_text + " trailing tokens here",
+        101: "completely unrelated text about spark shuffle plans today",
+        102: " ".join(f"tok{i} word{i}" for i in range(40)),
+        103: eval_text,
+    }
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    heldout = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [eval_text]})
+    )
+    want = sorted(
+        map(tuple, contamination_flags(train, heldout, threshold=0.5).collect())
+    )
+    for fpp in (0.01, 0.5):
+        got = sorted(
+            map(
+                tuple,
+                contamination_flags(
+                    train, heldout, threshold=0.5, prefilter="bloom", bloom_fpp=fpp
+                ).collect(),
+            )
+        )
+        assert got == want
+    assert {t[0] for t in want} == {100, 103}
+
+
+def test_bloom_prefilter_unknown_mode_raises(spark):
+    from pagerank_cuda_dynamic_spark.operators.dedup import contamination_flags
+
+    train = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b c d"]}))
+    with pytest.raises(ValueError, match="prefilter"):
+        contamination_flags(train, train, prefilter="nope").collect()

@@ -539,3 +539,65 @@ def test_densest_subgraph_deterministic_under_relayout(spark):
     a = sorted(map(tuple, densest_subgraph(e).collect()))
     b = sorted(map(tuple, densest_subgraph(e.repartition(7)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# butterfly_count
+# ---------------------------------------------------------------------------
+
+
+def test_butterfly_count_complete_bipartite(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import butterfly_count
+
+    # K(2,2): exactly one butterfly; one right pair sharing both lefts
+    k22 = [(u, v) for u in ("u1", "u2") for v in ("v1", "v2")]
+    row = butterfly_count(_edges(spark, k22)).collect()[0]
+    assert (row.butterflies, row.wedge_pairs, row.shared_wedges) == (1, 1, 2)
+
+    # K(3,4): C(3,2)·C(4,2) = 18 butterflies; C(4,2)=6 pairs each with c=3
+    k34 = [(f"u{i}", f"v{j}") for i in range(3) for j in range(4)]
+    row = butterfly_count(_edges(spark, k34)).collect()[0]
+    assert (row.butterflies, row.wedge_pairs, row.shared_wedges) == (18, 6, 18)
+
+
+def test_butterfly_count_no_shared_wedges(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import butterfly_count
+
+    # star from one left vertex: pairs share exactly one left → c = 1,
+    # C(1,2) = 0 butterflies but the pairs are still counted
+    star = [("u", f"v{j}") for j in range(4)]
+    row = butterfly_count(_edges(spark, star)).collect()[0]
+    assert (row.butterflies, row.wedge_pairs, row.shared_wedges) == (0, 6, 6)
+
+    # disjoint edges: no pair shares a left vertex at all
+    disj = [(f"u{i}", f"v{i}") for i in range(4)]
+    row = butterfly_count(_edges(spark, disj)).collect()[0]
+    assert (row.butterflies, row.wedge_pairs, row.shared_wedges) == (0, 0, 0)
+
+
+def test_butterfly_count_middle_cap_is_lower_bound(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import butterfly_count
+
+    # K(2,2) plus a degree-4 hub left vertex wired to v1..v4: capping
+    # out-degree at 3 removes the hub's wedges but keeps the K(2,2)
+    pairs = [(u, v) for u in ("u1", "u2") for v in ("v1", "v2")]
+    pairs += [("hub", f"v{j}") for j in range(1, 5)]
+    full = butterfly_count(_edges(spark, pairs)).collect()[0]
+    capped = butterfly_count(
+        _edges(spark, pairs), max_middle_indeg=3
+    ).collect()[0]
+    # hub turns the (v1,v2) pair into c=3 (C(3,2)=3) and closes nothing
+    # else (v3,v4 pairs have c=1): full = 3, capped = the K(2,2)'s 1
+    assert full.butterflies == 3
+    assert capped.butterflies == 1
+    assert capped.wedge_pairs < full.wedge_pairs
+
+
+def test_butterfly_count_deterministic_under_relayout(spark):
+    from pagerank_cuda_dynamic_spark.operators.webgraph import butterfly_count
+
+    pairs = [(f"u{i % 7}", f"v{(i * 3) % 11}") for i in range(60)]
+    e = _edges(spark, pairs)
+    a = butterfly_count(e).collect()[0]
+    b = butterfly_count(e.repartition(5)).collect()[0]
+    assert tuple(a) == tuple(b)
