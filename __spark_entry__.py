@@ -1885,6 +1885,27 @@ def q_butterflies(spark, sf_dir):
     return butterfly_count(e)
 
 
+def q_fastrp(spark, sf_dir):
+    """FastRP node embeddings over the entity graph (operators/features.
+    fastrp_embeddings, CIKM 2019): deterministic Achlioptas ±√3
+    projection (md5-portable sign hash) pushed through two in-neighbor
+    mean hops, combined 0.25·R + 0.5·M R + 1.0·M² R — vs the identical
+    unrolled CTE.  Relational (v, dim, val) output."""
+    from pagerank_cuda_dynamic_spark.operators.features import fastrp_embeddings
+
+    e = _entity_edge_df(spark, sf_dir)
+    emb = fastrp_embeddings(
+        e,
+        dims=4,
+        weights=(0.5, 1.0),
+        self_weight=0.25,
+        include_self=True,
+        normalize=False,
+        sign_hash=_md5_hash64,
+    )
+    return emb.select("v", "dim", F.round("val", 6).alias("val"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -2013,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "decontamination_bloom": q_decontamination_bloom,
         "butterflies": q_butterflies,
+        "fastrp": q_fastrp,
     }
 
 
@@ -4173,6 +4195,27 @@ SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS butterflies,
        count(*) AS wedge_pairs,
        CAST(coalesce(sum(c), 0) AS BIGINT) AS shared_wedges
 FROM pairs
+""",
+        "fastrp": f"""
+WITH be AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM be),
+verts AS MATERIALIZED (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+e AS MATERIALIZED (SELECT src, dst FROM ed UNION SELECT v, v FROM verts),
+r0 AS MATERIALIZED (
+  SELECT v, d.dim,
+         CASE CAST(concat('0x', substr(md5(concat(v, ':', CAST(d.dim AS VARCHAR))), 1, 15)) AS BIGINT) % 6
+              WHEN 0 THEN sqrt(3.0) WHEN 1 THEN -sqrt(3.0) ELSE 0.0 END AS val
+  FROM verts CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS dim) d),
+h1 AS MATERIALIZED (
+  SELECT e.dst AS v, r.dim, avg(r.val) AS val
+  FROM e JOIN r0 r ON r.v = e.src GROUP BY e.dst, r.dim),
+h2 AS MATERIALIZED (
+  SELECT e.dst AS v, h.dim, avg(h.val) AS val
+  FROM e JOIN h1 h ON h.v = e.src GROUP BY e.dst, h.dim)
+SELECT r0.v, r0.dim,
+       round(0.25 * r0.val + 0.5 * h1.val + 1.0 * h2.val, 6) AS val
+FROM r0 JOIN h1 ON h1.v = r0.v AND h1.dim = r0.dim
+        JOIN h2 ON h2.v = r0.v AND h2.dim = r0.dim
 """,
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),

@@ -30,6 +30,7 @@ from pagerank_cuda_dynamic_spark.operators.walks import (  # noqa: F401
 from pagerank_cuda_dynamic_spark.operators.features import (  # noqa: F401
     collect_features,
     explode_features,
+    fastrp_embeddings,
     propagate_features,
 )
 from pagerank_cuda_dynamic_spark.operators.pagerank import (  # noqa: F401

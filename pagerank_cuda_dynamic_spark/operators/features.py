@@ -21,6 +21,8 @@ form (embeddings.parquet) and the relational form at the boundary.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -93,3 +95,95 @@ def propagate_features(
         x_rows = x.count()
     e.unpersist()
     return x
+
+
+def fastrp_embeddings(
+    edges: DataFrame,
+    dims: int = 8,
+    weights: "tuple[float, ...]" = (0.5, 1.0),
+    self_weight: float = 0.0,
+    sparsity: int = 3,
+    include_self: bool = True,
+    normalize: bool = False,
+    sign_hash=None,
+) -> DataFrame:
+    """FastRP node embeddings (Chen, Sui, Goyal & Rohrbach, CIKM 2019):
+    very sparse random projection of the adjacency's hop powers,
+
+        emb(v) = self_weight·R(v) + Σ_j weights[j] · (M^(j+1) R)(v),
+
+    where R is the deterministic Achlioptas projection — entry (v, dim)
+    is +√s / −√s with probability 1/(2s) each, 0 otherwise, decided by
+    `sign_hash(v || ':' || dim) mod 2s` — and M is the in-neighbor mean
+    operator (one `propagate_features` hop; include_self=True is the
+    GCN-renormalization that keeps in-degree-0 vertices alive).  This
+    is THE embedding algorithm that scales where walk-based skip-gram
+    training does not: k relational hop joins, no training loop, no
+    Python in the plan.
+
+    Deterministic given the hash: reruns, repartitions and other
+    engines agree value-for-value — `sign_hash` defaults to xxhash64,
+    and a caller can pass an md5-derived column fn for cross-engine
+    (DuckDB) replay, exactly like simhash_64's token_hash.
+
+    Returns relational (v, dim, val) — `collect_features` packs arrays.
+    `normalize=True` L2-normalizes each vertex row (zero rows stay 0).
+    Scale shape: |V|·d state rows through the broadcast-state hop join;
+    the |E|·d moved volume is the algorithm's floor.
+    """
+    if not weights:
+        raise ValueError("fastrp_embeddings: weights must be non-empty")
+    if sparsity < 1:
+        raise ValueError("fastrp_embeddings: sparsity must be >= 1")
+    if sign_hash is None:
+        sign_hash = F.xxhash64
+    e = edges.select("src", "dst").distinct()
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    root = math.sqrt(float(sparsity))
+    m = F.pmod(
+        sign_hash(F.concat_ws(":", F.col("v").cast("string"), F.col("dim"))),
+        F.lit(2 * sparsity),
+    )
+    r0 = verts.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("dim"),
+    ).select(
+        "v",
+        "dim",
+        F.when(m == 0, F.lit(root))
+        .when(m == 1, F.lit(-root))
+        .otherwise(F.lit(0.0))
+        .alias("val"),
+    )
+    # self-loops added ONCE here (not per hop via propagate_features's
+    # include_self, which would rebuild + re-dedup the edge table k times)
+    if include_self:
+        e = e.unionByName(
+            verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+        ).distinct()
+    parts = []
+    if self_weight != 0.0:
+        parts.append(r0.select("v", "dim", (F.col("val") * F.lit(self_weight)).alias("val")))
+    h = r0
+    for w in weights:
+        h = propagate_features(e, h, hops=1, include_self=False)
+        if w != 0.0:
+            parts.append(h.select("v", "dim", (F.col("val") * F.lit(w)).alias("val")))
+    emb = parts[0]
+    for p in parts[1:]:
+        emb = emb.unionByName(p)
+    emb = emb.groupBy("v", "dim").agg(F.sum("val").alias("val"))
+    if normalize:
+        from pyspark.sql import Window
+
+        nrm = F.sqrt(F.sum(F.col("val") * F.col("val")).over(Window.partitionBy("v")))
+        emb = emb.select(
+            "v",
+            "dim",
+            F.when(nrm > 0, F.col("val") / nrm).otherwise(F.lit(0.0)).alias("val"),
+        )
+    return emb

@@ -13,6 +13,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 from pagerank_cuda_dynamic_spark.operators.components import (
     local_clustering,
@@ -187,3 +188,88 @@ def test_explode_collect_roundtrip(spark):
     rel = explode_features(df, "vec_id", "embedding")
     back = {r.v: list(r.x) for r in collect_features(rel).collect()}
     assert back == {1: [1.0, 2.0, 3.0], 2: [4.0, 5.0, 6.0]}
+
+
+# ---------------------------------------------------------------------------
+# fastrp_embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_fastrp_matches_manual_recurrence(spark):
+    """Recover R from the sign-hash expression directly (the hash is
+    JVM-side, so one tiny Spark projection reads the sign decisions),
+    then verify the two-hop weighted combination against a numpy
+    in-neighbor mean-propagation replay."""
+    import pyspark.sql.functions as F
+    from pagerank_cuda_dynamic_spark.operators.features import fastrp_embeddings
+
+    src = [0, 1, 2, 0, 3]
+    dst = [2, 2, 3, 3, 1]
+    e = edges_df(spark, src, dst)
+    dims, s = 3, 3
+    # reproduce R exactly as the operator builds it
+    verts = sorted({*src, *dst})
+    vdf = spark.createDataFrame(pd.DataFrame({"v": np.array(verts, dtype=np.int64)}))
+    rows = (
+        vdf.select("v", F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("dim"))
+        .select(
+            "v",
+            "dim",
+            F.pmod(
+                F.xxhash64(F.concat_ws(":", F.col("v").cast("string"), F.col("dim"))),
+                F.lit(2 * s),
+            ).alias("m"),
+        )
+        .collect()
+    )
+    root = np.sqrt(float(s))
+    R = np.zeros((max(verts) + 1, dims))
+    for r in rows:
+        R[r.v, r.dim] = root if r.m == 0 else (-root if r.m == 1 else 0.0)
+    # in-neighbor mean with self-loops, twice
+    nbrs = {v: [v] for v in verts}
+    for u, w in zip(src, dst):
+        nbrs[w].append(u)
+    def hop(X):
+        out = np.zeros_like(X)
+        for v in verts:
+            out[v] = np.mean([X[u] for u in sorted(set(nbrs[v]))], axis=0)
+        return out
+    H1 = hop(R)
+    H2 = hop(H1)
+    want = 0.25 * R + 0.5 * H1 + 1.0 * H2
+    got = fastrp_embeddings(
+        e, dims=dims, weights=(0.5, 1.0), self_weight=0.25, include_self=True
+    ).collect()
+    assert len(got) == len(verts) * dims
+    for r in got:
+        assert abs(r.val - want[r.v, r.dim]) < 1e-12, (r.v, r.dim)
+
+
+def test_fastrp_normalize_unit_rows_and_layout_invariance(spark):
+    from pagerank_cuda_dynamic_spark.operators.features import fastrp_embeddings
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 20, 80)
+    dst = rng.integers(0, 20, 80)
+    e = edges_df(spark, src, dst)
+    emb = fastrp_embeddings(e, dims=8, weights=(0.5, 1.0), normalize=True)
+    pdf = emb.toPandas()
+    norms = pdf.groupby("v")["val"].apply(lambda s: np.sqrt((s**2).sum()))
+    # every row is unit-norm or exactly zero (all-zero projection rows)
+    assert ((np.abs(norms - 1.0) < 1e-9) | (norms == 0.0)).all()
+    a = sorted(map(tuple, emb.collect()))
+    b = sorted(map(tuple, fastrp_embeddings(
+        e.repartition(7), dims=8, weights=(0.5, 1.0), normalize=True
+    ).collect()))
+    assert a == b
+
+
+def test_fastrp_validates_args(spark):
+    from pagerank_cuda_dynamic_spark.operators.features import fastrp_embeddings
+
+    e = edges_df(spark, [0], [1])
+    with pytest.raises(ValueError, match="weights"):
+        fastrp_embeddings(e, weights=())
+    with pytest.raises(ValueError, match="sparsity"):
+        fastrp_embeddings(e, sparsity=0)
