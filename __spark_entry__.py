@@ -1906,6 +1906,19 @@ def q_fastrp(spark, sf_dir):
     return emb.select("v", "dim", F.round("val", 6).alias("val"))
 
 
+def q_transitivity(spark, sf_dir):
+    """Global clustering coefficient of the entity graph (components.
+    transitivity): 3·triangles/wedges with exact-integer triangle and
+    wedge counts — vs the wedge-closure + degree-aggregate oracle."""
+    from pagerank_cuda_dynamic_spark.operators.components import transitivity
+
+    e = _entity_edge_df(spark, sf_dir)
+    res = transitivity(e)
+    return res.select(
+        "n_triangles", "n_wedges", F.round("transitivity", 6).alias("transitivity")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -2035,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_bloom": q_decontamination_bloom,
         "butterflies": q_butterflies,
         "fastrp": q_fastrp,
+        "transitivity": q_transitivity,
     }
 
 
@@ -4195,6 +4209,23 @@ SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS butterflies,
        count(*) AS wedge_pairs,
        CAST(coalesce(sum(c), 0) AS BIGINT) AS shared_wedges
 FROM pairs
+""",
+        "transitivity": f"""
+WITH e0 AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+e AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),
+tri AS (
+  SELECT count(*) AS t
+  FROM e ab JOIN e bc ON ab.dst = bc.src
+  WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.src = ab.src AND ac.dst = bc.dst)),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY v),
+wed AS (SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS w FROM deg)
+SELECT tri.t AS n_triangles, wed.w AS n_wedges,
+       round(CASE WHEN wed.w = 0 THEN 0.0 ELSE 3.0 * tri.t / wed.w END, 6)
+         AS transitivity
+FROM tri, wed
 """,
         "fastrp": f"""
 WITH be AS MATERIALIZED ({ENTITY_EDGES_SQL}),

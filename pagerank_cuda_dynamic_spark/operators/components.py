@@ -440,6 +440,45 @@ def triangle_count(edges: DataFrame, method: str = "arrays") -> DataFrame:
     return spark.createDataFrame([(int(n_tri),)], "n_triangles long")
 
 
+def transitivity(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient:  3·triangles / wedges,  with
+    wedges = Σ_v C(d(v), 2) over the simple undirected graph — the
+    RATIO-OF-SUMS statistic (Newman), not the mean of local_clustering
+    rows (those weight every vertex equally; this weights by wedge
+    count, the usual "how clustered is the web graph" headline number).
+
+    Numerator reuses triangle_count's degree-oriented intersection
+    (arboricity-bounded fan-out); the denominator is one degree
+    aggregate — `(d·(d−1)) div 2` stays in exact integer arithmetic.
+    Returns one row (n_triangles, n_wedges, transitivity); the ratio is
+    0.0 on wedge-free graphs by convention."""
+    n_tri = int(triangle_count(edges).collect()[0][0])
+    e = (
+        symmetrize(edges)
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_wed = int(
+        deg.agg(
+            F.coalesce(
+                F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0)
+            ).alias("w")
+        ).collect()[0][0]
+    )
+    spark = edges.sparkSession
+    ratio = (3.0 * n_tri / n_wed) if n_wed else 0.0
+    return spark.createDataFrame(
+        [(n_tri, n_wed, float(ratio))],
+        "n_triangles long, n_wedges long, transitivity double",
+    )
+
+
 def local_clustering(edges: DataFrame) -> DataFrame:
     """Per-vertex local clustering coefficient on the simple undirected
     graph: lcc(v) = 2·tri(v) / (d(v)·(d(v)−1)), 0 when d(v) < 2.

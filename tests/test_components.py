@@ -361,3 +361,39 @@ def test_seeded_lpa_duplicate_seed_rows_collapse_to_min(spark):
     e, s = _slpa_df(spark, [("a", "b")], [("a", "Z"), ("a", "B")])
     got = {r.v: r.label for r in seeded_label_propagation(e, s, rounds=2).collect()}
     assert got == {"a": "B", "b": "B"}
+
+
+def test_transitivity_complete_and_path(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import transitivity
+
+    # K4: 4 triangles, 4 vertices of degree 3 → 12 wedges → ratio 1.0
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = edges_df(spark, [p[0] for p in pairs], [p[1] for p in pairs])
+    row = transitivity(e).collect()[0]
+    assert (row.n_triangles, row.n_wedges, row.transitivity) == (4, 12, 1.0)
+
+    # path 0-1-2: one wedge, no triangle → 0.0 by convention
+    row = transitivity(edges_df(spark, [0, 1], [1, 2])).collect()[0]
+    assert (row.n_triangles, row.n_wedges, row.transitivity) == (0, 1, 0.0)
+
+
+def test_transitivity_matches_bruteforce(spark):
+    from pagerank_cuda_dynamic_spark.operators.components import transitivity
+
+    rng = np.random.default_rng(31)
+    n, m = 25, 120
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    row = transitivity(edges_df(spark, src, dst)).collect()[0]
+    und = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
+    und |= {(b, a) for a, b in und}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+    # each triangle is seen from all 3 of its (a<b) edges
+    tri = sum(len(adj[a] & adj[b]) for a, b in und if a < b) // 3
+    wed = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert row.n_triangles == tri
+    assert row.n_wedges == wed
+    want = 3.0 * tri / wed if wed else 0.0
+    assert abs(row.transitivity - want) < 1e-12
