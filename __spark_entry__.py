@@ -1919,6 +1919,61 @@ def q_transitivity(spark, sf_dir):
     )
 
 
+def q_fastrp_edge_scores(spark, sf_dir):
+    """Embedding → pairwise-feature composition (the GNN / link-pred
+    feature-engineering step): join the FastRP embedding onto both
+    endpoints of every customer→part edge and emit dot product and
+    cosine, all relational (per-edge sum over the dim key — no vector
+    UDF).  Oracle replays the full chain off the shared FastRP CTE."""
+    from pagerank_cuda_dynamic_spark.operators.features import fastrp_embeddings
+
+    e = _entity_edge_df(spark, sf_dir)
+    # no persist needed: fastrp materializes each hop internally, so the
+    # three consumers below only recompute the final cheap combine
+    emb = fastrp_embeddings(
+        e,
+        dims=4,
+        weights=(0.5, 1.0),
+        self_weight=0.25,
+        include_self=True,
+        normalize=False,
+        sign_hash=_md5_hash64,
+    )
+    nrm = emb.groupBy("v").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+    cp = e.where(F.col("src").like("c%") & F.col("dst").like("p%")).select(
+        "src", "dst"
+    )
+    dots = (
+        cp.join(emb.withColumnRenamed("v", "src").withColumnRenamed("val", "va"), "src")
+        .join(
+            emb.withColumnRenamed("v", "dst").withColumnRenamed("val", "vb"),
+            ["dst", "dim"],
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    out = (
+        dots.join(nrm.withColumnRenamed("v", "src").withColumnRenamed("nrm", "na"), "src")
+        .join(nrm.withColumnRenamed("v", "dst").withColumnRenamed("nrm", "nb"), "dst")
+        .select(
+            "src",
+            "dst",
+            # cosine only: raw dots are exact dyadic rationals (the two
+            # ±√3 factors cancel) sitting ON the 1e-6 rounding half-grid,
+            # where engines tie-break differently; the norm quotient is
+            # generically irrational, so round(6) is stable cross-engine
+            F.round(
+                F.when(
+                    (F.col("na") > 0) & (F.col("nb") > 0),
+                    F.col("dot") / (F.col("na") * F.col("nb")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -2049,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies": q_butterflies,
         "fastrp": q_fastrp,
         "transitivity": q_transitivity,
+        "fastrp_edge_scores": q_fastrp_edge_scores,
     }
 
 
@@ -2078,6 +2134,29 @@ ew AS MATERIALIZED (
   SELECT edges.src, edges.dst, 1.0 / deg.outdeg AS w
   FROM edges JOIN deg ON deg.v = edges.src)
 """
+
+# FastRP unrolled recurrence shared by the `fastrp` and
+# `fastrp_edge_scores` oracles: emb(v, dim, val) UNROUNDED
+_FASTRP_CTES = f"""be AS MATERIALIZED ({ENTITY_EDGES_SQL}),
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM be),
+verts AS MATERIALIZED (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+e AS MATERIALIZED (SELECT src, dst FROM ed UNION SELECT v, v FROM verts),
+r0 AS MATERIALIZED (
+  SELECT v, d.dim,
+         CASE CAST(concat('0x', substr(md5(concat(v, ':', CAST(d.dim AS VARCHAR))), 1, 15)) AS BIGINT) % 6
+              WHEN 0 THEN sqrt(3.0) WHEN 1 THEN -sqrt(3.0) ELSE 0.0 END AS val
+  FROM verts CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS dim) d),
+h1 AS MATERIALIZED (
+  SELECT e.dst AS v, r.dim, avg(r.val) AS val
+  FROM e JOIN r0 r ON r.v = e.src GROUP BY e.dst, r.dim),
+h2 AS MATERIALIZED (
+  SELECT e.dst AS v, h.dim, avg(h.val) AS val
+  FROM e JOIN h1 h ON h.v = e.src GROUP BY e.dst, h.dim),
+emb AS MATERIALIZED (
+  SELECT r0.v, r0.dim, 0.25 * r0.val + 0.5 * h1.val + 1.0 * h2.val AS val
+  FROM r0 JOIN h1 ON h1.v = r0.v AND h1.dim = r0.dim
+          JOIN h2 ON h2.v = r0.v AND h2.dim = r0.dim)"""
+
 
 
 def _pr_sql(k: int) -> str:
@@ -4228,25 +4307,25 @@ SELECT tri.t AS n_triangles, wed.w AS n_wedges,
 FROM tri, wed
 """,
         "fastrp": f"""
-WITH be AS MATERIALIZED ({ENTITY_EDGES_SQL}),
-ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM be),
-verts AS MATERIALIZED (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
-e AS MATERIALIZED (SELECT src, dst FROM ed UNION SELECT v, v FROM verts),
-r0 AS MATERIALIZED (
-  SELECT v, d.dim,
-         CASE CAST(concat('0x', substr(md5(concat(v, ':', CAST(d.dim AS VARCHAR))), 1, 15)) AS BIGINT) % 6
-              WHEN 0 THEN sqrt(3.0) WHEN 1 THEN -sqrt(3.0) ELSE 0.0 END AS val
-  FROM verts CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS dim) d),
-h1 AS MATERIALIZED (
-  SELECT e.dst AS v, r.dim, avg(r.val) AS val
-  FROM e JOIN r0 r ON r.v = e.src GROUP BY e.dst, r.dim),
-h2 AS MATERIALIZED (
-  SELECT e.dst AS v, h.dim, avg(h.val) AS val
-  FROM e JOIN h1 h ON h.v = e.src GROUP BY e.dst, h.dim)
-SELECT r0.v, r0.dim,
-       round(0.25 * r0.val + 0.5 * h1.val + 1.0 * h2.val, 6) AS val
-FROM r0 JOIN h1 ON h1.v = r0.v AND h1.dim = r0.dim
-        JOIN h2 ON h2.v = r0.v AND h2.dim = r0.dim
+WITH {_FASTRP_CTES}
+SELECT v, dim, round(val, 6) AS val FROM emb
+""",
+        "fastrp_edge_scores": f"""
+WITH {_FASTRP_CTES},
+nrm AS MATERIALIZED (
+  SELECT v, sqrt(sum(val * val)) AS nrm FROM emb GROUP BY v),
+cp AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ed
+  WHERE src LIKE 'c%' AND dst LIKE 'p%'),
+dots AS MATERIALIZED (
+  SELECT cp.src, cp.dst, sum(a.val * b.val) AS dot
+  FROM cp JOIN emb a ON a.v = cp.src
+          JOIN emb b ON b.v = cp.dst AND b.dim = a.dim
+  GROUP BY cp.src, cp.dst)
+SELECT d.src, d.dst,
+       round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                  THEN d.dot / (na.nrm * nb.nrm) ELSE 0.0 END, 6) AS cosine
+FROM dots d JOIN nrm na ON na.v = d.src JOIN nrm nb ON nb.v = d.dst
 """,
         "kmv_vocab": f"""
 WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
