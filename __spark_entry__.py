@@ -4284,7 +4284,7 @@ pairs AS MATERIALIZED (
   SELECT a.dst AS v1, b.dst AS v2, count(*) AS c
   FROM cp a JOIN cp b ON a.src = b.src AND a.dst < b.dst
   GROUP BY a.dst, b.dst)
-SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS butterflies,
+SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT) AS butterflies,
        count(*) AS wedge_pairs,
        CAST(coalesce(sum(c), 0) AS BIGINT) AS shared_wedges
 FROM pairs

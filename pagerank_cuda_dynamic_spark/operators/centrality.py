@@ -314,6 +314,11 @@ def _ppr_multi(
         .persist()
     )
     n_verts = verts.count()
+    if n_verts == 0:
+        verts.unpersist()
+        # mirrors the empty-seed rejection below: with no vertices the
+        # uniform teleport 1/n is undefined and every seed is "outside"
+        raise ValueError("personalized_pagerank: graph has no vertices")
     # universal self-loops, as add_self_loops (operators/graph.py:31)
     e = (
         e0.union(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
@@ -782,8 +787,8 @@ def trustrank_spam_mass(
     Returns (v, rank, trust, spam_mass).  Scale shape: ONE run of the
     broadcast-state joinagg loop carrying both rank columns — the
     fused `_ppr_multi` gather sums (rank, trust) in the same aggregate,
-    so the loop costs one PPR, not two (measured: 36.6 s → ~20 s at the
-    sf0.1 bench graph).
+    so the loop costs one PPR, not two (measured on the sf0.1 bench row:
+    36.6 s → 18.0 s).
     """
     both = _ppr_multi(
         edges, {"rank": None, "trust": trusted}, damping, iterations

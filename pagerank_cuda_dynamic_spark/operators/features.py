@@ -81,20 +81,29 @@ def propagate_features(
     if hops > 0:
         x_rows = x.count()
     for _ in range(hops):
-        # the |V|·d-row feature table broadcasts into the edge join while
-        # executor-resident (real counts — materialized frames carry no
-        # usable size estimate), so e keeps its partitioning across hops;
-        # past the bound this falls back to the |E|·d shuffle any
-        # implementation pays
-        x = (
-            e.join(broadcast_state(x.withColumnRenamed("v", "src"), x_rows), "src")
-            .groupBy(F.col("dst").alias("v"), F.col("dim"))
-            .agg(F.avg("val").alias("val"))
-            .transform(materialize)
-        )
+        x = _mean_hop(e, x, x_rows)
         x_rows = x.count()
     e.unpersist()
     return x
+
+
+def _mean_hop(e_prepped: DataFrame, x: DataFrame, x_rows: int) -> DataFrame:
+    """One in-neighbor mean hop over an already-deduped (and optionally
+    self-looped) edge table — shared by propagate_features and
+    fastrp_embeddings so edge prep (dedup/persist/count) runs once per
+    OPERATOR, not once per hop.  The |V|·d-row feature table broadcasts
+    into the edge join while executor-resident (real counts —
+    materialized frames carry no usable size estimate), so the edge
+    side keeps its partitioning across hops; past the bound this falls
+    back to the |E|·d shuffle any implementation pays."""
+    return (
+        e_prepped.join(
+            broadcast_state(x.withColumnRenamed("v", "src"), x_rows), "src"
+        )
+        .groupBy(F.col("dst").alias("v"), F.col("dim"))
+        .agg(F.avg("val").alias("val"))
+        .transform(materialize)
+    )
 
 
 def fastrp_embeddings(
@@ -133,6 +142,12 @@ def fastrp_embeddings(
     """
     if not weights:
         raise ValueError("fastrp_embeddings: weights must be non-empty")
+    if self_weight == 0.0 and all(w == 0.0 for w in weights):
+        raise ValueError(
+            "fastrp_embeddings: all weights are zero — nothing to combine"
+        )
+    if dims < 1:
+        raise ValueError("fastrp_embeddings: dims must be >= 1")
     if sparsity < 1:
         raise ValueError("fastrp_embeddings: sparsity must be >= 1")
     if sign_hash is None:
@@ -159,20 +174,27 @@ def fastrp_embeddings(
         .otherwise(F.lit(0.0))
         .alias("val"),
     )
-    # self-loops added ONCE here (not per hop via propagate_features's
-    # include_self, which would rebuild + re-dedup the edge table k times)
+    # edge prep ONCE for all k hops: self-loops, dedup, persist (the
+    # per-call prep inside propagate_features would re-dedup + re-persist
+    # the same table k times — _mean_hop is the shared prepped-edge hop)
     if include_self:
         e = e.unionByName(
             verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
         ).distinct()
+    e = e.persist()
+    e.count()
     parts = []
     if self_weight != 0.0:
         parts.append(r0.select("v", "dim", (F.col("val") * F.lit(self_weight)).alias("val")))
     h = r0
+    h_rows = h.count()
     for w in weights:
-        h = propagate_features(e, h, hops=1, include_self=False)
+        h = _mean_hop(e, h, h_rows)
+        h_rows = h.count()
         if w != 0.0:
             parts.append(h.select("v", "dim", (F.col("val") * F.lit(w)).alias("val")))
+    # hop frames are materialized, so nothing downstream re-reads e
+    e.unpersist()
     emb = parts[0]
     for p in parts[1:]:
         emb = emb.unionByName(p)

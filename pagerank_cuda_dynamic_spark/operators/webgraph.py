@@ -524,7 +524,7 @@ def densest_subgraph(
 
 def butterfly_count(
     edges: DataFrame,
-    max_middle_indeg: int | None = None,
+    max_left_outdeg: int | None = None,
 ) -> DataFrame:
     """Butterfly (bipartite 4-cycle) census of a directed src→dst table
     read as bipartite left=src-side, right=dst-side: a butterfly is
@@ -548,17 +548,20 @@ def butterfly_count(
 
     Scale shape: the d² blow-up lives at high-OUT-degree left vertices
     (a src linking k right vertices yields C(k,2) pair rows);
-    `max_middle_indeg` caps the fan-out by dropping left vertices whose
-    out-degree exceeds it BEFORE the self-join — same skew cure and
-    same honesty contract as link_prediction's middle cap (the count
-    becomes a lower bound, exact when no vertex exceeds the cap).
+    `max_left_outdeg` caps the fan-out by dropping left vertices whose
+    out-degree exceeds it BEFORE the self-join — the same honesty
+    contract as link_prediction's `max_middle_indeg` (count becomes a
+    lower bound, exact when no vertex exceeds the cap), but named for
+    the distribution it actually caps: here the wedge pivot is the
+    SHARED SRC, so the relevant skew is left OUT-degree, not middle
+    in-degree.
     """
     e = edges.select("src", "dst").distinct()
-    if max_middle_indeg is not None:
+    if max_left_outdeg is not None:
         keep = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") <= max_middle_indeg)
+            .where(F.col("d") <= max_left_outdeg)
             .select("src")
         )
         e = e.join(keep, "src", "left_semi")
@@ -570,10 +573,12 @@ def butterfly_count(
         .groupBy("v1", "v2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # integer `div`: C(c,2) terms and their sum stay exact longs — a
+    # double sum would silently round past 2^53 at web-graph counts
     return pairs.agg(
         F.coalesce(
-            F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
-        ).cast("long").alias("butterflies"),
+            F.sum(F.expr("(c * (c - 1)) div 2")), F.lit(0)
+        ).alias("butterflies"),
         F.count(F.lit(1)).alias("wedge_pairs"),
         F.coalesce(F.sum("c"), F.lit(0)).alias("shared_wedges"),
     )

@@ -423,3 +423,23 @@ def test_salsa_connected_stationary_is_indegree(spark):
     m = len(pairs)
     assert abs(got["b"] - 2 / m) < 1e-9
     assert abs(got["d"] - 3 / m) < 1e-9
+
+
+def test_ppr_family_rejects_empty_graph(spark):
+    """_ppr_multi guards n_verts == 0: both the seeded wrapper and the
+    trustrank uniform path must raise a contextual ValueError instead of
+    ZeroDivisionError on an edgeless input."""
+    import pandas as pd
+    from pagerank_cuda_dynamic_spark.operators.centrality import (
+        personalized_pagerank,
+        trustrank_spam_mass,
+    )
+
+    empty = spark.createDataFrame(
+        pd.DataFrame({"src": [], "dst": []}), schema="src string, dst string"
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"v": ["a"]}))
+    with pytest.raises(ValueError, match="no vertices"):
+        personalized_pagerank(empty, seeds)
+    with pytest.raises(ValueError, match="no vertices"):
+        trustrank_spam_mass(empty, seeds)

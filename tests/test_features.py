@@ -273,3 +273,10 @@ def test_fastrp_validates_args(spark):
         fastrp_embeddings(e, weights=())
     with pytest.raises(ValueError, match="sparsity"):
         fastrp_embeddings(e, sparsity=0)
+    # dims=0 would make F.sequence(0, -1) emit the DESCENDING [0, -1]
+    # and silently return a bogus 2-dim embedding keyed by dim=-1
+    with pytest.raises(ValueError, match="dims"):
+        fastrp_embeddings(e, dims=0)
+    # all-zero combination used to run every hop job then IndexError
+    with pytest.raises(ValueError, match="zero"):
+        fastrp_embeddings(e, weights=(0.0,), self_weight=0.0)

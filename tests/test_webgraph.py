@@ -584,7 +584,7 @@ def test_butterfly_count_middle_cap_is_lower_bound(spark):
     pairs += [("hub", f"v{j}") for j in range(1, 5)]
     full = butterfly_count(_edges(spark, pairs)).collect()[0]
     capped = butterfly_count(
-        _edges(spark, pairs), max_middle_indeg=3
+        _edges(spark, pairs), max_left_outdeg=3
     ).collect()[0]
     # hub turns the (v1,v2) pair into c=3 (C(3,2)=3) and closes nothing
     # else (v3,v4 pairs have c=1): full = 3, capped = the K(2,2)'s 1
