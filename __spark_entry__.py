@@ -1974,6 +1974,17 @@ def q_fastrp_edge_scores(spark, sf_dir):
     return out
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Multilingual temperature resampling at α=0.5 (sampling.
+    temperature_sample): per-doc keep rate (n_min/n_lang)^0.5 over the
+    deterministic id-mix predicate — vs the identical count + pow +
+    mix-threshold SQL."""
+    from pagerank_cuda_dynamic_spark.operators.sampling import temperature_sample
+
+    docs = _docs(spark, sf_dir)
+    return temperature_sample(docs, alpha=0.5).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -2105,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp": q_fastrp,
         "transitivity": q_transitivity,
         "fastrp_edge_scores": q_fastrp_edge_scores,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -3806,6 +3818,15 @@ SELECT doc_id, shard,
                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id,
        n_tokens
 FROM base
+""",
+        "temperature_mix": f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+mn AS (SELECT min(n) AS n0 FROM c),
+r AS (SELECT c.lang, pow(CAST(mn.n0 AS DOUBLE) / c.n, 0.5) AS rate FROM c, mn)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON r.lang = d.lang
+WHERE {_MIX_SQL} < r.rate * 1000000
 """,
         "stratified_sample": f"""
 SELECT doc_id, lang FROM documents

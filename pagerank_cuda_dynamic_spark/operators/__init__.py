@@ -57,6 +57,7 @@ from pagerank_cuda_dynamic_spark.operators.webgraph import (  # noqa: F401
 )
 from pagerank_cuda_dynamic_spark.operators.sampling import (  # noqa: F401
     interleave_sources,
+    temperature_sample,
 )
 from pagerank_cuda_dynamic_spark.operators.similarity import (  # noqa: F401
     embedding_centroids,

@@ -43,6 +43,41 @@ def stratified_sample(
     return docs.where(_mix(id_col) < expr * _MOD)
 
 
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multilingual temperature resampling (the mT5 / XLM-R balancing
+    step): stratum sampling mass ∝ n_s^α, which per DOCUMENT is the
+    keep rate  r_s = (n_min / n_s)^(1−α)  — exactly 1.0 for the
+    smallest stratum, downsampling large strata toward balance as
+    α → 0 (α = 1 keeps the natural distribution, i.e. everything).
+
+    Rates derive from ONE stratum-count aggregate — the #strata-row
+    dict a driver should hold — and the keep decision reuses
+    `stratified_sample`'s deterministic id-mix predicate, so reruns,
+    layouts and other engines agree row-for-row.  Rows whose stratum is
+    NULL are dropped (no rate can be keyed to them) and excluded from
+    the n_min computation.  Generic-count note: r_s·10⁶ is an
+    irrational (√-family) threshold compared against an INTEGER mix, so
+    cross-engine pow() ulp differences cannot flip a row.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError("temperature_sample: alpha must be in [0, 1]")
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(strata_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return docs.where(F.lit(False))
+    n_min = min(counts.values())
+    rates = {s: (n_min / n) ** (1.0 - alpha) for s, n in counts.items()}
+    return stratified_sample(docs, rates, strata_col=strata_col, id_col=id_col)
+
+
 def split_corpus(
     docs: DataFrame,
     val_fraction: float = 0.01,

@@ -1231,3 +1231,37 @@ def test_bloom_prefilter_unknown_mode_raises(spark):
     train = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b c d"]}))
     with pytest.raises(ValueError, match="prefilter"):
         contamination_flags(train, train, prefilter="nope").collect()
+
+
+def test_temperature_sample_limits_and_balance(spark):
+    """alpha=1 keeps the natural distribution (everything); alpha=0
+    equalizes expected stratum masses to ~n_min each; NULL strata drop
+    and do not poison n_min; alpha outside [0,1] raises."""
+    from pagerank_cuda_dynamic_spark.operators.sampling import temperature_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(1300, dtype=np.int64),
+            "lang": ["en"] * 1000 + ["de"] * 250 + ["fr"] * 40 + [None] * 10,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    full = temperature_sample(docs, alpha=1.0).toPandas()
+    # every non-null row survives at alpha=1 (rate exactly 1.0 each)
+    assert len(full) == 1290 and full["lang"].notna().all()
+
+    bal = temperature_sample(docs, alpha=0.0).toPandas()
+    got = bal.groupby("lang").size()
+    # expected kept mass = n_min = 40 per stratum; the id-mix predicate
+    # is uniform-ish, allow a wide deterministic band
+    assert got["fr"] == 40
+    assert 15 <= got["en"] <= 70 and 15 <= got["de"] <= 70
+
+    # deterministic under relayout
+    again = temperature_sample(
+        docs.repartition(7), alpha=0.0
+    ).toPandas()
+    assert sorted(again["doc_id"]) == sorted(bal["doc_id"])
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(docs, alpha=1.5)
