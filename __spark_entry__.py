@@ -1985,6 +1985,18 @@ def q_temperature_mix(spark, sf_dir):
     return temperature_sample(docs, alpha=0.5).select("doc_id", "lang")
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector affine uint8 quantization of the embeddings table
+    (similarity.quantize_embeddings): exact integer codes + rounded
+    (zero, scale) vs the identical unnest + floor(v+0.5) SQL."""
+    from pagerank_cuda_dynamic_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -2117,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "fastrp_edge_scores": q_fastrp_edge_scores,
         "temperature_mix": q_temperature_mix,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -3818,6 +3831,21 @@ SELECT doc_id, shard,
                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id,
        n_tokens
 FROM base
+""",
+        "quantize_embeddings": """
+WITH b AS (
+  SELECT vec_id AS id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(list_min(embedding) AS DOUBLE) AS zero,
+         (CAST(list_max(embedding) AS DOUBLE)
+          - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+  FROM embeddings)
+SELECT id, dim,
+       CAST(CASE WHEN scale > 0
+                 THEN floor((x - zero) / scale + 0.5) ELSE 0 END AS INTEGER) AS q,
+       round(zero, 6) AS zero, round(scale, 6) AS scale
+FROM b
 """,
         "temperature_mix": f"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents

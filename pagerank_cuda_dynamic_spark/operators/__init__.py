@@ -63,6 +63,7 @@ from pagerank_cuda_dynamic_spark.operators.similarity import (  # noqa: F401
     embedding_centroids,
     gram_covariance,
     pca_project,
+    quantize_embeddings,
 )
 from pagerank_cuda_dynamic_spark.operators.dedup import (  # noqa: F401
     remove_duplicate_spans,

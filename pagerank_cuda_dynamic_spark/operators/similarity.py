@@ -617,3 +617,50 @@ def pca_project(
     return embeddings.select(ic, vc).mapInPandas(
         project, "id long, comp int, value double"
     ).withColumnRenamed("id", ic)
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector affine uint8 quantization — the FAISS-SQ8-shaped 4×
+    storage cut a large-scale embedding store applies before ANN
+    serving:
+
+        zero  = min(x),   scale = (max(x) − min(x)) / 255,
+        q_i   = floor((x_i − zero) / scale + 0.5)   ∈ 0..255
+
+    (scale 0 ⇒ constant vector, every q = 0).  Dequantization
+    x̂_i = zero + q_i·scale reconstructs within scale/2 per element.
+
+    Pure built-ins: array_min/array_max read the stats off the array
+    column WITHOUT exploding; one posexplode emits the codes.  floor(v
+    + 0.5) replaces round() so no engine's half-even vs half-up
+    convention is in play — with identical float32 inputs promoted to
+    double, every engine computes the identical q.  Relational output
+    (id, dim, q, zero, scale); group back with collect_list for the
+    packed form.
+    """
+    mn = F.array_min(F.col(vec_col)).cast("double")
+    mx = F.array_max(F.col(vec_col)).cast("double")
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("dim", "x"),
+        mn.alias("zero"),
+        ((mx - mn) / F.lit(255.0)).alias("scale"),
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.floor(
+            (F.col("x").cast("double") - F.col("zero")) / F.col("scale")
+            + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0))
+    return base.select(
+        "id",
+        "dim",
+        q.cast("int").alias("q"),
+        F.round("zero", 6).alias("zero"),
+        F.round("scale", 6).alias("scale"),
+    )

@@ -1265,3 +1265,35 @@ def test_temperature_sample_limits_and_balance(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         temperature_sample(docs, alpha=1.5)
+
+
+def test_quantize_embeddings_roundtrip_and_edge_cases(spark):
+    """Dequantization error bounded by scale/2 per element; constant
+    vectors quantize to all-zero codes with scale 0; codes stay in
+    0..255; deterministic under relayout."""
+    from pagerank_cuda_dynamic_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.normal(size=16).astype(np.float32).tolist() for _ in range(20)]
+    vecs.append([0.25] * 16)  # constant vector: scale 0
+    pdf = pd.DataFrame({"vec_id": np.arange(21, dtype=np.int64), "embedding": vecs})
+    emb = spark.createDataFrame(pdf)
+    out = quantize_embeddings(emb).toPandas()
+    assert len(out) == 21 * 16
+    assert out["q"].between(0, 255).all()
+    const = out[out["id"] == 20]
+    assert (const["q"] == 0).all() and (const["scale"] == 0.0).all()
+    # roundtrip: |x - (zero + q*scale)| <= scale/2 (+ rounding slack on
+    # the 6-dp zero/scale columns)
+    x = np.array([vecs[r.id][r.dim] for r in out.itertuples()], dtype=np.float64)
+    xhat = out["zero"].to_numpy() + out["q"].to_numpy() * out["scale"].to_numpy()
+    err = np.abs(x - xhat)
+    # slack: zero rounded to 6 dp (5e-7) plus q·Δscale with q ≤ 255
+    bound = out["scale"].to_numpy() / 2 + 5e-7 + 255 * 5e-7
+    assert (err <= bound).all()
+    again = quantize_embeddings(emb.repartition(5)).toPandas()
+    a = out.sort_values(["id", "dim"]).reset_index(drop=True)
+    b = again.sort_values(["id", "dim"]).reset_index(drop=True)
+    assert a.equals(b)
