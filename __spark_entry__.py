@@ -1997,6 +1997,18 @@ def q_quantize_embeddings(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+def q_quality_filter(spark, sf_dir):
+    """Per-language top-half quality cut (text.quality_filter): survive
+    iff cume_dist of the 6-dp quality within the language exceeds 0.5 —
+    vs the direct cume_dist() window SQL (the operator computes the
+    same fraction on the distinct value table to avoid per-row
+    windows)."""
+    from pagerank_cuda_dynamic_spark.operators.text import quality_filter
+
+    docs = _docs(spark, sf_dir)
+    return quality_filter(docs, keep_fraction=0.5, strata_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
@@ -2130,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp_edge_scores": q_fastrp_edge_scores,
         "temperature_mix": q_temperature_mix,
         "quantize_embeddings": q_quantize_embeddings,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -3831,6 +3844,30 @@ SELECT doc_id, shard,
                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id,
        n_tokens
 FROM base
+""",
+        "quality_filter": rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '\S+')) AS n_tok,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '{en_pat}')) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+         round(0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0)
+             + 0.3 * (1.0 - least((n_punct * 1.0 / greatest(n_chars, 1)) * 4.0, 1.0)),
+             6) AS quality
+  FROM t
+),
+c AS (
+  SELECT doc_id, lang, quality,
+         cume_dist() OVER (PARTITION BY lang ORDER BY quality) AS cume
+  FROM q
+)
+SELECT doc_id, lang, quality FROM c WHERE cume > 0.5
 """,
         "quantize_embeddings": """
 WITH b AS (

@@ -475,3 +475,60 @@ def lm_score(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "avg_logprob",
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    keep_fraction: float = 0.5,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the top `keep_fraction` of documents by quality_score —
+    PER STRATUM when `strata_col` is given (the FineWeb/Gopher-style
+    curation cut computed against each language's own distribution, so
+    a global threshold can't wipe out low-resource strata).
+
+    A row survives iff cume_dist of its (stratum, quality) —
+    #rows with quality ≤ its own / stratum size — exceeds
+    1 − keep_fraction.  cume_dist is a pure function of the quality
+    MULTISET (ties share one value), so reruns, layouts and engines
+    agree row-for-row; the 6-dp quality key makes ties exact, not
+    float-fuzzy.
+
+    Scale shape: NO per-row window.  The cume map is computed on the
+    distinct (stratum, quality) VALUE table — tiny, because quality is
+    a 6-dp quantized heuristic — with one small window over values and
+    broadcast back onto the corpus scan.  A naive cume_dist() window
+    over the rows would serialize each stratum (or, unstratified, the
+    whole corpus) through one task.
+
+    Returns (id, [stratum,] quality) for surviving rows.
+    """
+    if not (0.0 <= keep_fraction <= 1.0):
+        raise ValueError("quality_filter: keep_fraction must be in [0, 1]")
+    from pyspark.sql import Window
+
+    keys = [strata_col] if strata_col is not None else []
+    base = docs.select(
+        F.col(id_col),
+        *keys,
+        F.round(quality_expr(text_col), 6).alias("quality"),
+    )
+    vals = base.groupBy(*keys, "quality").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    cume = vals.select(
+        *keys,
+        "quality",
+        (F.sum("_c").over(w_cum) / F.sum("_c").over(w_tot)).alias("_cume"),
+    )
+    return (
+        base.join(F.broadcast(cume), keys + ["quality"])
+        .where(F.col("_cume") > F.lit(1.0 - keep_fraction))
+        .drop("_cume")
+    )

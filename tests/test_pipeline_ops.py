@@ -1297,3 +1297,38 @@ def test_quantize_embeddings_roundtrip_and_edge_cases(spark):
     a = out.sort_values(["id", "dim"]).reset_index(drop=True)
     b = again.sort_values(["id", "dim"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_quality_filter_per_stratum_and_ties(spark):
+    from pagerank_cuda_dynamic_spark.operators.text import quality_filter
+
+    # two strata with controlled quality ordering: longer docs score
+    # higher; duplicate texts guarantee exact 6-dp quality ties
+    texts_a = ["w " * n for n in (5, 5, 50, 200)]          # tie at n=5
+    texts_b = ["x " * n for n in (10, 300)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "lang": ["a"] * 4 + ["b"] * 2,
+            "text": texts_a + texts_b,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    kept = quality_filter(docs, keep_fraction=0.5, strata_col="lang").toPandas()
+    # stratum a: cume of the two tied low docs = 0.5 (not > 0.5) → only
+    # the two high docs survive; stratum b: low doc cume 0.5 → top only
+    assert sorted(kept[kept.lang == "a"].doc_id) == [2, 3]
+    assert sorted(kept[kept.lang == "b"].doc_id) == [5]
+
+    all_kept = quality_filter(docs, keep_fraction=1.0, strata_col="lang")
+    assert all_kept.count() == 6
+    none_kept = quality_filter(docs, keep_fraction=0.0, strata_col="lang")
+    assert none_kept.count() == 0
+
+    # unstratified: one global distribution, deterministic under relayout
+    g1 = sorted(quality_filter(docs, 0.5).toPandas().doc_id)
+    g2 = sorted(quality_filter(docs.repartition(5), 0.5).toPandas().doc_id)
+    assert g1 == g2
+
+    with pytest.raises(ValueError, match="keep_fraction"):
+        quality_filter(docs, keep_fraction=1.5)
