@@ -39,7 +39,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..plans.barrier import broadcast_state, materialize
+from ..plans.barrier import broadcast_state, loop_partitions, materialize
 
 
 def _distinct_edges(edges: DataFrame) -> DataFrame:
@@ -84,6 +84,18 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
         verts.unpersist()
         return out
 
+    with loop_partitions(e.sparkSession, n):
+        out = _hits_loop(e, verts, n, iterations)
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
+def _hits_loop(
+    e: DataFrame, verts: DataFrame, n: int, iterations: int
+) -> DataFrame:
+    """HITS iteration body, run under a state-sized loop_partitions scope
+    (per-superstep shuffles carry ≤|V| score rows — see plans/barrier)."""
     hub = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(
         materialize
     )
@@ -132,8 +144,6 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
         # re-run the |E| distinct / vertex-union its caches backed
         .transform(materialize)
     )
-    e.unpersist()
-    verts.unpersist()
     return out
 
 
@@ -191,6 +201,22 @@ def salsa(edges: DataFrame, iterations: int = 20) -> DataFrame:
     ew.count()
     e.unpersist()
     n_auth = indeg.count()
+    with loop_partitions(ew.sparkSession, n_verts):
+        out = _salsa_loop(ew, verts, indeg, n_auth, n_verts, iterations)
+    ew.unpersist()
+    verts.unpersist()
+    return out
+
+
+def _salsa_loop(
+    ew: DataFrame,
+    verts: DataFrame,
+    indeg: DataFrame,
+    n_auth: int,
+    n_verts: int,
+    iterations: int,
+) -> DataFrame:
+    """SALSA iteration body under a state-sized loop_partitions scope."""
     auth = indeg.select("v", F.lit(1.0 / n_auth).alias("s")).transform(
         materialize
     )
@@ -231,8 +257,6 @@ def salsa(edges: DataFrame, iterations: int = 20) -> DataFrame:
         )
         .transform(materialize)  # independent of ew/verts before unpersist
     )
-    ew.unpersist()
-    verts.unpersist()
     return out
 
 
@@ -267,6 +291,22 @@ def katz(
         .persist()
     )
     n_verts = verts.count()
+    with loop_partitions(e.sparkSession, n_verts):
+        out = _katz_loop(e, verts, n_verts, alpha, beta, iterations)
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
+def _katz_loop(
+    e: DataFrame,
+    verts: DataFrame,
+    n_verts: int,
+    alpha: float,
+    beta: float,
+    iterations: int,
+) -> DataFrame:
+    """Katz iteration body under a state-sized loop_partitions scope."""
     x = verts.select("v", F.lit(float(beta)).alias("s")).transform(materialize)
     for _ in range(iterations - 1):
         x = (
@@ -286,10 +326,7 @@ def katz(
             )
             .transform(materialize)
         )
-    out = x.withColumnRenamed("s", "katz")
-    e.unpersist()
-    verts.unpersist()
-    return out
+    return x.withColumnRenamed("s", "katz")
 
 
 def _ppr_multi(
@@ -365,30 +402,34 @@ def _ppr_multi(
     )
     ew.count()
 
-    ranks = tp.select(
-        "v", *[F.col(f"p_{c}").alias(c) for c in names]
-    ).transform(materialize)
-    tp = tp.transform(materialize)
-    for _ in range(iterations):
-        contrib = (
-            ew.join(_state_side(ranks.withColumnRenamed("v", "src"), n_verts), "src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(*[F.sum(F.col(c) * F.col("w")).alias(f"_c_{c}") for c in names])
-        )
-        ranks = (
-            tp.join(contrib, "v", "left")
-            .select(
-                "v",
-                *[
-                    (
-                        F.lit(1.0 - P) * F.col(f"p_{c}")
-                        + F.lit(P) * F.coalesce(F.col(f"_c_{c}"), F.lit(0.0))
-                    ).alias(c)
-                    for c in names
-                ],
+    with loop_partitions(ew.sparkSession, n_verts):
+        ranks = tp.select(
+            "v", *[F.col(f"p_{c}").alias(c) for c in names]
+        ).transform(materialize)
+        tp = tp.transform(materialize)
+        for _ in range(iterations):
+            contrib = (
+                ew.join(
+                    _state_side(ranks.withColumnRenamed("v", "src"), n_verts),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("v"))
+                .agg(*[F.sum(F.col(c) * F.col("w")).alias(f"_c_{c}") for c in names])
             )
-            .transform(materialize)
-        )
+            ranks = (
+                tp.join(contrib, "v", "left")
+                .select(
+                    "v",
+                    *[
+                        (
+                            F.lit(1.0 - P) * F.col(f"p_{c}")
+                            + F.lit(P) * F.coalesce(F.col(f"_c_{c}"), F.lit(0.0))
+                        ).alias(c)
+                        for c in names
+                    ],
+                )
+                .transform(materialize)
+            )
     ew.unpersist()
     e.unpersist()
     verts.unpersist()
@@ -447,26 +488,29 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
     # zero-restoring verts join runs once at the end; the L2 norm folds
     # in as a lazy 1-row crossJoin; the state vector broadcasts while
     # |V| is executor-resident.
-    x = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(materialize)
-    for _ in range(iterations):
-        raw = (
-            e.join(_state_side(x.withColumnRenamed("v", "src"), n), "src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.sum("s").alias("s"))
-            .transform(materialize)
+    with loop_partitions(e.sparkSession, n):
+        x = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(
+            materialize
         )
-        norm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2"))
-        x = raw.crossJoin(F.broadcast(norm)).select(
-            "v",
-            F.when(F.col("_l2") > 0, F.col("s") / F.col("_l2"))
-            .otherwise(F.col("s"))
-            .alias("s"),
+        for _ in range(iterations):
+            raw = (
+                e.join(_state_side(x.withColumnRenamed("v", "src"), n), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("s").alias("s"))
+                .transform(materialize)
+            )
+            norm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2"))
+            x = raw.crossJoin(F.broadcast(norm)).select(
+                "v",
+                F.when(F.col("_l2") > 0, F.col("s") / F.col("_l2"))
+                .otherwise(F.col("s"))
+                .alias("s"),
+            )
+        out = (
+            verts.join(x.withColumnRenamed("s", "score"), "v", "left")
+            .select("v", F.coalesce("score", F.lit(0.0)).alias("score"))
+            .transform(materialize)  # independent of e/verts before unpersist
         )
-    out = (
-        verts.join(x.withColumnRenamed("s", "score"), "v", "left")
-        .select("v", F.coalesce("score", F.lit(0.0)).alias("score"))
-        .transform(materialize)  # independent of e/verts before unpersist
-    )
     e.unpersist()
     verts.unpersist()
     return out
@@ -732,26 +776,27 @@ def absorption_probability(
     base = verts.join(
         F.broadcast(t.select("v", F.lit(True).alias("is_t"))), "v", "left"
     ).select("v", F.coalesce(F.col("is_t"), F.lit(False)).alias("is_t"))
-    base = base.transform(materialize)
-    h = base.select(
-        "v", F.when(F.col("is_t"), 1.0).otherwise(0.0).alias("h")
-    ).transform(materialize)
-    for _ in range(rounds):
-        nb = (
-            e.join(_state_side(h.withColumnRenamed("v", "dst"), n_verts), "dst")
-            .groupBy(F.col("src").alias("v"))
-            .agg(F.avg("h").alias("nb"))
-        )
-        h = (
-            base.join(nb, "v", "left")
-            .select(
-                "v",
-                F.when(F.col("is_t"), 1.0)
-                .otherwise(F.coalesce(F.col("nb"), F.lit(0.0)))
-                .alias("h"),
+    with loop_partitions(e.sparkSession, n_verts):
+        base = base.transform(materialize)
+        h = base.select(
+            "v", F.when(F.col("is_t"), 1.0).otherwise(0.0).alias("h")
+        ).transform(materialize)
+        for _ in range(rounds):
+            nb = (
+                e.join(_state_side(h.withColumnRenamed("v", "dst"), n_verts), "dst")
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.avg("h").alias("nb"))
             )
-            .transform(materialize)
-        )
+            h = (
+                base.join(nb, "v", "left")
+                .select(
+                    "v",
+                    F.when(F.col("is_t"), 1.0)
+                    .otherwise(F.coalesce(F.col("nb"), F.lit(0.0)))
+                    .alias("h"),
+                )
+                .transform(materialize)
+            )
     e.unpersist()
     verts.unpersist()
     t.unpersist()

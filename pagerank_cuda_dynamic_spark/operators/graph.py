@@ -104,9 +104,15 @@ def bfs_reachable(edges: DataFrame, seeds: DataFrame, max_rounds: int = 10**9) -
     exponentially otherwise)."""
     from pagerank_cuda_dynamic_spark.plans.barrier import (  # lazy: plans ↔ operators cycle
         broadcast_state,
+        loop_partitions,
         materialize,
     )
 
+    spark = edges.sparkSession
+    # the per-level expansion probes the edge table once per round: cache
+    # a local projection so levels re-read cached blocks instead of
+    # re-running the caller's (possibly join-heavy) derivation per level
+    e = edges.select("src", "dst").persist()
     visited = seeds.select("v").distinct().transform(materialize)
     frontier = visited
     n = visited.count()
@@ -115,23 +121,29 @@ def bfs_reachable(edges: DataFrame, seeds: DataFrame, max_rounds: int = 10**9) -
     while rounds < max_rounds:
         # frontier/visited broadcast into the edge join while they stay
         # executor-resident (exact counts come free from the fixpoint
-        # check), so the edge table never reshuffles per level
-        bfront = broadcast_state(frontier, n_front)
-        nxt = (
-            bfront.join(edges, bfront.v == edges.src)
-            .select(F.col("dst").alias("v"))
-            .distinct()
-            .join(broadcast_state(visited, n), "v", "left_anti")
-            .transform(materialize)
-        )
-        n_new = nxt.count()
-        if n_new == 0:
-            break
-        visited = visited.unionByName(nxt).transform(materialize)
+        # check), so the edge table never reshuffles per level.  The
+        # level's shuffles (the expansion distinct) are sized per round
+        # from the frontier: expansion ≈ n_front · avg-degree rows (32 is
+        # the proxy factor; the clamp at the session setting makes any
+        # over-estimate a no-op).
+        with loop_partitions(spark, max(n_front * 32, n)):
+            bfront = broadcast_state(frontier, n_front)
+            nxt = (
+                bfront.join(e, bfront.v == e.src)
+                .select(F.col("dst").alias("v"))
+                .distinct()
+                .join(broadcast_state(visited, n), "v", "left_anti")
+                .transform(materialize)
+            )
+            n_new = nxt.count()
+            if n_new == 0:
+                break
+            visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
         n_front = n_new
         n += n_new
         rounds += 1
+    e.unpersist()
     return visited
 
 
@@ -148,10 +160,14 @@ def multi_source_distances(
     = eccentricity bound (≤ max_depth).  sources: 1-column DataFrame."""
     from pagerank_cuda_dynamic_spark.plans.barrier import (  # lazy: plans ↔ operators cycle
         broadcast_state,
+        loop_partitions,
         materialize,
     )
 
-    e = edges.select("src", "dst").distinct()
+    spark = edges.sparkSession
+    # cached: every level probes this table; without the persist each
+    # round would re-run the caller's full edge derivation + distinct
+    e = edges.select("src", "dst").distinct().persist()
     visited = (
         sources.toDF("s")
         .distinct()
@@ -163,22 +179,25 @@ def multi_source_distances(
     depth = 0
     while depth < max_depth:
         depth += 1
-        bfront = broadcast_state(frontier, n_front)
-        nxt = (
-            bfront.join(e, bfront.v == e.src)
-            .select("s", F.col("dst").alias("v"))
-            .distinct()
-            .join(broadcast_state(visited, n_vis), ["s", "v"], "left_anti")
-            .withColumn("dist", F.lit(depth))
-            .transform(materialize)
-        )
-        n_new = nxt.count()
-        if n_new == 0:
-            break
-        visited = visited.unionByName(nxt).transform(materialize)
+        # per-level shuffle sizing from the frontier (see bfs_reachable)
+        with loop_partitions(spark, max(n_front * 32, n_vis)):
+            bfront = broadcast_state(frontier, n_front)
+            nxt = (
+                bfront.join(e, bfront.v == e.src)
+                .select("s", F.col("dst").alias("v"))
+                .distinct()
+                .join(broadcast_state(visited, n_vis), ["s", "v"], "left_anti")
+                .withColumn("dist", F.lit(depth))
+                .transform(materialize)
+            )
+            n_new = nxt.count()
+            if n_new == 0:
+                break
+            visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
         n_front = n_new
         n_vis += n_new
+    e.unpersist()
     return visited
 
 
@@ -524,7 +543,10 @@ def pseudo_diameter(edges: DataFrame, max_depth: int = 32) -> DataFrame:
     Returns ONE row (start_v, far_v, ecc_start, diameter_lb).
     """
     spark = edges.sparkSession
-    und = symmetrize(edges).where(F.col("src") != F.col("dst"))
+    # cached once: both BFS sweeps and the pivot scalar read this table
+    # (uncached, each of them would re-run the symmetrize + upstream
+    # edge derivation)
+    und = symmetrize(edges).where(F.col("src") != F.col("dst")).persist()
     verts = (
         und.select(F.col("src").alias("v"))
         .unionByName(und.select(F.col("dst").alias("v")))
@@ -540,6 +562,7 @@ def pseudo_diameter(edges: DataFrame, max_depth: int = 32) -> DataFrame:
     ecc0, u1 = -far["nd"], far["v"]
     d1 = multi_source_distances(und, spark.createDataFrame([(u1,)], ["s"]), max_depth)
     ecc1 = d1.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    und.unpersist()
     # schema inferred so integer- and string-vertex graphs both work
     return spark.createDataFrame(
         [(u0, u1, int(ecc0), int(ecc1))],

@@ -200,12 +200,18 @@ def _kmv_sketch_rounds(edges: DataFrame, rounds: int, k: int, hash_fn=None):
             ),
             "dst",
         ).select(F.col("src").alias("v"), F.col("hn").alias("h"))
+        # dense_rank folds the set-dedup INTO the rank-k window: duplicate
+        # hashes share a rank, so rank ≤ k keeps exactly the k smallest
+        # DISTINCT values and the explicit dedup runs on the ≤ k·|V|-row
+        # result instead of the |E|·k-row message stream (one |E|·k
+        # shuffle per round, not two — measured plan: 2 Exchange → 1 on
+        # the message path)
         sk = (
             sk.unionByName(msgs)
-            .distinct()
-            .withColumn("rn", F.row_number().over(w))
+            .withColumn("rn", F.dense_rank().over(w))
             .where(F.col("rn") <= k)
             .drop("rn")
+            .distinct()
             .transform(materialize)
         )
         sk_rows = sk.count()

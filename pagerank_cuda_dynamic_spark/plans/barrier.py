@@ -25,6 +25,9 @@ to inherited stats.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -39,6 +42,43 @@ from pyspark.sql import DataFrame
 # at reasonable memory) loops fall back to the shuffle join, which a
 # cluster deployment pairs with a pre-partitioned edge table.
 STATE_BROADCAST_MAX_ROWS = 8_000_000
+
+
+# Target state rows per shuffle partition inside iterative loops.  The
+# per-superstep exchanges of a state loop carry O(state) rows, so sizing
+# the reduce side by state rows (never above the session's configured
+# parallelism — a cluster deployment keeps its own setting once the
+# state outgrows parallelism * this target) removes the dominant fixed
+# cost of small-graph loops: launching `spark.sql.shuffle.partitions`
+# near-empty reduce tasks per superstep.  Measured
+# (tools/profile_loop.py at local[32], shuffle.partitions=32): a
+# gather+materialize superstep on a 100-vertex/5k-edge graph costs
+# 670 ms with 32-task shuffles and ~155 ms sized; a 36k-vertex/1.2M-edge
+# graph drops 813 -> ~370 ms.
+LOOP_PARTITION_ROWS = int(os.environ.get("SPARK_GRAFT_LOOP_PARTITION_ROWS", "8192"))
+
+
+@contextmanager
+def loop_partitions(spark, n_rows: int):
+    """Scope `spark.sql.shuffle.partitions` to a state-proportional count
+    for the duration of an iterative loop: ceil(n_rows / LOOP_PARTITION_
+    ROWS) clamped to [1, current setting].  The cap means any state large
+    enough for the configured parallelism is unaffected — this only
+    shrinks near-empty shuffles, it never grows them.  Restores the
+    previous value on exit; every frame the loop returns must be
+    materialized inside the scope (all loop operators do — `materialize`
+    makes the plan concrete, so later actions on the result do not
+    re-plan shuffles under the restored setting)."""
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    k = max(1, min(cur, -(-int(n_rows) // LOOP_PARTITION_ROWS)))
+    if k >= cur:
+        yield cur
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(k))
+    try:
+        yield k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
 
 
 def broadcast_state(state: DataFrame, n_rows: int) -> DataFrame:

@@ -50,6 +50,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cached plans keep AQE's coalesced output partitioning: a persisted
+        # `.distinct()` edge table otherwise materializes with the static
+        # shuffle partition count (tiny partitions, one scan task each), and
+        # every iterative gather that probes it pays ~#partitions of fixed
+        # task overhead per superstep.  Measured (tools/profile_loop.py):
+        # probe side drops 32 -> 1..16 AQE-sized partitions, 670 -> ~300 ms
+        # per materialize-barrier iteration on a 5k-edge graph.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 20))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
