@@ -100,23 +100,31 @@ def _hits_loop(
         materialize
     )
 
-    def _half_step(scores: DataFrame, probe: str, build: str) -> DataFrame:
+    def _half_step(
+        scores: DataFrame, probe: str, build: str, mat: bool
+    ) -> DataFrame:
         """One gather over E (probe = edge column joined to `scores`,
         build = edge column grouped into the new score) + L2 barrier.
 
-        Two loop-scale savings over the naive joinagg shape: vertices
+        Loop-scale savings over the naive joinagg shape: vertices
         absent from the gather result have score 0 and contribute
         nothing to the next gather or to the L2 norm, so the
         zero-restoring `verts` left join runs ONCE at the end instead of
-        per half-step; and the L2 norm is folded in lazily as a 1-row
-        crossJoin (one Spark job per half-step, no driver collect —
-        measured 65 s → ~30 s for 20 iterations at sf0.1)."""
+        per half-step; the L2 norm is folded in lazily as a 1-row
+        crossJoin (no driver collect — measured 65 s → ~30 s for 20
+        iterations at sf0.1).  A lazy auth half-step (mat=False, salsa's
+        one-barrier-per-round shape) was tried this round and measured
+        SLOWER (33 → 38 s at sf0.1): the L2-norm crossJoin makes the
+        lazy subtree execute twice inside the hub job, and two extra
+        gathers cost more than the saved materialize+broadcast jobs —
+        so both half-steps stay eager."""
         raw = (
             e.join(_state_side(scores.withColumnRenamed("v", probe), n), probe)
             .groupBy(F.col(build).alias("v"))
             .agg(F.sum("s").alias("s"))
-            .transform(materialize)
         )
+        if mat:
+            raw = raw.transform(materialize)
         norm = raw.agg(
             F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2")
         )
@@ -129,8 +137,8 @@ def _hits_loop(
 
     auth = verts.select("v", F.lit(0.0).alias("s"))
     for _ in range(iterations):
-        auth = _half_step(hub, "src", "dst")
-        hub = _half_step(auth, "dst", "src")
+        auth = _half_step(hub, "src", "dst", mat=True)
+        hub = _half_step(auth, "dst", "src", mat=True)
 
     out = (
         verts.join(auth.withColumnRenamed("s", "auth"), "v", "left")

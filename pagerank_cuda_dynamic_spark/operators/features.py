@@ -75,16 +75,73 @@ def propagate_features(
         e = e.unionByName(
             verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
         ).distinct()
+    x = feats.select("v", "dim", "val")
+    if hops == 0:
+        return x
     e = e.persist()
     e.count()
-    x = feats.select("v", "dim", "val")
-    if hops > 0:
-        x_rows = x.count()
+    # Packed-broadcast fast path: when every vertex carries the same
+    # contiguous dim set 0..d-1 (the explode_features shape), the state
+    # broadcasts as ONE array row per vertex and the dims explode AFTER
+    # the edge join — a d-fold smaller broadcast build and a cheaper
+    # probe, while the (dst, dim) mean aggregate sees the IDENTICAL row
+    # multiset in the identical per-partition order (each probe row
+    # contributes exactly one value per (dst, dim) group), so results are
+    # bit-equal to the relational hop.  Ragged or sparse dim sets (where
+    # array positions would mislabel dims) keep the original per-(v, dim)
+    # path.  (A Summarizer.mean vector aggregate was tried and rejected:
+    # its running-mean update is layout-dependent and broke fastrp's
+    # exact repartition-invariance contract; collect_list folding was
+    # faster still but holds unbounded per-hub state — not scale-safe.)
+    # ONE packing pass doubles as the shape check: the caller's (possibly
+    # join-heavy) feature derivation executes exactly once, into the
+    # checkpointed per-vertex (dim, val) pair arrays the first hop's
+    # broadcast build then reads directly.
+    x_pack = materialize(
+        x.groupBy("v").agg(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("pairs")
+        )
+    )
+    row = x_pack.agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.countDistinct(F.size("pairs")).alias("nd"),
+        F.min(
+            F.expr("forall(transform(pairs, (p, i) -> p.dim = i), b -> b)").cast("int")
+        ).alias("contiguous"),
+    ).collect()[0]
+    uniform = row["nv"] > 0 and row["nd"] == 1 and row["contiguous"] == 1
+    if uniform:
+        x_arr = x_pack.select("v", F.col("pairs").getField("val").alias("x"))
+        for _ in range(hops):
+            x = _mean_hop_arr(e, x_arr, row["nv"])
+            # re-pack the (materialized) relational state for the next
+            # hop's build — a |V|·d aggregate, amortized against the
+            # d-fold cheaper probe
+            x_arr = collect_features(x)
+        e.unpersist()
+        return x
+    x_rows = x.count()
     for _ in range(hops):
         x = _mean_hop(e, x, x_rows)
         x_rows = x.count()
     e.unpersist()
     return x
+
+
+def _mean_hop_arr(e_prepped: DataFrame, x_arr: DataFrame, n_verts: int) -> DataFrame:
+    """One in-neighbor mean hop with an array-form build side (v, x:
+    array<double>): broadcast |V| array rows, posexplode AFTER the join,
+    same (dst, dim) average — bit-identical to `_mean_hop` (see
+    propagate_features).  Returns the relational (v, dim, val) frame."""
+    return (
+        e_prepped.join(
+            broadcast_state(x_arr.withColumnRenamed("v", "src"), n_verts), "src"
+        )
+        .select("dst", F.posexplode("x").alias("dim", "val"))
+        .groupBy(F.col("dst").alias("v"), F.col("dim"))
+        .agg(F.avg("val").alias("val"))
+        .transform(materialize)
+    )
 
 
 def _mean_hop(e_prepped: DataFrame, x: DataFrame, x_rows: int) -> DataFrame:
@@ -152,47 +209,70 @@ def fastrp_embeddings(
         raise ValueError("fastrp_embeddings: sparsity must be >= 1")
     if sign_hash is None:
         sign_hash = F.xxhash64
-    e = edges.select("src", "dst").distinct()
-    verts = (
+    # the caller's edge derivation runs EXACTLY once: every later consumer
+    # (vertex union, self-loop union, r0 projection, final combine) reads
+    # this checkpoint instead of replaying the upstream joins — the old
+    # lazy prefixes re-ran the full derivation 3-4 times per call
+    e = materialize(edges.select("src", "dst").distinct())
+    verts = materialize(
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
         .distinct()
     )
     root = math.sqrt(float(sparsity))
-    m = F.pmod(
-        sign_hash(F.concat_ws(":", F.col("v").cast("string"), F.col("dim"))),
-        F.lit(2 * sparsity),
-    )
-    r0 = verts.select(
-        "v",
-        F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("dim"),
-    ).select(
-        "v",
-        "dim",
-        F.when(m == 0, F.lit(root))
-        .when(m == 1, F.lit(-root))
-        .otherwise(F.lit(0.0))
-        .alias("val"),
-    )
+    # the deterministic Achlioptas projection, built DIRECTLY in packed
+    # array form: one array-of-d-signs expression per vertex row (same
+    # hash per (v, dim) as the relational construction — concat_ws
+    # renders the dim literal identically), so every hop's broadcast
+    # build ships |V| array rows instead of |V|·d scalar rows
+    # (_mean_hop_arr; bit-identical per-dim averages).
+    dim_cols = []
+    for dim in range(dims):
+        m = F.pmod(
+            sign_hash(F.concat_ws(":", F.col("v").cast("string"), F.lit(dim))),
+            F.lit(2 * sparsity),
+        )
+        dim_cols.append(
+            F.when(m == 0, F.lit(root))
+            .when(m == 1, F.lit(-root))
+            .otherwise(F.lit(0.0))
+        )
+    r0_arr = verts.select("v", F.array(*dim_cols).alias("x"))
     # edge prep ONCE for all k hops: self-loops, dedup, persist (the
     # per-call prep inside propagate_features would re-dedup + re-persist
-    # the same table k times — _mean_hop is the shared prepped-edge hop)
+    # the same table k times — _mean_hop_arr is the shared prepped-edge hop)
     if include_self:
         e = e.unionByName(
             verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
         ).distinct()
-    e = e.persist()
+    # canonical within-partition row order: the hop aggregate sums each
+    # (dst, dim) group's values in probe-row order, and a shuffle's
+    # within-partition arrival order depends on the INPUT layout — the
+    # repartition-invariance contract was otherwise held up only by
+    # fetch-order luck (a 1-ulp divergence surfaced whenever the job
+    # sequence around the hop changed).  Partition CONTENTS are already
+    # deterministic (hash); the sort pins the order within them.
+    e = e.sortWithinPartitions("src", "dst").persist()
     e.count()
+    # the d sign hashes per vertex compute once; the final combine and the
+    # first hop's broadcast build both read the checkpoint
+    r0_arr = materialize(r0_arr)
     parts = []
     if self_weight != 0.0:
-        parts.append(r0.select("v", "dim", (F.col("val") * F.lit(self_weight)).alias("val")))
-    h = r0
-    h_rows = h.count()
+        parts.append(
+            r0_arr.select("v", F.posexplode("x").alias("dim", "val")).select(
+                "v", "dim", (F.col("val") * F.lit(self_weight)).alias("val")
+            )
+        )
+    h_arr = r0_arr  # array-form build side of the next hop
+    n_verts = verts.count()
     for w in weights:
-        h = _mean_hop(e, h, h_rows)
-        h_rows = h.count()
+        h = _mean_hop_arr(e, h_arr, n_verts)  # relational, materialized
         if w != 0.0:
-            parts.append(h.select("v", "dim", (F.col("val") * F.lit(w)).alias("val")))
+            parts.append(
+                h.select("v", "dim", (F.col("val") * F.lit(w)).alias("val"))
+            )
+        h_arr = collect_features(h)
     # hop frames are materialized, so nothing downstream re-reads e
     e.unpersist()
     emb = parts[0]
@@ -202,7 +282,17 @@ def fastrp_embeddings(
     if normalize:
         from pyspark.sql import Window
 
-        nrm = F.sqrt(F.sum(F.col("val") * F.col("val")).over(Window.partitionBy("v")))
+        # full-partition frame ordered by dim: the norm sums the squares in
+        # DIM order regardless of physical layout — an unordered window
+        # sums in shuffle-arrival order, which is what the repartition-
+        # invariance contract (and its test) actually depends on
+        nrm = F.sqrt(
+            F.sum(F.col("val") * F.col("val")).over(
+                Window.partitionBy("v")
+                .orderBy("dim")
+                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+        )
         emb = emb.select(
             "v",
             "dim",
