@@ -100,9 +100,7 @@ def _hits_loop(
         materialize
     )
 
-    def _half_step(
-        scores: DataFrame, probe: str, build: str, mat: bool
-    ) -> DataFrame:
+    def _half_step(scores: DataFrame, probe: str, build: str) -> DataFrame:
         """One gather over E (probe = edge column joined to `scores`,
         build = edge column grouped into the new score) + L2 barrier.
 
@@ -110,35 +108,31 @@ def _hits_loop(
         absent from the gather result have score 0 and contribute
         nothing to the next gather or to the L2 norm, so the
         zero-restoring `verts` left join runs ONCE at the end instead of
-        per half-step; the L2 norm is folded in lazily as a 1-row
-        crossJoin (no driver collect — measured 65 s → ~30 s for 20
-        iterations at sf0.1).  A lazy auth half-step (mat=False, salsa's
-        one-barrier-per-round shape) was tried this round and measured
-        SLOWER (33 → 38 s at sf0.1): the L2-norm crossJoin makes the
-        lazy subtree execute twice inside the hub job, and two extra
-        gathers cost more than the saved materialize+broadcast jobs —
-        so both half-steps stay eager."""
+        per half-step.  The L2 norm is ONE double collected to the
+        driver and folded back as a literal — the r5 lazy 1-row
+        crossJoin made the next half-step's broadcast build execute two
+        nested BroadcastExchanges (the norm row, then the normalized
+        state) at a measured ~0.35 s/half-step of extra job launches
+        (tools/profile_hits.py: 0.706 -> 0.502 s mean half-step); the
+        literal division is bit-identical (same double, same per-row
+        divide).  A lazy auth half-step (salsa's one-barrier-per-round
+        shape) stays measured-out: the norm makes the lazy subtree
+        execute twice inside the hub job (33 -> 38 s at sf0.1)."""
         raw = (
             e.join(_state_side(scores.withColumnRenamed("v", probe), n), probe)
             .groupBy(F.col(build).alias("v"))
             .agg(F.sum("s").alias("s"))
+            .transform(materialize)
         )
-        if mat:
-            raw = raw.transform(materialize)
-        norm = raw.agg(
-            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2")
-        )
-        return raw.crossJoin(F.broadcast(norm)).select(
-            "v",
-            F.when(F.col("_l2") > 0, F.col("s") / F.col("_l2"))
-            .otherwise(F.col("s"))
-            .alias("s"),
-        )
+        l2 = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
+        if l2 is not None and l2 > 0:
+            return raw.select("v", (F.col("s") / F.lit(float(l2))).alias("s"))
+        return raw
 
     auth = verts.select("v", F.lit(0.0).alias("s"))
     for _ in range(iterations):
-        auth = _half_step(hub, "src", "dst", mat=True)
-        hub = _half_step(auth, "dst", "src", mat=True)
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
 
     out = (
         verts.join(auth.withColumnRenamed("s", "auth"), "v", "left")
@@ -351,7 +345,11 @@ def _ppr_multi(
     vertices (plain PageRank expressed as PPR seeded by everything).
     Returns (v, <name>...) with one rank column per `seed_sets` entry.
     """
-    e0 = _distinct_edges(edges)
+    # ONE execution of the caller's (possibly join-heavy) edge derivation:
+    # every later pass (vertex union, self-loop union, degree count) reads
+    # this cache — the r5 lazy e0 re-ran the derivation 3x during prep
+    e0 = _distinct_edges(edges).persist()
+    e0.count()
     verts = (
         e0.select(F.col("src").alias("v"))
         .union(e0.select(F.col("dst").alias("v")))
@@ -360,44 +358,56 @@ def _ppr_multi(
     )
     n_verts = verts.count()
     if n_verts == 0:
+        e0.unpersist()
         verts.unpersist()
         # mirrors the empty-seed rejection below: with no vertices the
         # uniform teleport 1/n is undefined and every seed is "outside"
         raise ValueError("personalized_pagerank: graph has no vertices")
-    # universal self-loops, as add_self_loops (operators/graph.py:31)
+    # universal self-loops, as add_self_loops (operators/graph.py:31).
+    # e0 is already (src,dst)-distinct, so dropping its self-loops and
+    # unioning the universal loop set IS the old union-distinct result —
+    # minus the second |E| dedup shuffle the r5 shape paid here
     e = (
-        e0.union(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
-        .distinct()
+        e0.where(F.col("src") != F.col("dst"))
+        .unionByName(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
         .persist()
     )
     e.count()
+    e0.unpersist()
 
     names = list(seed_sets)
     seed_frames = []
     tp = verts
-    for name, seeds in seed_sets.items():
-        if seeds is None:
-            tp = tp.withColumn(f"p_{name}", F.lit(1.0 / n_verts))
-            continue
-        s = seeds.toDF("v").distinct().persist()
-        seed_frames.append(s)
-        n_seeds = s.count()
-        if n_seeds == 0:
-            raise ValueError("personalized_pagerank: seeds must be non-empty")
-        n_outside = s.join(verts, "v", "left_anti").count()
-        if n_outside:
-            raise ValueError(
-                f"personalized_pagerank: {n_outside} seed(s) not in the vertex set"
+    try:
+        for name, seeds in seed_sets.items():
+            if seeds is None:
+                tp = tp.withColumn(f"p_{name}", F.lit(1.0 / n_verts))
+                continue
+            s = seeds.toDF("v").distinct().persist()
+            seed_frames.append(s)
+            n_seeds = s.count()
+            if n_seeds == 0:
+                raise ValueError("personalized_pagerank: seeds must be non-empty")
+            n_outside = s.join(verts, "v", "left_anti").count()
+            if n_outside:
+                raise ValueError(
+                    f"personalized_pagerank: {n_outside} seed(s) not in the vertex set"
+                )
+            tp = (
+                tp.join(
+                    F.broadcast(s.select("v", F.lit(1.0 / n_seeds).alias("_sp"))),
+                    "v",
+                    "left",
+                )
+                .withColumn(f"p_{name}", F.coalesce(F.col("_sp"), F.lit(0.0)))
+                .drop("_sp")
             )
-        tp = (
-            tp.join(
-                F.broadcast(s.select("v", F.lit(1.0 / n_seeds).alias("_sp"))),
-                "v",
-                "left",
-            )
-            .withColumn(f"p_{name}", F.coalesce(F.col("_sp"), F.lit(0.0)))
-            .drop("_sp")
-        )
+    except ValueError:
+        # rejected seed sets must not leak cached blocks in long-lived
+        # sessions (the n_verts == 0 branch above already unpersists)
+        for f in (verts, e, *seed_frames):
+            f.unpersist()
+        raise
     tp = tp.select("v", *[F.col(f"p_{c}") for c in names])
 
     P = damping
@@ -493,9 +503,10 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
         return out
     # Same loop-scale savings as the HITS half-step: absent vertices are
     # exact zeros (contribute nothing to the gather or the norm), so the
-    # zero-restoring verts join runs once at the end; the L2 norm folds
-    # in as a lazy 1-row crossJoin; the state vector broadcasts while
-    # |V| is executor-resident.
+    # zero-restoring verts join runs once at the end; the L2 norm is one
+    # driver-collected double folded back as a literal (bit-identical to
+    # the r5 lazy crossJoin, minus its nested-broadcast job launches);
+    # the state vector broadcasts while |V| is executor-resident.
     with loop_partitions(e.sparkSession, n):
         x = verts.select("v", F.lit(1.0 / math.sqrt(n)).alias("s")).transform(
             materialize
@@ -507,13 +518,11 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
                 .agg(F.sum("s").alias("s"))
                 .transform(materialize)
             )
-            norm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_l2"))
-            x = raw.crossJoin(F.broadcast(norm)).select(
-                "v",
-                F.when(F.col("_l2") > 0, F.col("s") / F.col("_l2"))
-                .otherwise(F.col("s"))
-                .alias("s"),
-            )
+            l2 = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
+            if l2 is not None and l2 > 0:
+                x = raw.select("v", (F.col("s") / F.lit(float(l2))).alias("s"))
+            else:
+                x = raw
         out = (
             verts.join(x.withColumnRenamed("s", "score"), "v", "left")
             .select("v", F.coalesce("score", F.lit(0.0)).alias("score"))
@@ -772,15 +781,20 @@ def absorption_probability(
     )
     n_verts = verts.count()
     t = targets.toDF("v").distinct().persist()
-    n_targets = t.count()
-    if n_targets == 0:
-        raise ValueError("absorption_probability: targets must be non-empty")
-    n_outside = t.join(verts, "v", "left_anti").count()
-    if n_outside:
-        raise ValueError(
-            f"absorption_probability: {n_outside} target(s) not in the "
-            "vertex set"
-        )
+    try:
+        n_targets = t.count()
+        if n_targets == 0:
+            raise ValueError("absorption_probability: targets must be non-empty")
+        n_outside = t.join(verts, "v", "left_anti").count()
+        if n_outside:
+            raise ValueError(
+                f"absorption_probability: {n_outside} target(s) not in the "
+                "vertex set"
+            )
+    except ValueError:
+        for f in (e, verts, t):  # no cached-block leak on rejected targets
+            f.unpersist()
+        raise
     base = verts.join(
         F.broadcast(t.select("v", F.lit(True).alias("is_t"))), "v", "left"
     ).select("v", F.coalesce(F.col("is_t"), F.lit(False)).alias("is_t"))

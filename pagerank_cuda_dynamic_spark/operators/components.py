@@ -977,11 +977,10 @@ def louvain_moves(
 
     Scale posture: each round is (1) one edges⋈labels shuffle + a
     (v, community) count — map-side combinable, (2) one Σtot aggregate
-    over |V| rows, (3) a per-vertex window (partitioned by v, never
-    global).  Labels never touch the driver; hub communities are plain
-    groupBy keys (AQE skew handling applies).  Returns (v, community)."""
-    from pyspark.sql import Window
-
+    over |V| rows, (3) one fused per-vertex aggregate picking the move
+    (no window, no global sort).  Labels never touch the driver; hub
+    communities are plain groupBy keys (AQE skew handling applies).
+    Returns (v, community)."""
     spark = edges.sparkSession
     p = spark.sparkContext.defaultParallelism
     simple = (
@@ -989,23 +988,29 @@ def louvain_moves(
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
     )
+    # repartition by src BEFORE the undirected dedup: equal (src,dst)
+    # rows share a src, so the distinct aggregate runs in place on the
+    # src-hash layout — one |E| shuffle instead of two (the same
+    # move as GraphSnapshot.build's dst-first dedup)
     und = (
         simple.unionByName(
             simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .repartition(p, "src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     two_m = und.count()  # Σ deg = 2m (each undirected edge counted twice)
-    deg = (
+    # state carries (v, c, d): the constant per-vertex degree rides the
+    # community column, so the per-round Σtot aggregate and the candidate
+    # scoring need NO deg join (and no per-round deg re-broadcast)
+    c = (
         und.groupBy(F.col("src").alias("v"))
         .agg(F.count(F.lit(1)).alias("d"))
+        .select("v", F.col("v").alias("c"), "d")
         .transform(materialize)
     )
-    n_verts = deg.count()
-    c = deg.select("v", F.col("v").alias("c")).transform(materialize)
-    w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("cc"))
+    n_verts = c.count()
     for t in range(rounds):
         # broadcast-state gather: und stays put (and keeps its src
         # partitioning for the groupBy below — zero edge-table shuffle
@@ -1018,11 +1023,7 @@ def louvain_moves(
             .groupBy(F.col("src").alias("v"), "cc")
             .agg(F.count(F.lit(1)).alias("k"))
         )
-        stot = (
-            c.join(deg, "v")
-            .groupBy(F.col("c").alias("cc"))
-            .agg(F.sum("d").alias("stot"))
-        )
+        stot = c.groupBy(F.col("c").alias("cc")).agg(F.sum("d").alias("stot"))
         # candidates = neighbor communities ∪ the stay row (k=0 if v has
         # no neighbor in its own community); max(k) keeps the real count;
         # direction alternation drops the disallowed side up front
@@ -1037,7 +1038,6 @@ def louvain_moves(
             .join(broadcast_state(c, n_verts), "v")
             .where((F.col("cc") == F.col("c")) | direction)
             .join(broadcast_state(stot, n_verts), "cc")
-            .join(broadcast_state(deg, n_verts), "v")
             .withColumn(
                 "score",
                 F.lit(int(two_m)) * F.col("k")
@@ -1050,20 +1050,31 @@ def louvain_moves(
                 ),
             )
         )
-        best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-        stay = cand.where(F.col("cc") == F.col("c")).select(
-            "v", F.col("score").alias("stay_score")
+        # ONE fused per-vertex aggregate replaces the r5 row_number window
+        # + stay-filter + stay-broadcast join: best candidate by
+        # (score desc, cc asc) is min(struct(-score, cc)) — every score is
+        # an exact integer, so the comparison semantics are identical —
+        # and the stay row always exists (stay0 is unioned in), so
+        # stay_score is never null
+        agg = cand.groupBy("v").agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("cc").alias("cc"))
+            ).alias("best"),
+            F.max(F.when(F.col("cc") == F.col("c"), F.col("score"))).alias(
+                "stay_score"
+            ),
+            F.min("c").alias("c"),  # constant per v
+            F.min("d").alias("d"),
         )
-        c = (
-            best.join(broadcast_state(stay, n_verts), "v")
-            .select(
-                "v",
-                F.when(F.col("score") > F.col("stay_score"), F.col("cc"))
-                .otherwise(F.col("c"))
-                .alias("c"),
+        c = agg.select(
+            "v",
+            F.when(
+                (-F.col("best.ns")) > F.col("stay_score"), F.col("best.cc")
             )
-            .transform(materialize)
-        )
+            .otherwise(F.col("c"))
+            .alias("c"),
+            "d",
+        ).transform(materialize)
     und.unpersist()
     return c.select("v", F.col("c").alias("community"))
 

@@ -233,7 +233,14 @@ def minhash_dedup_pairs(
     """MinHash+LSH near-dup: LSH candidates verified by exact shingle
     Jaccard ≥ threshold (candidate set is small; verification is the same
     inverted-index computation restricted by semi-join)."""
-    cands = minhash_lsh_candidates(docs, num_hashes, bands, k, id_col, text_col)
+    from ..plans.barrier import materialize
+
+    # the candidate table is read three times below (both legs of the
+    # id union + the final semi-join); without a barrier each reference
+    # re-runs the whole signature/banding subtree over the corpus
+    cands = materialize(
+        minhash_lsh_candidates(docs, num_hashes, bands, k, id_col, text_col)
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))

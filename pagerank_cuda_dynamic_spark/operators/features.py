@@ -105,21 +105,26 @@ def propagate_features(
     row = x_pack.agg(
         F.count(F.lit(1)).alias("nv"),
         F.countDistinct(F.size("pairs")).alias("nd"),
+        F.min(F.size("pairs")).alias("d"),
         F.min(
             F.expr("forall(transform(pairs, (p, i) -> p.dim = i), b -> b)").cast("int")
         ).alias("contiguous"),
     ).collect()[0]
-    uniform = row["nv"] > 0 and row["nd"] == 1 and row["contiguous"] == 1
+    uniform = (
+        row["nv"] > 0
+        and row["nd"] == 1
+        and row["contiguous"] == 1
+        and row["d"] <= 512  # d avg columns per hop; keep codegen sane
+    )
     if uniform:
         x_arr = x_pack.select("v", F.col("pairs").getField("val").alias("x"))
         for _ in range(hops):
-            x = _mean_hop_arr(e, x_arr, row["nv"])
-            # re-pack the (materialized) relational state for the next
-            # hop's build — a |V|·d aggregate, amortized against the
-            # d-fold cheaper probe
-            x_arr = collect_features(x)
+            # array-form in AND out: the hop aggregates d avg columns per
+            # dst (no |E|·d explode through the shuffle) and re-arrays
+            # them, so the per-hop collect_features re-pack disappears
+            x_arr = _mean_hop_arr(e, x_arr, row["nv"], int(row["d"]))
         e.unpersist()
-        return x
+        return x_arr.select("v", F.posexplode("x").alias("dim", "val"))
     x_rows = x.count()
     for _ in range(hops):
         x = _mean_hop(e, x, x_rows)
@@ -128,18 +133,24 @@ def propagate_features(
     return x
 
 
-def _mean_hop_arr(e_prepped: DataFrame, x_arr: DataFrame, n_verts: int) -> DataFrame:
-    """One in-neighbor mean hop with an array-form build side (v, x:
-    array<double>): broadcast |V| array rows, posexplode AFTER the join,
-    same (dst, dim) average — bit-identical to `_mean_hop` (see
-    propagate_features).  Returns the relational (v, dim, val) frame."""
+def _mean_hop_arr(
+    e_prepped: DataFrame, x_arr: DataFrame, n_verts: int, dims: int
+) -> DataFrame:
+    """One in-neighbor mean hop, array form in AND out: broadcast |V|
+    array rows, then ONE dst-keyed aggregate with `dims` avg columns —
+    the probe never explodes to |E|·d rows, partial (map-side) aggregation
+    compresses to |V|·d before the shuffle, and the group-key space is |V|
+    instead of |V|·d.  Per (dst, dim) each avg consumes the identical
+    value multiset in the identical probe-row order as the r5 exploded
+    (dst, dim) aggregate (x[i] is extracted per probe row in row order),
+    so the means agree.  Returns (v, x: array<double>) ordered by dim."""
     return (
         e_prepped.join(
             broadcast_state(x_arr.withColumnRenamed("v", "src"), n_verts), "src"
         )
-        .select("dst", F.posexplode("x").alias("dim", "val"))
-        .groupBy(F.col("dst").alias("v"), F.col("dim"))
-        .agg(F.avg("val").alias("val"))
+        .groupBy(F.col("dst").alias("v"))
+        .agg(*[F.avg(F.col("x")[i]).alias(f"_m{i}") for i in range(dims)])
+        .select("v", F.array(*[F.col(f"_m{i}") for i in range(dims)]).alias("x"))
         .transform(materialize)
     )
 
@@ -267,12 +278,15 @@ def fastrp_embeddings(
     h_arr = r0_arr  # array-form build side of the next hop
     n_verts = verts.count()
     for w in weights:
-        h = _mean_hop_arr(e, h_arr, n_verts)  # relational, materialized
+        # array in/out: no per-hop collect_features re-pack; the combine
+        # reads a lazy posexplode of the materialized hop frame
+        h_arr = _mean_hop_arr(e, h_arr, n_verts, dims)
         if w != 0.0:
             parts.append(
-                h.select("v", "dim", (F.col("val") * F.lit(w)).alias("val"))
+                h_arr.select("v", F.posexplode("x").alias("dim", "val")).select(
+                    "v", "dim", (F.col("val") * F.lit(w)).alias("val")
+                )
             )
-        h_arr = collect_features(h)
     # hop frames are materialized, so nothing downstream re-reads e
     e.unpersist()
     emb = parts[0]
