@@ -77,8 +77,14 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFram
 
 
 def _entity_graph(spark: SparkSession, sf_dir: str):
-    """Entity edges (strings) → dense snapshot + dictionary."""
-    e = derive_entity_edges(spark, sf_dir)
+    """Entity edges (strings) → dense snapshot + dictionary.
+
+    The derivation is materialized ONCE up front: the dictionary's vertex
+    union reads it twice and encode_edges a third time, so the lazy frame
+    re-ran the orders x lineitem join + distinct three times per query."""
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    e = materialize(derive_entity_edges(spark, sf_dir))
     d = build_vertex_dictionary(e, src="src", dst="dst").persist()
     n = d.count()
     g = GraphSnapshot.build(encode_edges(e, d, src="src", dst="dst"), n=n)
@@ -151,7 +157,9 @@ def q_graph_summary(spark, sf_dir):
     """(n_vertices, n_edges_raw, n_edges_selflooped, n_selfloops) — one
     declarative plan (cross join of single-row aggs), not four driver-side
     .count() actions."""
-    e = derive_entity_edges(spark, sf_dir)
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    e = materialize(derive_entity_edges(spark, sf_dir))  # read 4x below
     verts = e.select(F.col("src").alias("v")).unionByName(
         e.select(F.col("dst").alias("v"))
     ).distinct()
@@ -239,7 +247,9 @@ def q_pagerank_converged(spark, sf_dir):
 
 
 def q_triangles(spark, sf_dir):
-    e = derive_entity_edges(spark, sf_dir)
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    e = materialize(derive_entity_edges(spark, sf_dir))  # read 3x below
     d = build_vertex_dictionary(e, src="src", dst="dst")
     enc = encode_edges(e, d, src="src", dst="dst")
     return _tri(enc)
@@ -336,7 +346,9 @@ def q_bfs_reachable(spark, sf_dir):
     """G6 multi-source BFS closure: entities reachable from customer c1."""
     from pagerank_cuda_dynamic_spark.operators.graph import bfs_reachable
 
-    e = derive_entity_edges(spark, sf_dir)
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    e = materialize(derive_entity_edges(spark, sf_dir))  # read 3x below
     d = build_vertex_dictionary(e, src="src", dst="dst").persist()
     enc = encode_edges(e, d, src="src", dst="dst")
     seed_ids = d.where(F.col("entity") == "c1").select(F.col("v"))

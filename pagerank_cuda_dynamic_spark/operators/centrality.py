@@ -659,12 +659,21 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """
     if k < 1:
         raise ValueError("k_core: k must be >= 1")
-    simple = _distinct_edges(edges).where(F.col("src") != F.col("dst"))
+    # materialize the simple view first: the symmetrize union reads it
+    # twice, so a lazy frame re-runs the caller's edge derivation twice;
+    # then repartition by src BEFORE the undirected dedup — equal
+    # (src,dst) rows share a src, so the distinct aggregate runs in place
+    # (one |E| shuffle, not two)
+    simple = materialize(
+        _distinct_edges(edges).where(F.col("src") != F.col("dst"))
+    )
+    p = edges.sparkSession.sparkContext.defaultParallelism
     und = (
         simple.union(
             simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
+        .repartition(p, "src")
+        .dropDuplicates(["src", "dst"])
         .transform(materialize)
     )
     n_edges = und.count()
@@ -713,12 +722,18 @@ def coreness(edges: DataFrame, rounds: int = 12) -> DataFrame:
     no driver traffic at any round.  Returns (v, coreness)."""
     from pyspark.sql import Window
 
-    simple = _distinct_edges(edges).where(F.col("src") != F.col("dst"))
+    # same prep shape as k_core: derivation runs once, undirected dedup
+    # rides the src-repartition (one |E| shuffle instead of two)
+    simple = materialize(
+        _distinct_edges(edges).where(F.col("src") != F.col("dst"))
+    )
+    p = edges.sparkSession.sparkContext.defaultParallelism
     und = (
         simple.union(
             simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
+        .repartition(p, "src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     und.count()

@@ -147,6 +147,26 @@ def label_propagation(edges: DataFrame, n: int, max_rounds: int = 20) -> DataFra
     )
 
 
+def _und_src(edges: DataFrame, presymmetrized: bool) -> DataFrame:
+    """Src-partitioned undirected simple view built with ONE |E| shuffle:
+    the directed view is materialized once (the symmetrize union reads it
+    twice — a lazy frame re-runs the caller's derivation twice), then the
+    dedup rides the src-repartition (equal (src,dst) rows share a src, so
+    the distinct aggregate runs in place — no second exchange).  Callers
+    persist/unpersist the returned frame."""
+    p = edges.sparkSession.sparkContext.defaultParallelism
+    if presymmetrized:
+        return edges.repartition(p, "src")
+    e0 = materialize(edges.select("src", "dst"))
+    return (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(p, "src")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def connected_components_joinagg(
     edges: DataFrame,
     n: int | None = None,
@@ -168,9 +188,7 @@ def connected_components_joinagg(
     `vertices` for sparse id spaces (e.g. a near-dup pair graph over doc
     ids)."""
     spark = edges.sparkSession
-    p = spark.sparkContext.defaultParallelism
-    und = edges if presymmetrized else symmetrize(edges)
-    und = und.repartition(p, "src").persist()
+    und = _und_src(edges, presymmetrized).persist()
     und.count()
     if vertices is None:
         assert n is not None, "need n or vertices"
@@ -244,9 +262,7 @@ def connected_components_pointer_jump(
     broadcast-friendly — Catalyst/AQE handles the skew; pass `vertices` for
     sparse id spaces."""
     spark = edges.sparkSession
-    p = spark.sparkContext.defaultParallelism
-    und = edges if presymmetrized else symmetrize(edges)
-    und = und.repartition(p, "src").persist()
+    und = _und_src(edges, presymmetrized).persist()
     und.count()
     if vertices is None:
         assert n is not None, "need n or vertices"
@@ -306,9 +322,7 @@ def label_propagation_joinagg(
     groupBy(dst).min(struct(-count, lab)) — no global windows, no driver
     state.  Returns (v, label)."""
     spark = edges.sparkSession
-    p = spark.sparkContext.defaultParallelism
-    und = edges if presymmetrized else symmetrize(edges)
-    und = und.repartition(p, "src").persist()
+    und = _und_src(edges, presymmetrized).persist()
     und.count()
     vertices = spark.range(n).select(F.col("id").alias("v"))
     labels = vertices.select(
@@ -1104,9 +1118,23 @@ def seeded_label_propagation(
     deterministically to the smallest label.
 
     Returns (v, label) over all graph vertices; label nullable."""
-    und = edges if presymmetrized else symmetrize(edges)
     p = edges.sparkSession.sparkContext.defaultParallelism
-    und = und.repartition(p, "src").persist()
+    if presymmetrized:
+        und = edges.repartition(p, "src")
+    else:
+        # materialize the directed view once (the symmetrize union reads
+        # it twice — a lazy frame re-runs the caller's derivation twice),
+        # and let the dedup ride the src-repartition: equal (src,dst)
+        # rows share a src, so no second |E| shuffle
+        e0 = materialize(edges.select("src", "dst"))
+        und = (
+            e0.unionByName(
+                e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .repartition(p, "src")
+            .dropDuplicates(["src", "dst"])
+        )
+    und = und.persist()
     und.count()
     verts = (
         und.select(F.col("src").alias("v"))

@@ -48,7 +48,11 @@ def link_prediction(
     """
     if min_common < 1:
         raise ValueError("link_prediction: min_common must be >= 1")
-    e = edges.select("src", "dst").distinct()
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    # read 4x below (outdeg, indeg, both self-join legs): materialize so
+    # the caller's edge derivation runs once instead of per reference
+    e = materialize(edges.select("src", "dst").distinct())
     outdeg = e.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )

@@ -266,7 +266,11 @@ def cocitation_graph(
     instead of unbounded.  One aggregation to find heavy keys + one
     semi-filtered self-join + one groupBy; no Python, no windows.
     """
-    e = (
+    from pagerank_cuda_dynamic_spark.plans.barrier import materialize
+
+    # materialized once: the degree cap, and both legs of the pair
+    # self-join, each re-ran the caller's edge derivation on the lazy frame
+    e = materialize(
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
