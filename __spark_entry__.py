@@ -2025,12 +2025,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER POLICY (see README "Registry window policy"): the
     # external driver's correctness gate verifies the FIRST ~50 entries
     # only, so queries with the least external evidence go first.  Round
-    # 5 rotation: the 51 round-3/4 additions (never driver-checked; judge
-    # gate + pytest only) occupy slots 1-50; kmv_users_by_type sits at 51
-    # because kmv_vocab externally exercises the same KMV sketch path;
-    # the 50 round-1/2 queries (driver-green in CORRECTNESS_r01-r04)
-    # follow.  Rotate again if the window moves.
+    # 6 rotation (VERDICT r5 task #1): the 24 round-5 additions (judge
+    # gate + pytest only, zero driver rows) occupy slots 1-24; the
+    # round-3/4 queries driver-verified in CORRECTNESS_r05 fill the rest
+    # of the window; the round-1/2 queries (driver-green r01-r04)
+    # follow.  Deterministic 3-round schedule: r6 = r5 additions + r3/4
+    # refresh, r7 = r1/2 block, r8 = r3/4 block - see README.
     return {
+        "kmv_users_by_type": q_kmv_users_by_type,
+        "maximal_matching": q_maximal_matching,
+        "spam_mass": q_spam_mass,
+        "absorption_regions": q_absorption_regions,
+        "dedup_matching": q_dedup_matching,
+        "topo_levels": q_topo_levels,
+        "interleave_mix": q_interleave_mix,
+        "densest_core": q_densest_core,
+        "temporal_reach": q_temporal_reach,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_covariance": q_embedding_covariance,
+        "despan_corpus": q_despan_corpus,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "host_pagerank": q_host_pagerank,
+        "negative_samples": q_negative_samples,
+        "decontamination_bloom": q_decontamination_bloom,
+        "butterflies": q_butterflies,
+        "fastrp": q_fastrp,
+        "transitivity": q_transitivity,
+        "fastrp_edge_scores": q_fastrp_edge_scores,
+        "temperature_mix": q_temperature_mix,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quality_filter": q_quality_filter,
         "line_dedup": q_line_dedup,
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
@@ -2081,7 +2106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "weighted_sample": q_weighted_sample,
-        "kmv_users_by_type": q_kmv_users_by_type,
         "entity_edges": q_entity_edges,
         "temporal_edges": q_temporal_edges,
         "out_degrees": q_out_degrees,
@@ -2132,29 +2156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_pj": q_connected_components_pj,
         "minhash_verified": q_minhash_verified,
         "token_vocabulary": q_token_vocabulary,
-        "maximal_matching": q_maximal_matching,
-        "spam_mass": q_spam_mass,
-        "absorption_regions": q_absorption_regions,
-        "dedup_matching": q_dedup_matching,
-        "topo_levels": q_topo_levels,
-        "interleave_mix": q_interleave_mix,
-        "densest_core": q_densest_core,
-        "temporal_reach": q_temporal_reach,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_covariance": q_embedding_covariance,
-        "despan_corpus": q_despan_corpus,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "host_pagerank": q_host_pagerank,
-        "negative_samples": q_negative_samples,
-        "decontamination_bloom": q_decontamination_bloom,
-        "butterflies": q_butterflies,
-        "fastrp": q_fastrp,
-        "transitivity": q_transitivity,
-        "fastrp_edge_scores": q_fastrp_edge_scores,
-        "temperature_mix": q_temperature_mix,
-        "quantize_embeddings": q_quantize_embeddings,
-        "quality_filter": q_quality_filter,
     }
 
 
